@@ -1,0 +1,80 @@
+"""Frozen pipeline configuration (SURVEY.md §2.10, FIXTURES.md §4).
+
+The reference (`kornysietsma/deduplicatr`) exposes exactly one tunable — the
+dynamic chunk-size var for sampled hashing (``src/deduplicatr/hash.clj:~10``,
+approximate citation; reference mount was empty at survey time). The target
+generalizes that to a single frozen ``DedupConfig`` dataclass whose hash is
+recorded in checkpoint lineage (BASELINE.json:6) so a resumed run can detect a
+config mismatch.
+
+Canonical values are FIXTURES.md §4 — goldens and recall tests depend on them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Canonical signature / LSH / clustering configuration.
+
+    All randomness in the pipeline derives from the seeds here; nothing uses
+    wall-clock or process state, so output is a pure function of
+    (input, config) — the determinism invariant of SURVEY.md §4.2.
+    """
+
+    # --- shingling (FIXTURES.md §4) ---
+    shingle_w: int = 5          # word-shingle width
+    token_hash_seed: int = 0x5EED  # seed for 64-bit token/shingle hashing
+
+    # --- MinHash ---
+    num_perm: int = 128         # permutations; (a·x + b) mod p, p = 2^61 - 1
+    perm_seed: int = 42         # PCG64 seed for the a,b tables
+
+    # --- LSH banding: num_perm = bands * rows ---
+    bands: int = 32
+    rows_per_band: int = 4
+
+    # --- verification thresholds ---
+    jaccard_threshold: float = 0.7   # keep candidate pair iff est. Jaccard >= tau
+    simhash_bits: int = 64
+    simhash_blocks: int = 4          # 4 x 16-bit blocks (Manku et al. WWW'07 pattern)
+    hamming_threshold: int = 3       # SimHash near-dup iff Hamming distance <= 3
+
+    # --- skew handling (SURVEY.md §4.2) ---
+    band_group_cap: int = 256   # groups larger than this are routed to the
+                                # exact-hash path instead of O(m^2) pairing
+
+    # --- optional suffix pass (off in goldens) ---
+    suffix_min_len: int = 50    # common substring >= L chars
+    suffix_enabled: bool = False
+
+    # --- cheap sampled-hash pre-filter (reference precedent: hash.clj:~25-45,
+    #     digest(first chunk || last chunk || size) for big files) ---
+    sampled_hash_prefix: int = 1024   # chars taken from each end
+
+    # --- b-bit verification sketch carried into band rows (Li & Koenig 2010):
+    #     low 8 bits of each minhash; collision prob = J + (1-J)/256, so the
+    #     bias-corrected estimate is essentially exact at tau = 0.7 while the
+    #     band-shuffle payload is 128 B/doc instead of 1 KiB/doc. ---
+    bbit_bits: int = 8
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows ({self.bands}x{self.rows_per_band}) != num_perm ({self.num_perm})"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the config for checkpoint lineage (BASELINE.json:6)."""
+        payload = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha1(payload).hexdigest()[:16]
+
+
+CANONICAL = DedupConfig()
+
+# Mersenne prime used by the MinHash permutation family.
+MERSENNE_P61 = (1 << 61) - 1

@@ -1,0 +1,244 @@
+"""Vectorized 64-bit hashing kernels (SURVEY.md §2.8, M1/M2/M6/M7/M8).
+
+The reference's only "function library" is content hashing — full-file MD5 and
+the sampled digest(first chunk || last chunk || size) for big files
+(``src/deduplicatr/hash.clj:~10-45``, approximate citation; reference mount
+empty at survey time). The target generalizes that to:
+
+* ``sha1_bytes``   — exact-content fingerprint (M1, drives exact dedup D1)
+* ``sampled_hash`` — literal analog of the reference's sampled big-file hash (M2)
+* token/shingle hashing + MinHash permutations + SimHash — the
+  signature-based near-equality the sampled hash foreshadows (M6-M8)
+
+Everything here is pure NumPy over uint64 with wraparound semantics, fully
+deterministic from config seeds (no process state), so outputs are identical
+across workers, retries and parallelism levels (SURVEY.md §4.2 determinism
+row). xxhash is not available in this environment, so the 64-bit string hash
+is BLAKE2b(digest_size=8, person=seed) with a per-process memo table — the
+vocabulary is tiny relative to the token stream, so per-unique-token hashing
+amortizes to a dict hit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable
+
+import numpy as np
+
+from ..config import MERSENNE_P61
+
+_U64 = np.uint64
+_P = _U64(MERSENNE_P61)
+_MASK61 = _U64(MERSENNE_P61)
+_MASK32 = _U64(0xFFFFFFFF)
+_MASK29 = _U64((1 << 29) - 1)
+
+
+# ---------------------------------------------------------------------------
+# splitmix64 — cheap bijective finalizer (public-domain constant set,
+# Steele et al. "Fast splittable pseudorandom number generators", OOPSLA'14).
+# ---------------------------------------------------------------------------
+
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 array (wraparound)."""
+    with np.errstate(over="ignore"):
+        z = (x + _SM_GAMMA).astype(_U64, copy=False)
+        z = (z ^ (z >> _U64(30))) * _SM_M1
+        z = (z ^ (z >> _U64(27))) * _SM_M2
+        return z ^ (z >> _U64(31))
+
+
+# ---------------------------------------------------------------------------
+# 64-bit string hashing with a per-process memo (token vocabulary is small).
+# ---------------------------------------------------------------------------
+
+class TokenHasher:
+    """Deterministic 64-bit token hashing with memoization.
+
+    One instance lives per signature actor (built once in ``__init__``,
+    SURVEY.md ST1); the memo persists across batches.
+    """
+
+    def __init__(self, seed: int) -> None:
+        self._person = seed.to_bytes(8, "little")
+        self._memo: dict[str, int] = {}
+
+    def hash_token(self, token: str) -> int:
+        h = self._memo.get(token)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(
+                    token.encode("utf-8"), digest_size=8, person=self._person
+                ).digest(),
+                "little",
+            )
+            self._memo[token] = h
+        return h
+
+    def hash_tokens(self, tokens: Iterable[str]) -> np.ndarray:
+        """Hash a token sequence to a uint64 array."""
+        ht = self.hash_token
+        return np.fromiter((ht(t) for t in tokens), dtype=_U64)
+
+
+# ---------------------------------------------------------------------------
+# Word shingles (M6): polynomial combine of w consecutive token hashes,
+# then splitmix64 finalize. Fully vectorized via a sliding window.
+# ---------------------------------------------------------------------------
+
+_POLY_M = _U64(0xC2B2AE3D27D4EB4F)  # odd multiplier (xxhash64 prime_2)
+
+
+def shingle_hashes(token_hashes: np.ndarray, w: int) -> np.ndarray:
+    """uint64 hashes of all w-grams of ``token_hashes``; unique + sorted.
+
+    Returns an empty array when the doc has fewer than ``w`` tokens (M10
+    short-doc rule: no shingles => only exact-hash dedup applies).
+    """
+    n = len(token_hashes)
+    if n < w:
+        return np.empty(0, dtype=_U64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - w + 1, dtype=_U64)
+        for j in range(w):
+            acc = acc * _POLY_M + token_hashes[j : n - w + 1 + j]
+        return np.unique(splitmix64(acc))
+
+
+# ---------------------------------------------------------------------------
+# Exact modular arithmetic mod p = 2^61 - 1 (vectorized, overflow-safe).
+# ---------------------------------------------------------------------------
+
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values below 2^62-ish into [0, p)."""
+    with np.errstate(over="ignore"):
+        x = (x >> _U64(61)) + (x & _MASK61)
+        x = (x >> _U64(61)) + (x & _MASK61)
+        return np.where(x >= _P, x - _P, x).astype(_U64, copy=False)
+
+
+def mod_p61(x: np.ndarray) -> np.ndarray:
+    """x mod p for arbitrary uint64 x."""
+    return _fold61(x)
+
+
+def mulmod_p61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod p for a, x in [0, p); exact, no 128-bit ints needed.
+
+    Split a = a1*2^32 + a0, x = x1*2^32 + x0. Then
+    a*x = a1*x1*2^64 + (a1*x0 + a0*x1)*2^32 + a0*x0, and mod p:
+    2^64 === 8, while mid*2^32 is reduced by splitting mid at bit 29
+    (mid = m1*2^29 + m0 => mid*2^32 = m1*2^61 + m0*2^32 === m1 + m0*2^32).
+    Every intermediate fits in uint64.
+    """
+    with np.errstate(over="ignore"):
+        a1, a0 = a >> _U64(32), a & _MASK32
+        x1, x0 = x >> _U64(32), x & _MASK32
+        hi = a1 * x1 * _U64(8)                 # < 2^61
+        mid = a1 * x0 + a0 * x1                # < 2^62
+        m1, m0 = mid >> _U64(29), mid & _MASK29
+        mid_red = m1 + (m0 << _U64(32))        # < 2^61 + 2^33
+        lo = _fold61(a0 * x0)                  # < p
+        return _fold61(hi + mid_red + lo)
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation family (M7): h_i(x) = (a_i * x + b_i) mod p.
+# ---------------------------------------------------------------------------
+
+def make_permutations(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) uint64 tables drawn from PCG64(seed); a in [1, p), b in [0, p)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, MERSENNE_P61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_segments(
+    shingles: np.ndarray,
+    seg_starts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+) -> np.ndarray:
+    """MinHash signatures for concatenated per-doc shingle segments.
+
+    ``shingles``: uint64 array = concat of each doc's shingle set;
+    ``seg_starts``: int64 start offset of each doc's segment (every segment
+    non-empty — callers filter empty docs and fill sentinels);
+    returns (n_docs, num_perm) uint64.
+
+    Loops over the ``num_perm`` permutations (each iteration fully
+    vectorized over all shingles in the batch + a single
+    ``np.minimum.reduceat`` per permutation) — peak extra memory is O(n)
+    per permutation instead of O(128 n) for the full matrix.
+    """
+    num_perm = len(a)
+    n_docs = len(seg_starts)
+    out = np.empty((n_docs, num_perm), dtype=_U64)
+    if len(shingles) == 0:
+        return out
+    x = mod_p61(shingles)
+    with np.errstate(over="ignore"):
+        for i in range(num_perm):
+            hv = _fold61(mulmod_p61(np.full(1, a[i], dtype=_U64), x) + b[i])
+            out[:, i] = np.minimum.reduceat(hv, seg_starts)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash (M8): 64-bit, token-tf weights.
+# ---------------------------------------------------------------------------
+
+def simhash_segments(
+    token_hashes: np.ndarray,
+    tf: np.ndarray,
+    doc_idx: np.ndarray,
+    n_docs: int,
+) -> np.ndarray:
+    """64-bit SimHash per doc from (unique-token hash, tf, doc index) triples.
+
+    Vectorized: unpack each token hash into 64 bits, accumulate tf-weighted
+    (+1/-1) per (doc, bit) with ``np.add.at``, take the sign.
+    """
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    if len(token_hashes):
+        bits = (
+            (token_hashes[:, None] >> np.arange(64, dtype=_U64)[None, :]) & _U64(1)
+        ).astype(np.int64)
+        contrib = (2 * bits - 1) * tf[:, None].astype(np.int64)
+        np.add.at(acc, doc_idx, contrib)
+    out = (acc > 0).astype(np.uint64)
+    return (out << np.arange(64, dtype=_U64)[None, :]).sum(
+        axis=1, dtype=_U64
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise-elementwise Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Exact and sampled content hashes (M1/M2 — the reference's core ops).
+# ---------------------------------------------------------------------------
+
+def sha1_bytes(texts: Iterable[str]) -> list[bytes]:
+    """20-byte SHA-1 of each utf-8 encoded text (M1; exact dedup key D1)."""
+    return [hashlib.sha1(t.encode("utf-8")).digest() for t in texts]
+
+
+def sampled_hash(text: str, k: int) -> bytes:
+    """digest(first k chars || last k chars || length) — the reference's
+    big-file sampled hash (hash.clj:~25-45) transplanted to text (M2)."""
+    if len(text) <= 2 * k:
+        payload = text.encode("utf-8")
+    else:
+        payload = (text[:k] + text[-k:]).encode("utf-8")
+    return hashlib.sha1(payload + len(text).to_bytes(8, "little")).digest()

@@ -1,0 +1,54 @@
+"""Page-table sources (S1/S3; SURVEY.md §2.1).
+
+The reference's source is a recursive filesystem walk building one record per
+file (``src/deduplicatr/fstree.clj:~10-40``, approximate citation — reference
+mount empty at survey time); the target's analog is a Parquet scan producing
+one row per page, with projection + predicate pushdown at the read.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+
+def read_pages(path: str, *, lang: str | None = None, columns: list[str] | None = None):
+    """Read a Common-Crawl-style pages Parquet table (BASELINE.json:15).
+
+    Column pruning and the optional ``lang`` predicate are pushed into the
+    scan so unneeded columns / row groups never leave storage.
+    """
+    import pyarrow.compute as pc
+
+    kwargs = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if lang is not None:
+        kwargs["filter"] = pc.field("lang") == lang
+    return rd.read_parquet(path, **kwargs)
+
+
+def docs_as_pages(sf_dir: str, *, columns_needed: bool = True):
+    """Adapt /root/testdata ``documents.parquet`` to the pages schema
+    (FIXTURES.md §5 mapping: url = doc://{doc_id}, warc_ts/html = NULL)."""
+    import pyarrow as pa
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        urls = pa.array(
+            [f"doc://{d}" for d in batch["doc_id"].to_pylist()], pa.string()
+        )
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                "html": pa.nulls(n, pa.binary()),
+                "text": batch["text"].cast(pa.string()),
+                "lang": batch["lang"].cast(pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)

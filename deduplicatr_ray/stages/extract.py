@@ -1,0 +1,60 @@
+"""Extract + normalize stage (M4/M5/M1/M3; SURVEY.md §3.2 first stage).
+
+Stateless ``map_batches`` task: pages -> EXTRACTED. Fuses HTML extraction,
+text pass-through, SHA-1 content fingerprinting (the reference's full-content
+hash, ``src/deduplicatr/hash.clj:~10-25`` approximate citation) and length
+projection in one pass, then DROPS the wide ``html`` column so downstream
+blocks carry only what they need (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textnorm import extract_text
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> EXTRACTED batch (zero-copy where text passes through)."""
+    text_col = batch["text"]
+    html_col = batch["html"]
+    n = len(batch)
+
+    # Fast path: rows with non-null text pass through byte-identical
+    # (FIXTURES.md §3 step 6). Only null-text rows run the extractor.
+    need_extract = pc.and_(pc.is_null(text_col), pc.is_valid(html_col))
+    if pc.any(need_extract).as_py():
+        texts = text_col.to_pylist()
+        htmls = html_col.to_pylist()
+        out_texts = [
+            t if t is not None else (extract_text(h) if h is not None else "")
+            for t, h in zip(texts, htmls)
+        ]
+    else:
+        out_texts = [t if t is not None else "" for t in text_col.to_pylist()]
+
+    sha1 = [hashlib.sha1(t.encode("utf-8")).digest() for t in out_texts]
+    text_arr = pa.array(out_texts, pa.large_string())
+    return pa.table(
+        {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "text": text_arr,
+            "lang": batch["lang"],
+            "text_sha1": pa.array(sha1, pa.binary(20)),
+            "n_chars": pc.utf8_length(text_arr).cast(pa.int64()),
+        }
+    )
+
+
+def extract_stage(pages, *, batch_size: int = 1024):
+    """pages Dataset -> EXTRACTED Dataset (stateless task stage)."""
+    return pages.map_batches(
+        extract_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

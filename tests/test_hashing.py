@@ -1,0 +1,124 @@
+"""Unit tests for the hashing kernels (SURVEY.md §5.2.1).
+
+Mirrors the reference's hash_test.clj shape (digest determinism, small vs
+sampled paths) plus MinHash/SimHash math the reference doesn't have.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplicatr_ray.config import MERSENNE_P61, CANONICAL
+from deduplicatr_ray.functions.hashing import (
+    TokenHasher,
+    hamming64,
+    make_permutations,
+    minhash_segments,
+    mod_p61,
+    mulmod_p61,
+    sampled_hash,
+    sha1_bytes,
+    shingle_hashes,
+    simhash_segments,
+    splitmix64,
+)
+
+
+def test_mulmod_p61_matches_python_bigint():
+    rng = np.random.Generator(np.random.PCG64(7))
+    a = rng.integers(0, MERSENNE_P61, size=500, dtype=np.uint64)
+    x = rng.integers(0, MERSENNE_P61, size=500, dtype=np.uint64)
+    got = mulmod_p61(a, x)
+    want = (a.astype(object) * x.astype(object)) % MERSENNE_P61
+    assert (got.astype(object) == want).all()
+
+
+def test_mod_p61_matches_python_bigint():
+    rng = np.random.Generator(np.random.PCG64(8))
+    x = rng.integers(0, 2**64, size=1000, dtype=np.uint64)
+    got = mod_p61(x)
+    want = x.astype(object) % MERSENNE_P61
+    assert (got.astype(object) == want).all()
+
+
+def test_token_hash_deterministic_and_seed_sensitive():
+    h1 = TokenHasher(1).hash_token("hello")
+    h1b = TokenHasher(1).hash_token("hello")
+    h2 = TokenHasher(2).hash_token("hello")
+    assert h1 == h1b
+    assert h1 != h2
+
+
+def test_shingle_hashes_short_doc_empty():
+    th = TokenHasher(CANONICAL.token_hash_seed)
+    toks = th.hash_tokens(["a", "b", "c"])
+    assert len(shingle_hashes(toks, 5)) == 0  # M10 short-doc rule
+
+
+def test_shingle_hashes_shift_invariant_overlap():
+    th = TokenHasher(CANONICAL.token_hash_seed)
+    words = [f"w{i}" for i in range(20)]
+    a = shingle_hashes(th.hash_tokens(words), 5)
+    b = shingle_hashes(th.hash_tokens(words[1:]), 5)
+    # dropping the first token removes exactly one shingle
+    assert len(np.intersect1d(a, b)) == len(b) == len(a) - 1
+
+
+def test_minhash_known_jaccard():
+    """8/12-overlap hand-built shingle sets (FIXTURES.md §2 micro-fixture)."""
+    a, b = make_permutations(CANONICAL.num_perm, CANONICAL.perm_seed)
+    rng = np.random.Generator(np.random.PCG64(3))
+    common = rng.integers(0, 2**63, size=8, dtype=np.uint64)
+    only_a = rng.integers(0, 2**63, size=2, dtype=np.uint64)
+    only_b = rng.integers(0, 2**63, size=2, dtype=np.uint64)
+    sa = np.concatenate([common, only_a])
+    sb = np.concatenate([common, only_b])
+    shingles = np.concatenate([sa, sb])
+    sig = minhash_segments(shingles, np.array([0, len(sa)]), a, b)
+    est = (sig[0] == sig[1]).mean()
+    true_j = 8 / 12
+    assert abs(est - true_j) < 0.15  # 128 perms => se ~ 0.04
+
+
+def test_minhash_identical_sets_identical_sigs():
+    a, b = make_permutations(CANONICAL.num_perm, CANONICAL.perm_seed)
+    s = np.array([5, 9, 123456789], dtype=np.uint64)
+    sig = minhash_segments(np.concatenate([s, s]), np.array([0, 3]), a, b)
+    assert (sig[0] == sig[1]).all()
+
+
+def test_simhash_identical_and_disjoint():
+    th = TokenHasher(0)
+    t1 = th.hash_tokens([f"x{i}" for i in range(50)])
+    t2 = th.hash_tokens([f"y{i}" for i in range(50)])
+    tf = np.ones(50)
+    hashes = np.concatenate([t1, t1, t2])
+    tfs = np.concatenate([tf, tf, tf])
+    idx = np.concatenate([np.zeros(50, int), np.ones(50, int), np.full(50, 2)])
+    sh = simhash_segments(hashes, tfs, idx, 3)
+    assert sh[0] == sh[1]
+    d = hamming64(sh[:1], sh[2:3])[0]
+    assert d > 10  # unrelated docs are far apart
+
+
+def test_hamming64():
+    a = np.array([0b1011, 0], dtype=np.uint64)
+    b = np.array([0b0010, np.iinfo(np.uint64).max], dtype=np.uint64)
+    assert list(hamming64(a, b)) == [2, 64]
+
+
+def test_sha1_and_sampled_hash():
+    assert sha1_bytes(["abc"])[0] == __import__("hashlib").sha1(b"abc").digest()
+    # sampled hash: equal ends + equal length collide (the reference's
+    # intentional approximation for big files, hash.clj:~25-45)
+    t1 = "A" * 100 + "MID1" + "B" * 100
+    t2 = "A" * 100 + "MID2" + "B" * 100
+    assert sampled_hash(t1, 50) == sampled_hash(t2, 50)
+    assert sampled_hash(t1, 200) != sampled_hash(t2, 200)  # small => full content
+    assert sampled_hash(t1 + "C", 50) != sampled_hash(t1, 50)  # length differs
+
+
+def test_splitmix64_bijective_sample():
+    x = np.arange(10_000, dtype=np.uint64)
+    assert len(np.unique(splitmix64(x))) == 10_000
