@@ -1,0 +1,144 @@
+"""Flagship near-duplicate pipeline (SURVEY.md §3.2).
+
+read pages -> extract (stateless tasks) -> signatures (actor pool)
+-> {LSH band shuffle -> verified near pairs} U {exact-hash pairs}
+-> distinct -> union-find -> broadcast cluster assignment.
+
+The signatures Dataset is the single compact derivative every downstream
+branch consumes (text is dropped after the signature stage); with a
+checkpoint dir it is persisted per-partition to Parquet (S4) and re-read,
+otherwise materialized in the object store.
+
+Pairs are streamed to the driver union-find via ``iter_batches`` — verified
+duplicate pairs are orders of magnitude fewer than docs (SURVEY.md §4.3);
+``distributed_components`` drops in behind the same mapping interface when
+they are not.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..config import CANONICAL, DedupConfig
+from ..stages.cluster import assign_clusters_stage
+from ..stages.exact import exact_pairs_stage
+from ..stages.extract import extract_stage
+from ..stages.lsh import band_stage, candidate_pairs_stage, distinct_pairs_stage
+from ..stages.signatures import signature_stage
+
+
+@dataclass
+class DedupResult:
+    clusters: Any          # Dataset (CLUSTERS schema)
+    pairs: Any             # Dataset (PAIRS schema, distinct)
+    mapping: dict[str, str]
+    stats: dict[str, Any] = field(default_factory=dict)
+
+
+def signatures_from_pages(
+    pages,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    sig_concurrency: int | tuple[int, int] = (2, 8),
+    sig_batch_size: int = 256,
+):
+    """pages -> SIGNATURES Dataset (extract fused upstream, lazy)."""
+    extracted = extract_stage(pages)
+    return signature_stage(
+        extracted, cfg, batch_size=sig_batch_size, concurrency=sig_concurrency
+    )
+
+
+def pairs_from_signatures(sigs, cfg: DedupConfig = CANONICAL):
+    """SIGNATURES -> distinct verified PAIRS (near + exact evidence, D7)."""
+    bands = band_stage(sigs, cfg)
+    near = candidate_pairs_stage(bands, cfg)
+    exact = exact_pairs_stage(sigs)
+    return distinct_pairs_stage(near.union(exact))
+
+
+def dedup_pipeline(
+    pages,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    sig_concurrency: int | tuple[int, int] = (2, 8),
+    sig_batch_size: int = 256,
+    checkpoint_dir: str | None = None,
+    run_id: str = "run0",
+) -> DedupResult:
+    """Full flagship pipeline; returns clusters + distinct pairs + mapping."""
+    from ..state.unionfind import components_from_pairs
+
+    sigs = signatures_from_pages(
+        pages, cfg, sig_concurrency=sig_concurrency, sig_batch_size=sig_batch_size
+    )
+    if checkpoint_dir is not None:
+        from .checkpoint import checkpoint_dataset
+
+        sigs = checkpoint_dataset(
+            sigs, checkpoint_dir, stage="signatures", run_id=run_id, cfg=cfg
+        )
+    else:
+        sigs = sigs.materialize()
+
+    pairs = pairs_from_signatures(sigs, cfg)
+    if checkpoint_dir is not None:
+        from .checkpoint import checkpoint_dataset
+
+        pairs = checkpoint_dataset(
+            pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
+        )
+    else:
+        pairs = pairs.materialize()
+
+    # stream pairs into the driver union-find (pairs << docs)
+    edge_iter = (
+        (a, b)
+        for batch in pairs.iter_batches(batch_size=65536, batch_format="pyarrow")
+        for a, b in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist())
+    )
+    mapping = components_from_pairs(edge_iter)
+
+    clusters = assign_clusters_stage(sigs, mapping)
+    if checkpoint_dir is not None:
+        from .checkpoint import checkpoint_dataset
+
+        clusters = checkpoint_dataset(
+            clusters, checkpoint_dir, stage="clusters", run_id=run_id, cfg=cfg
+        )
+
+    n_clustered = len(mapping)
+    stats = {
+        "docs_in_clusters": n_clustered,
+        "n_clusters": len(set(mapping.values())),
+        "config_hash": cfg.config_hash(),
+    }
+    return DedupResult(clusters=clusters, pairs=pairs, mapping=mapping, stats=stats)
+
+
+def cluster_summary(clusters):
+    """A1 analog of the reference's commutative dir-summary accumulation:
+    one row per cluster with member count + canonical url, sorted desc."""
+    from ray.data.aggregate import Count, Min
+
+    return (
+        clusters.groupby("cluster_id")
+        .aggregate(Count(alias_name="members"), Min("url", alias_name="canonical_url"))
+        .sort("members", descending=True)
+    )
+
+
+def implied_pairs(mapping: dict[str, str]) -> set[tuple[str, str]]:
+    """All within-cluster pairs implied by a mapping (for recall accounting)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for url, cid in mapping.items():
+        groups[cid].append(url)
+    out: set[tuple[str, str]] = set()
+    for members in groups.values():
+        for a, b in combinations(sorted(members), 2):
+            out.add((a, b))
+    return out

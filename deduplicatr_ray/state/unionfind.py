@@ -1,0 +1,204 @@
+"""Connected components (A6, ST2): pairs -> cluster mapping.
+
+Two implementations behind one interface (SURVEY.md §4.3):
+
+* ``components_from_pairs`` — driver-side union-find with path compression +
+  union by size. Exact and O(pairs * alpha(n)); the candidate-pair set is
+  orders of magnitude smaller than the corpus (it only contains verified
+  duplicates), so this holds to ~1e8 pairs.
+* ``distributed_components`` — iterated min-label propagation (hash-to-min)
+  expressed as Ray Data groupby rounds, for when pairs no longer fit the
+  driver (cf. BTS load-balanced distributed union-find, ICDE 2024;
+  PAPERS.md). Converges in O(log n) rounds; each round is one shuffle over
+  the edge list.
+
+Cluster ids are the lexicographic MIN url of each component — a pure
+function of membership, so output is deterministic under any row order,
+retry or parallelism level (SURVEY.md §4.2 determinism row). This is the
+analog of the reference's order-independent commutative dir-hash sum
+(``file.clj:~30-45``, approximate citation).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+
+class UnionFind:
+    """Path-compressed, size-united union-find over arbitrary hashables."""
+
+    def __init__(self) -> None:
+        self.parent: dict[str, str] = {}
+        self.size: dict[str, int] = {}
+
+    def find(self, x: str) -> str:
+        parent = self.parent
+        if x not in parent:
+            parent[x] = x
+            self.size[x] = 1
+            return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        if self.size[ra] < self.size[rb]:
+            ra, rb = rb, ra
+        self.parent[rb] = ra
+        self.size[ra] += self.size[rb]
+
+
+def components_from_pairs(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
+    """url -> cluster_id (min url of its component) for every url in a pair."""
+    uf = UnionFind()
+    for a, b in pairs:
+        uf.union(a, b)
+    # min url per root, then resolve every member
+    min_of_root: dict[str, str] = {}
+    for x in uf.parent:
+        r = uf.find(x)
+        m = min_of_root.get(r)
+        if m is None or x < m:
+            min_of_root[r] = x
+    return {x: min_of_root[uf.find(x)] for x in uf.parent}
+
+
+def distributed_components(pairs_ds, max_rounds: int = 50):
+    """Hash-to-min over a PAIRS Dataset -> Dataset (url, cluster_id).
+
+    Each round: emit (node, label) both ways over every edge plus each node's
+    own current label, take min label per node via a groupby aggregate, and
+    rewrite edge endpoints' labels. Terminates when no label changes.
+
+    Edges are relabelled by broadcasting the (small) changed-label delta is
+    NOT assumed — the full label map is re-joined via groupby each round, so
+    the pattern scales with the edge list, not the driver.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # node-labels l(v) initialised to v; edge list symmetrised once
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array([b["url_a"], b["url_b"]]).combine_chunks(),
+                "nbr": pa.chunked_array([b["url_b"], b["url_a"]]).combine_chunks(),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    # labels: min neighbour (including self) per node, iterated
+    def with_self(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.chunked_array([b["node"], b["node"]]).combine_chunks(),
+                "cand": pa.chunked_array([b["nbr"], b["node"]]).combine_chunks(),
+            }
+        )
+
+    labels = (
+        edges.map_batches(with_self, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("cand", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: each node offers its label to every neighbour
+        lab_edges = _join_labels(edges, labels)  # (node, nbr, label_of_node)
+
+        def offers(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.chunked_array([b["nbr"], b["node"]]).combine_chunks(),
+                    "cand": pa.chunked_array([b["label"], b["label"]]).combine_chunks(),
+                }
+            )
+
+        new_labels = (
+            lab_edges.map_batches(offers, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .materialize()
+        )
+        if _labels_equal(labels, new_labels):
+            labels = new_labels
+            break
+        labels = new_labels
+
+    return labels.map_batches(
+        lambda b: pa.table({"url": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _join_labels(edges, labels):
+    """Hash-join edges with node labels via a two-key-source groupby trick."""
+    import pyarrow as pa
+
+    def tag_edge(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "node": b["node"],
+                "nbr": b["nbr"],
+                "label": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def tag_label(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "node": b["node"],
+                "nbr": pa.nulls(n, pa.string()),
+                "label": b["label"],
+            }
+        )
+
+    unioned = edges.map_batches(tag_edge, batch_format="pyarrow").union(
+        labels.map_batches(tag_label, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.drop_null(g["label"])
+        if len(lab) == 0:
+            label = g["node"][0]
+        else:
+            label = lab[0]
+        nbrs = g.filter(pc.is_valid(g["nbr"]))
+        m = len(nbrs)
+        if m == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "nbr": pa.array([], pa.string()),
+                    "label": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "node": nbrs["node"],
+                "nbr": nbrs["nbr"],
+                "label": pa.array([label.as_py()] * m, pa.string()),
+            }
+        )
+
+    return unioned.groupby("node").map_groups(resolve, batch_format="pyarrow")
+
+
+def _labels_equal(a, b) -> bool:
+    """Compare two small (node,label) Datasets for fixpoint detection."""
+    ta = a.to_pandas().sort_values("node").reset_index(drop=True)
+    tb = b.to_pandas().sort_values("node").reset_index(drop=True)
+    return ta.equals(tb)

@@ -1,0 +1,117 @@
+"""End-to-end flagship tests (SURVEY.md §5.2.2-3): recall gate + invariances."""
+
+from __future__ import annotations
+
+import pytest
+
+from deduplicatr_ray.sources.synthetic import gen_corpus
+from deduplicatr_ray.pipelines.flagship import (
+    cluster_summary,
+    dedup_pipeline,
+    implied_pairs,
+)
+
+
+def _truth_pairs_above_tau(truth, tau: float = 0.7) -> set[tuple[str, str]]:
+    return {
+        (a, b)
+        for a, b, j in zip(
+            truth["url_a"].to_pylist(),
+            truth["url_b"].to_pylist(),
+            truth["jaccard_true"].to_pylist(),
+        )
+        if j >= tau
+    }
+
+
+def _run(pages):
+    import ray.data as rd
+
+    return dedup_pipeline(rd.from_arrow(pages))
+
+
+@pytest.mark.parametrize("name", ["exact", "near", "boiler", "mixed", "edge"])
+def test_recall_gate(ray_session, name):
+    """dup-pair recall >= 0.99 against injected ground truth (BASELINE.json:2)."""
+    pages, truth = gen_corpus(name)
+    res = _run(pages)
+    got = implied_pairs(res.mapping)
+    want = _truth_pairs_above_tau(truth)
+    if not want:
+        return
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"{name}: recall {recall:.4f} < 0.99"
+
+
+def test_precision_sanity(ray_session):
+    """Against FULL truth (any true Jaccard), precision stays high — near-dup
+    detections below tau are counted as hits, unrelated links as misses."""
+    pages, truth = gen_corpus("boiler")
+    res = _run(pages)
+    got = implied_pairs(res.mapping)
+    full = {
+        (a, b)
+        for a, b in zip(truth["url_a"].to_pylist(), truth["url_b"].to_pylist())
+    }
+    tp = len(got & full)
+    assert tp / len(got) >= 0.95
+
+
+def test_permutation_invariance(ray_session):
+    """Shuffled input rows => identical clusters (the reference's commutative
+    dir-hash property, file.clj:~30-45, generalized; SURVEY.md §5.2.3)."""
+    import pyarrow as pa
+    import numpy as np
+
+    pages, _ = gen_corpus("near")
+    res1 = _run(pages)
+    perm = np.random.Generator(np.random.PCG64(7)).permutation(len(pages))
+    res2 = _run(pages.take(pa.array(perm)))
+    assert res1.mapping == res2.mapping
+
+
+def test_parallelism_invariance(ray_session):
+    """Same clusters with 1 block vs many blocks (SURVEY.md §5.2.3)."""
+    import ray.data as rd
+
+    pages, _ = gen_corpus("exact")
+    r1 = dedup_pipeline(rd.from_arrow(pages).repartition(1))
+    r8 = dedup_pipeline(rd.from_arrow(pages).repartition(8))
+    assert r1.mapping == r8.mapping
+
+
+def test_cluster_outputs_well_formed(ray_session):
+    pages, _ = gen_corpus("mixed")
+    res = _run(pages)
+    tbl = res.clusters.to_pandas()
+    assert len(tbl) == len(pages)
+    # canonical row is the min url of its cluster; singletons are canonical
+    assert (tbl[tbl.is_canonical].url == tbl[tbl.is_canonical].cluster_id).all()
+    by_cid = tbl.groupby("cluster_id")["url"].min()
+    assert (by_cid.index == by_cid.values).all()
+    # cluster_size consistent
+    sizes = tbl.groupby("cluster_id").size()
+    for cid, sz in sizes.items():
+        assert (tbl[tbl.cluster_id == cid].cluster_size == sz).all()
+    # summary sorted desc, top cluster is one of the injected hot clusters
+    summ = cluster_summary(res.clusters).to_pandas()
+    assert summ.members.is_monotonic_decreasing
+    assert summ.members.iloc[0] >= 30
+
+
+def test_short_and_empty_docs_only_exact(ray_session):
+    """M10: docs below shingle width cluster only via exact byte equality."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    rows = {
+        "url": ["u/a", "u/b", "u/c", "u/d"],
+        "warc_ts": [None] * 4,
+        "html": [None] * 4,
+        "text": ["tiny doc", "tiny doc", "tiny dog", ""],
+        "lang": ["en"] * 4,
+    }
+    res = dedup_pipeline(rd.from_arrow(pa.table(rows)))
+    assert res.mapping.get("u/a") == res.mapping.get("u/b") == "u/a"
+    assert "u/c" not in res.mapping  # 1-token edit on a short doc: not near-dup
+    assert "u/d" not in res.mapping
