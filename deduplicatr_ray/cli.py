@@ -1,0 +1,117 @@
+"""CLI entry point (SURVEY.md §3.3): resumable runs + reference-style report.
+
+``python -m deduplicatr_ray.cli run --input pages_dir_or_file --ckpt dir``
+is the sandbox analog of ``ray job submit -- python -m deduplicatr_ray.cli
+run ...`` on a real cluster (BASELINE.json:14). The CLI owns the Ray session
+(guarded init, always shutdown); library code never does.
+
+``report`` prints duplicate groups biggest-first — the analog of the
+reference's stdout sink (``src/deduplicatr/core.clj:~20-40``, approximate
+citation — mount empty at survey time).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import ray
+    import ray.data as rd
+
+    from .pipelines.flagship import cluster_summary, dedup_pipeline
+    from .sources.pages import read_pages
+
+    _init_ray(args.num_cpus)
+    try:
+        t0 = time.monotonic()
+        pages = read_pages(args.input, lang=args.lang)
+        res = dedup_pipeline(
+            pages, checkpoint_dir=args.ckpt, run_id=args.run_id
+        )
+        n_docs = res.clusters.count()
+        if args.output:
+            res.clusters.write_parquet(args.output)
+        wall = time.monotonic() - t0
+        dup_docs = res.stats["docs_in_clusters"]
+        print(
+            json.dumps(
+                {
+                    "docs": n_docs,
+                    "docs_per_sec": round(n_docs / wall, 1),
+                    "wall_sec": round(wall, 2),
+                    "dup_docs": dup_docs,
+                    "dup_rate": round(dup_docs / max(1, n_docs), 4),
+                    "n_clusters": res.stats["n_clusters"],
+                    "config_hash": res.stats["config_hash"],
+                }
+            )
+        )
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_report(args: argparse.Namespace) -> int:
+    """Top duplicate clusters, biggest first (reference report analog)."""
+    import ray
+    import ray.data as rd
+
+    _init_ray(args.num_cpus)
+    try:
+        clusters = rd.read_parquet(args.clusters)
+        from .pipelines.flagship import cluster_summary
+
+        top = cluster_summary(clusters).limit(args.top).take_all()
+        for row in top:
+            if row["members"] < 2:
+                continue
+            print(f"{row['members']:6d} members  cluster {row['canonical_url']}")
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="deduplicatr_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="run the flagship dedup pipeline")
+    pr.add_argument("--input", required=True, help="pages parquet file/dir")
+    pr.add_argument("--ckpt", default=None, help="checkpoint root dir")
+    pr.add_argument("--run-id", default="run0")
+    pr.add_argument("--output", default=None, help="clusters parquet out dir")
+    pr.add_argument("--lang", default=None, help="optional lang filter pushdown")
+    pr.set_defaults(fn=cmd_run)
+
+    pp = sub.add_parser("report", help="print top duplicate clusters")
+    pp.add_argument("--clusters", required=True, help="clusters parquet dir")
+    pp.add_argument("--top", type=int, default=20)
+    pp.set_defaults(fn=cmd_report)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

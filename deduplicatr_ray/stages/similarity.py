@@ -1,0 +1,241 @@
+"""Similarity search over embedding columns (task-brief operators).
+
+* ``knn_brute``      — exact cosine top-k against a broadcast query matrix:
+  the baseline. Queries are ``ray.put`` once; each batch computes a
+  vectorized matmul and emits its LOCAL top-k per query; a small
+  groupby(query) merge produces the global top-k. Scales with the corpus
+  (one pass, no pairwise materialization); the query side must fit memory.
+* ``embedding_dup_pairs`` — exact cosine near-dup pairs (>= threshold) via
+  block-vs-broadcast; verification-size path (the whole matrix is shipped),
+  kept exact so it is SQL-oracle-checkable.
+* ``ann_lsh_pairs``  — the scale path: random-hyperplane LSH (sign sketch,
+  Charikar STOC'02) buckets vectors into 2^bits keys per table; only
+  within-bucket cosine is computed. Recall depends on (bits, tables);
+  defaults catch cos >= 0.9 pairs w.h.p. while never materializing O(n^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute(embeddings, query_ids: list[int], k: int = 5):
+    """Exact cosine top-k neighbors for each query id; returns a Dataset
+    (query_id, neighbor_id, rank) with rank 1..k, ties broken by id."""
+    import ray
+    import pyarrow.compute as pc
+
+    qset = pa.array(query_ids, pa.int64())
+    q_tbl = embeddings.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"], value_set=qset)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    q_tbl = q_tbl.sort_values("vec_id")
+    qm = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in q_tbl["embedding"]])
+    )
+    qids = q_tbl["vec_id"].to_numpy()
+    ref = ray.put((qids, qm))
+
+    class LocalTopK:
+        def __init__(self, ref, k: int) -> None:
+            self.qids, self.qm = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_emb_matrix(batch))
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sims = vm @ self.qm.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            kk = min(self.k + 1, len(vids))  # +1: query may be in the batch
+            for j, qid in enumerate(self.qids):
+                col = sims[:, j]
+                top = np.argpartition(-col, kk - 1)[:kk]
+                for i in top:
+                    if vids[i] != qid:
+                        out_q.append(qid)
+                        out_n.append(int(vids[i]))
+                        out_s.append(float(col[i]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    local = embeddings.map_batches(
+        LocalTopK,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")],
+        )
+        g = group.take(order[:k])
+        return pa.table(
+            {
+                "query_id": g["query_id"],
+                "neighbor_id": g["neighbor_id"],
+                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
+            }
+        )
+
+    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(embeddings, threshold: float = 0.95):
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos >= threshold).
+
+    Verification-size path: the normalized matrix is broadcast whole. Use
+    ``ann_lsh_pairs`` at scale.
+    """
+    import ray
+
+    full = embeddings.to_pandas().sort_values("vec_id")
+    m = _normalize(np.stack([np.asarray(v, np.float64) for v in full["embedding"]]))
+    ids = full["vec_id"].to_numpy()
+    ref = ray.put((ids, m))
+
+    class PairFinder:
+        def __init__(self, ref, threshold: float) -> None:
+            self.ids, self.m = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_emb_matrix(batch))
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sims = vm @ self.m.T
+            bi, gj = np.nonzero(sims >= self.threshold)
+            a = vids[bi]
+            b = self.ids[gj]
+            keep = a < b  # dedupe + drop self
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+    return embeddings.map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def ann_lsh_pairs(
+    embeddings,
+    threshold: float = 0.9,
+    *,
+    bits: int = 12,
+    tables: int = 8,
+    seed: int = 42,
+    group_cap: int = 1024,
+):
+    """Scale-path near-dup pairs: random-hyperplane LSH bucket groupby.
+
+    For cos(theta) >= threshold, P[same bucket in one table] =
+    (1 - theta/pi)^bits; with ``tables`` independent tables the miss prob is
+    (1 - p)^tables. Groups above ``group_cap`` are skipped (skew policy,
+    SURVEY.md §4.2). Exact cosine verifies within buckets.
+    """
+    import ray
+
+    class Bucketer:
+        def __init__(self, bits: int, tables: int, seed: int) -> None:
+            self.rng_planes: np.ndarray | None = None
+            self.bits, self.tables, self.seed = bits, tables, seed
+
+        def _planes(self, dim: int) -> np.ndarray:
+            if self.rng_planes is None:
+                rng = np.random.Generator(np.random.PCG64(self.seed))
+                self.rng_planes = rng.standard_normal((self.tables, self.bits, dim))
+            return self.rng_planes
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_emb_matrix(batch))
+            planes = self._planes(vm.shape[1])
+            n = len(vm)
+            ids_out, table_out, key_out = [], [], []
+            pows = (1 << np.arange(self.bits)).astype(np.int64)
+            for t in range(self.tables):
+                signs = (vm @ planes[t].T) > 0  # (n, bits)
+                keys = (signs * pows[None, :]).sum(axis=1)
+                ids_out.append(batch["vec_id"].to_numpy(zero_copy_only=False))
+                table_out.append(np.full(n, t, dtype=np.int32))
+                key_out.append(keys)
+            emb_rep = pa.chunked_array(
+                [batch["embedding"]] * self.tables
+            ).combine_chunks()
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.concatenate(ids_out), pa.int64()),
+                    "table_id": pa.array(np.concatenate(table_out), pa.int32()),
+                    "bucket": pa.array(np.concatenate(key_out), pa.int64()),
+                    "embedding": emb_rep,
+                }
+            )
+
+    buckets = embeddings.map_batches(
+        Bucketer,
+        fn_constructor_args=(bits, tables, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        m = len(group)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if m < 2 or m > group_cap:
+            return empty
+        vm = _normalize(_emb_matrix(group))
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        sims = vm @ vm.T
+        iu, ju = np.triu_indices(m, k=1)
+        keep = sims[iu, ju] >= threshold
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"id_a": pa.array(lo, pa.int64()), "id_b": pa.array(hi, pa.int64())}
+        )
+
+    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
+        emit, batch_format="pyarrow"
+    )
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
