@@ -21,15 +21,15 @@ _SAMPLED_K = 64  # chars taken from each end for the sampled-hash prefilter
 
 
 def _docs(sf_dir: str, columns: list[str] | None = None):
-    import ray.data as rd
+    from deduplicatr_ray.sources.pages import read_parquet_auto
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_auto(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _embeddings(sf_dir: str):
-    import ray.data as rd
+    from deduplicatr_ray.sources.pages import read_parquet_auto
 
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_auto(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -159,11 +159,12 @@ def q_token_counts(sf_dir: str):
 
 
 def q_events_by_type(sf_dir: str):
-    import ray.data as rd
     from ray.data.aggregate import Count, Min
 
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "event_id"])
+        read_parquet_auto(f"{sf_dir}/events.parquet", columns=["event_type", "event_id"])
         .groupby("event_type")
         .aggregate(Count(alias_name="n_events"), Min("event_id", alias_name="min_event_id"))
     )

@@ -1,0 +1,264 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.md scaling evidence).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": ..., "value": <flagship wall sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, "num_cpus": 32,
+     "docs_per_sec": ..., "rows": {...}}
+
+``--scaling`` mode: runs the identical flagship job twice in FRESH
+processes — ``ray.init(num_cpus=8)`` then ``ray.init(num_cpus=32)`` — on the
+same deterministic input (sf documents replicated ``--replicas`` times as
+pages), and reports throughput at both plus scaling efficiency
+``eff = (thru_4N / thru_N) / 4`` (BASELINE.json:14 N-vs-4N proxy per
+SURVEY.md §4.4). All Ray/log noise goes to stderr; stdout carries exactly
+one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline pipelines benched in default mode (subset of __ray_entry__.queries())
+BENCH_QUERIES = [
+    "dedup_clusters",        # flagship: extract -> signatures -> LSH -> clusters
+    "exact_dup_assign",      # A2/D1 exact dedup groupby
+    "minhash_near_dups",     # D3 MinHash+LSH verified pairs
+    "simhash_near_dups",     # D4
+    "suffix_dups",           # D5 winnowed fingerprint substring candidates
+    "doc_stats_by_lang",     # A5 grouped aggregate
+    "top_docs_by_chars",     # O1/O3 sort+limit
+    "token_counts",          # text analysis
+    "text_quality",          # lang-ID + quality scoring
+    "knn_brute",             # similarity search baseline
+    "ann_lsh_dups",          # similarity search scale path
+    "cluster_summary",       # A1/O1 cluster summary
+]
+
+FLAGSHIP = "dedup_clusters"
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def _consume(res) -> int:
+    """Fully execute a query result; return its row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=8192):
+            n += len(b)
+        return n
+    try:
+        return len(res)
+    except TypeError:
+        return 0
+
+
+def _silence_stdout() -> int:
+    """Send fd1 to stderr so Ray log noise can't pollute the JSON line;
+    return a dup of the real stdout to write the JSON to."""
+    real = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(1), "w")
+    return real
+
+
+def _emit(real_fd: int, payload: dict) -> None:
+    os.write(real_fd, (json.dumps(payload) + "\n").encode())
+
+
+def _init_ray(num_cpus: int) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+
+
+def scaled_pages(sf_dir: str, replicas: int):
+    """sf documents replicated ``replicas``x as a pages Dataset.
+
+    Deterministic (pure function of the parquet + replica index); urls get a
+    replica prefix, texts stay identical so replicas form known exact-dup
+    clusters. 256 input blocks so both parallelism levels see >= 4x
+    partitions per CPU (SURVEY.md §4.2 straggler guidance).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=256,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        doc_ids = batch["doc_id"].to_pylist()
+        parts = []
+        for r in range(replicas):
+            parts.append(
+                pa.table(
+                    {
+                        "url": pa.array(
+                            [f"doc://r{r}/{d}" for d in doc_ids], pa.string()
+                        ),
+                        "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                        "html": pa.nulls(n, pa.binary()),
+                        "text": batch["text"].cast(pa.string()),
+                        "lang": batch["lang"].cast(pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def run_single(sf_dir: str, num_cpus: int, replicas: int) -> dict:
+    """One fresh-process flagship run over the replicated corpus (scaling leg)."""
+    _init_ray(num_cpus)
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+
+    pages = scaled_pages(sf_dir, replicas)
+    t0 = time.perf_counter()
+    result = dedup_pipeline(
+        pages, sig_concurrency=(2, num_cpus), sig_batch_size=256
+    )
+    n_rows = _consume(result.clusters)
+    wall = time.perf_counter() - t0
+
+    import ray
+
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "docs": n_rows,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_rows / wall, 1),
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    """Default mode: time each headline query over the sf dir."""
+    _init_ray(num_cpus)
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    secs: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir))
+        secs[name] = round(time.perf_counter() - t0, 3)
+
+    import ray
+
+    ray.shutdown()
+    n_docs = rows.get(FLAGSHIP, 0)
+    fl = secs.get(FLAGSHIP, 0.0) or 1e-9
+    return {
+        "metric": "flagship_dedup_wall",
+        "value": secs.get(FLAGSHIP, 0.0),
+        "unit": "sec",
+        "queries": secs,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(n_docs / fl, 1),
+        "rows": rows,
+        "total_sec": round(sum(secs.values()), 3),
+    }
+
+
+def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int) -> dict:
+    """Two fresh subprocesses (N and 4N CPUs) on the same input."""
+    legs = {}
+    for cpus in (cpus_lo, cpus_hi):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--single-run",
+                "--cpus",
+                str(cpus),
+                "--sf-dir",
+                sf_dir,
+                "--replicas",
+                str(replicas),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            check=True,
+        )
+        legs[cpus] = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    lo, hi = legs[cpus_lo], legs[cpus_hi]
+    ratio = cpus_hi / cpus_lo
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"flagship_cpus{cpus_lo}": lo["wall_sec"],
+            f"flagship_cpus{cpus_hi}": hi["wall_sec"],
+        },
+        "sf": _sf_of(sf_dir),
+        "num_cpus": cpus_hi,
+        "docs": hi["docs"],
+        "replicas": replicas,
+        "throughput": {
+            f"cpus{cpus_lo}": lo["docs_per_sec"],
+            f"cpus{cpus_hi}": hi["docs_per_sec"],
+        },
+        "cpu_ratio": ratio,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cpus", default="8,32", help="lo,hi for --scaling")
+    ap.add_argument(
+        "--replicas", type=int, default=10, help="corpus amplification for scaling legs"
+    )
+    ap.add_argument("--single-run", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    real_fd = _silence_stdout()
+    if args.single_run:
+        _emit(real_fd, run_single(args.sf_dir, args.cpus, args.replicas))
+    elif args.scaling:
+        lo, hi = (int(x) for x in args.scaling_cpus.split(","))
+        _emit(real_fd, run_scaling(args.sf_dir, lo, hi, args.replicas))
+    else:
+        _emit(real_fd, run_bench(args.sf_dir, args.cpus))
+
+
+if __name__ == "__main__":
+    main()

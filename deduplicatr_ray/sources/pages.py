@@ -8,7 +8,43 @@ one row per page, with projection + predicate pushdown at the read.
 
 from __future__ import annotations
 
+import os
+
 import ray.data as rd
+
+_SMALL_INPUT_BYTES = 256 * 2**20   # below this, Ray's parallelism heuristic
+_TARGET_BLOCK_BYTES = 32 * 2**20   # over-splits and shuffle task overhead dominates
+
+
+def _auto_blocks(path: str) -> int | None:
+    """Size-aware read parallelism: Ray's default heuristic targets
+    ~2x CPUs blocks, which over-splits small files into dozens of tiny
+    blocks and makes every downstream all-to-all pay ~50-100ms of task
+    overhead per block. For small inputs, cap blocks at size/32MiB (>=4
+    so map stages still parallelize); for large inputs return None and
+    let Ray's streaming heuristics size blocks."""
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return None
+    if size >= _SMALL_INPUT_BYTES:
+        return None
+    return max(4, int(size // _TARGET_BLOCK_BYTES))
+
+
+def read_parquet_auto(path: str, **kwargs):
+    """``ray.data.read_parquet`` with size-aware block-count override."""
+    blocks = _auto_blocks(path)
+    if blocks is not None and "override_num_blocks" not in kwargs:
+        kwargs["override_num_blocks"] = blocks
+    return rd.read_parquet(path, **kwargs)
 
 
 def read_pages(path: str, *, lang: str | None = None, columns: list[str] | None = None):
@@ -24,7 +60,7 @@ def read_pages(path: str, *, lang: str | None = None, columns: list[str] | None 
         kwargs["columns"] = columns
     if lang is not None:
         kwargs["filter"] = pc.field("lang") == lang
-    return rd.read_parquet(path, **kwargs)
+    return read_parquet_auto(path, **kwargs)
 
 
 def docs_as_pages(sf_dir: str, *, columns_needed: bool = True):
@@ -32,7 +68,7 @@ def docs_as_pages(sf_dir: str, *, columns_needed: bool = True):
     (FIXTURES.md §5 mapping: url = doc://{doc_id}, warc_ts/html = NULL)."""
     import pyarrow as pa
 
-    ds = rd.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
 
