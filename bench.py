@@ -139,16 +139,35 @@ def scaled_pages(sf_dir: str, replicas: int):
     return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def prepare_corpus(sf_dir: str, replicas: int) -> str:
+    """Materialize the replicated corpus to Parquet ONCE (untimed) so both
+    scaling legs read literally the same files — and so read blocks carry
+    honest (post-expansion) sizes, letting Ray bundle tasks correctly."""
+    import shutil
+
+    path = f"/tmp/graft_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_r{replicas}"
+    marker = path + ".complete"
+    if os.path.exists(marker):
+        return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    scaled_pages(sf_dir, replicas).write_parquet(path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return path
+
+
 def run_single(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     """One fresh-process flagship run over the replicated corpus (scaling leg)."""
     _init_ray(num_cpus)
+    import ray.data as rd
+
     from deduplicatr_ray.pipelines.flagship import dedup_pipeline
 
-    pages = scaled_pages(sf_dir, replicas)
+    corpus = prepare_corpus(sf_dir, replicas)
+    pages = rd.read_parquet(corpus)
     t0 = time.perf_counter()
-    result = dedup_pipeline(
-        pages, sig_concurrency=(2, num_cpus), sig_batch_size=256
-    )
+    result = dedup_pipeline(pages, sig_batch_size=256)
     n_rows = _consume(result.clusters)
     wall = time.perf_counter() - t0
 

@@ -229,6 +229,16 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # Exact and sampled content hashes (M1/M2 — the reference's core ops).
 # ---------------------------------------------------------------------------
 
+def hash_columns_u64(table, cols: list[str], seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit row hash of ``cols`` (partitioning key for
+    hash-partitioned group stages). Uses polars' SIMD row hash — only needs
+    to be consistent within a run, not across versions."""
+    import polars as pl
+
+    df = pl.from_arrow(table.select(cols))
+    return df.hash_rows(seed=seed).to_numpy().astype(_U64, copy=False)
+
+
 def sha1_bytes(texts: Iterable[str]) -> list[bytes]:
     """20-byte SHA-1 of each utf-8 encoded text (M1; exact dedup key D1)."""
     return [hashlib.sha1(t.encode("utf-8")).digest() for t in texts]

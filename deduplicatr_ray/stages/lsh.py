@@ -48,6 +48,7 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
     sig8_col = batch["sig8"]
     simhash = batch["simhash"].to_numpy(zero_copy_only=False)
     n_shingles = batch["n_shingles"].to_numpy(zero_copy_only=False)
+    sha64 = _sha64_of(batch["text_sha1"], n)
 
     has_shingles = n_shingles > 0
     idx_mh = np.flatnonzero(has_shingles)
@@ -104,8 +105,19 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
             "url": batch["url"].take(take),
             "sig8": sig8_col.take(take),
             "simhash": pa.array(simhash[row_idx], pa.uint64()),
+            "sha64": pa.array(sha64[row_idx], pa.uint64()),
         }
     )
+
+
+def _sha64_of(sha1_col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """First 8 bytes of each fixed_size_binary(20) sha1 as uint64 (zero-copy
+    numpy view). Content-derived => deterministic across runs; prefix
+    collisions are 2^-64 per pair (negligible recall effect)."""
+    arr = sha1_col.combine_chunks() if isinstance(sha1_col, pa.ChunkedArray) else sha1_col
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * 20
+    return buf[start : start + n * 20].reshape(n, 20)[:, :8].copy().view(np.uint64).reshape(n)
 
 
 def _empty_band_table(cfg: DedupConfig) -> pa.Table:
@@ -118,6 +130,7 @@ def _empty_band_table(cfg: DedupConfig) -> pa.Table:
                 [], pa.list_(pa.uint8(), cfg.num_perm)
             ),
             "simhash": pa.array([], pa.uint64()),
+            "sha64": pa.array([], pa.uint64()),
         }
     )
 
@@ -142,77 +155,293 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-def emit_pairs_group(group: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Table:
-    """One (band_id, band_hash) group -> verified pairs (url_a < url_b).
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
-    In-block O(m^2) verification over the b-bit sketch / simhash; groups
-    above the cap are routed to the exact path (empty emission here).
+
+def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
+    pair = _TRIU_CACHE.get(m)
+    if pair is None:
+        pair = np.triu_indices(m, k=1)
+        _TRIU_CACHE[m] = pair
+    return pair
+
+
+def emit_pairs_block(
+    block: pa.Table, cfg: DedupConfig = CANONICAL, emit: str = "all"
+) -> pa.Table:
+    """Verified pairs from a block containing WHOLE (band_id, band_hash)
+    groups (hash-partitioned upstream). All groups in the block are processed
+    in one call: block-level Arrow sort + NumPy segment math instead of one
+    Python invocation per group (the per-group ``map_groups`` overhead is
+    what kills throughput at millions of tiny bands).
+
+    ``emit="all"``: every verified pair (reporting semantics, D3/D4).
+    ``emit="forest"``: a spanning forest of the verified-pair graph per
+    group — connectivity-equivalent for union-find, O(m) instead of O(m^2)
+    rows for hot bands.
+
+    **Representative collapse (D6 analog of the reference's nested-dup
+    pruning):** within a group, rows sharing ``sha64`` (= identical text)
+    are collapsed to their min-url representative BEFORE pairing — exact
+    duplicates are already connected by the exact-hash path, so pairing
+    them again in every one of the 32 bands only floods the shuffle. The
+    ``cfg.band_group_cap`` therefore applies to DISTINCT-content members;
+    a band hot purely from mirrored pages no longer trips it.
     """
-    m = len(group)
-    if m < 2 or m > cfg.band_group_cap:
+    import pyarrow.compute as pc
+
+    n = len(block)
+    if n < 2:
         return _EMPTY_PAIRS
-    # deterministic order => url_a < url_b without re-sorting pairs
-    order = pa.compute.sort_indices(group["url"])
-    group = group.take(order)
-    urls = group["url"].to_pylist()
-    band_id = group["band_id"][0].as_py()
-    is_minhash_band = band_id < cfg.bands
+    order = pc.sort_indices(
+        block,
+        sort_keys=[
+            ("band_id", "ascending"),
+            ("band_hash", "ascending"),
+            ("url", "ascending"),
+        ],
+    )
+    block = block.take(order)
+    bid = block["band_id"].to_numpy(zero_copy_only=False)
+    bh = block["band_hash"].to_numpy(zero_copy_only=False)
+    boundary = np.flatnonzero((bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])) + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [n]])
+    lens = ends - starts
+    multi = np.flatnonzero(lens >= 2)
+    if len(multi) == 0:
+        return _EMPTY_PAIRS
 
     sig8 = (
-        group["sig8"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    ).reshape(m, cfg.num_perm)
-    iu, ju = np.triu_indices(m, k=1)
-
-    # bias-corrected b-bit Jaccard estimate (collision prob = J + (1-J)/2^b)
-    eq = (sig8[iu] == sig8[ju]).mean(axis=1)
-    c = 1.0 / (1 << cfg.bbit_bits)
-    est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
-
-    if is_minhash_band:
-        keep = est >= (cfg.jaccard_threshold - cfg.verify_margin)
-        method = "minhash"
+        block["sig8"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(n, cfg.num_perm)
+    simhash = block["simhash"].to_numpy(zero_copy_only=False)
+    if "sha64" in block.column_names:
+        sha64 = block["sha64"].to_numpy(zero_copy_only=False)
     else:
-        simhash = group["simhash"].to_numpy(zero_copy_only=False)
-        x = np.bitwise_xor(simhash[iu], simhash[ju])
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        keep = ham <= cfg.hamming_threshold
-        method = "simhash"
+        sha64 = np.arange(n, dtype=np.uint64)  # unit-test seam: all distinct
+    c = 1.0 / (1 << cfg.bbit_bits)
+    tau = cfg.jaccard_threshold - cfg.verify_margin
 
-    if not keep.any():
+    ia_out: list[np.ndarray] = []
+    ib_out: list[np.ndarray] = []
+    est_out: list[np.ndarray] = []
+    method_out: list[str] = []
+    mcount_out: list[int] = []
+
+    for g in multi:
+        s, e = int(starts[g]), int(ends[g])
+        # collapse identical texts to their min-url representative (rows are
+        # url-sorted, so np.unique's first-occurrence index IS the min url)
+        _, first_idx = np.unique(sha64[s:e], return_index=True)
+        reps = np.sort(first_idx) + s
+        m = len(reps)
+        if m < 2 or m > cfg.band_group_cap:
+            continue
+        iu0, ju0 = _triu(m)
+        iu, ju = reps[iu0] - s, reps[ju0] - s
+        # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
+        eq = (sig8[s:e][iu] == sig8[s:e][ju]).mean(axis=1)
+        est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
+        if bid[s] < cfg.bands:
+            keep = est >= tau
+            method = "minhash"
+        else:
+            x = np.bitwise_xor(simhash[s + iu], simhash[s + ju])
+            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            keep = ham <= cfg.hamming_threshold
+            method = "simhash"
+        if not keep.any():
+            continue
+        ki, kj = iu[keep], ju[keep]
+        kest = est[keep]
+        if emit == "forest" and len(ki) > 1:
+            # spanning forest of the kept graph: deterministic because rows
+            # are url-sorted and (iu, ju) enumerate in fixed order
+            parent = list(range(e - s))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            sel = []
+            for t, (i, j) in enumerate(zip(ki.tolist(), kj.tolist())):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+                    sel.append(t)
+            sel = np.asarray(sel, dtype=np.int64)
+            ki, kj, kest = ki[sel], kj[sel], kest[sel]
+        ia_out.append(s + ki)
+        ib_out.append(s + kj)
+        est_out.append(kest)
+        method_out.append(method)
+        mcount_out.append(len(ki))
+
+    if not ia_out:
         return _EMPTY_PAIRS
-    ki, kj = iu[keep], ju[keep]
+    ia = pa.array(np.concatenate(ia_out), pa.int64())
+    ib = pa.array(np.concatenate(ib_out), pa.int64())
+    urls = block["url"]
+    methods = np.repeat(np.asarray(method_out, dtype=object), mcount_out)
     return pa.table(
         {
-            "url_a": pa.array([urls[i] for i in ki], pa.string()),
-            "url_b": pa.array([urls[j] for j in kj], pa.string()),
-            "jaccard_est": pa.array(est[keep].astype(np.float32), pa.float32()),
-            "method": pa.array([method] * len(ki), pa.string()),
+            "url_a": urls.take(ia),
+            "url_b": urls.take(ib),
+            "jaccard_est": pa.array(
+                np.concatenate(est_out).astype(np.float32), pa.float32()
+            ),
+            "method": pa.array(methods, pa.string()),
         }
     )
 
 
-def candidate_pairs_stage(band_keys, cfg: DedupConfig = CANONICAL):
-    """BAND_KEYS -> verified candidate PAIRS (SHUFFLE #1: groupby band key)."""
-    return band_keys.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: emit_pairs_group(g, cfg), batch_format="pyarrow"
+def emit_pairs_group(group: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Table:
+    """One (band_id, band_hash) group -> all verified pairs (url_a < url_b).
+
+    Thin single-group wrapper over ``emit_pairs_block`` (unit-test seam)."""
+    return emit_pairs_block(group, cfg, emit="all")
+
+
+def candidate_pairs_stage(
+    band_keys,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    emit: str = "all",
+    num_partitions: int | None = None,
+):
+    """BAND_KEYS -> verified candidate PAIRS (SHUFFLE #1).
+
+    Hash-partitions band rows by a mix of (band_id, band_hash) into
+    ``num_partitions`` coarse groups, then runs the vectorized
+    ``emit_pairs_block`` once per partition — one shuffle, P Python calls
+    total (instead of one per band group). Each partition must fit in a
+    worker's heap: size ``num_partitions`` ~ total_band_bytes / 32 MiB on
+    real data (default: 2 x cluster CPUs, floor 16).
+    """
+    import pyarrow.compute as pc
+
+    P = num_partitions or default_num_partitions()
+    pu64 = np.uint64(P)
+
+    def combine_and_part(b: pa.Table) -> pa.Table:
+        # local combiner: collapse same-content rows of the same band group
+        # to their min-url row BEFORE the shuffle (min-of-mins composes with
+        # the in-group representative collapse, so output is invariant to
+        # how rows landed in batches). Mirrored/replicated pages stop
+        # inflating the all-to-all.
+        n = len(b)
+        if n > 1 and "sha64" in b.column_names:
+            idx = pc.sort_indices(
+                b,
+                sort_keys=[
+                    ("band_id", "ascending"),
+                    ("band_hash", "ascending"),
+                    ("sha64", "ascending"),
+                    ("url", "ascending"),
+                ],
+            )
+            b = b.take(idx)
+            bi_ = b["band_id"].to_numpy(zero_copy_only=False)
+            bh_ = b["band_hash"].to_numpy(zero_copy_only=False)
+            sh_ = b["sha64"].to_numpy(zero_copy_only=False)
+            same = (
+                (bi_[1:] == bi_[:-1]) & (bh_[1:] == bh_[:-1]) & (sh_[1:] == sh_[:-1])
+            )
+            if same.any():
+                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+                b = b.take(pa.array(starts, pa.int64()))
+        bh = b["band_hash"].to_numpy(zero_copy_only=False)
+        bi = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(bh ^ (bi * _POLY)) % pu64).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def emit_fn(g: pa.Table, _mode=emit) -> pa.Table:
+        return emit_pairs_block(g.drop_columns(["part"]), cfg, emit=_mode)
+
+    return (
+        band_keys.map_batches(
+            combine_and_part,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # whole blocks: combiner works best on big batches
+        )
+        .groupby("part")
+        .map_groups(emit_fn, batch_format="pyarrow")
     )
 
 
-def distinct_pairs_stage(pairs):
+def default_num_partitions(floor: int = 16, per_cpu: int = 2) -> int:
+    """Partition count for hash-partitioned group stages: scales with the
+    cluster (2x CPUs) so partitions stay ~4x ahead of workers; callers
+    override upward when partition bytes would exceed worker heap."""
+    import ray
+
+    cpus = 8.0
+    if ray.is_initialized():
+        cpus = ray.cluster_resources().get("CPU", 8.0)
+    return max(floor, int(cpus) * per_cpu)
+
+
+_METHOD_RANK = pa.array(["exact", "minhash", "simhash", "suffix"], pa.string())
+
+
+def distinct_pairs_block(g: pa.Table) -> pa.Table:
+    """Block-local distinct on (url_a, url_b), strongest method wins
+    (rank exact > minhash > simhash > suffix; D6 pair canonicalization)."""
+    import pyarrow.compute as pc
+
+    n = len(g)
+    if n == 0:
+        return g
+    rank = pc.fill_null(pc.index_in(g["method"], value_set=_METHOD_RANK), 9)
+    g = g.append_column("rank", pc.cast(rank, pa.int32()))
+    order = pc.sort_indices(
+        g,
+        sort_keys=[
+            ("url_a", "ascending"),
+            ("url_b", "ascending"),
+            ("rank", "ascending"),
+        ],
+    )
+    g = g.take(order)
+    if n > 1:
+        ua, ub = g["url_a"].combine_chunks(), g["url_b"].combine_chunks()
+        same = pc.and_(
+            pc.equal(ua.slice(1), ua.slice(0, n - 1)),
+            pc.equal(ub.slice(1), ub.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+    else:
+        starts = np.array([0])
+    return g.take(pa.array(starts, pa.int64())).drop_columns(["rank"])
+
+
+def distinct_pairs_stage(pairs, *, num_partitions: int | None = None):
     """Dedup pairs discovered in multiple bands (A4; SHUFFLE #2).
 
-    Keeps one row per (url_a, url_b); methods rank exact > minhash > simhash
-    so the strongest evidence survives (pair canonicalization, D6 analog).
+    Same hash-partition + vectorized-block pattern as
+    ``candidate_pairs_stage`` — partitioned on hash(url_a, url_b), one
+    ``distinct_pairs_block`` call per partition.
     """
-    rank = {"exact": 0, "minhash": 1, "simhash": 2, "suffix": 3}
+    P = num_partitions or default_num_partitions()
 
-    def first_by_rank(g: pa.Table) -> pa.Table:
-        if len(g) == 1:
-            return g
-        methods = g["method"].to_pylist()
-        best = min(range(len(methods)), key=lambda i: rank.get(methods[i], 9))
-        return g.slice(best, 1)
+    def with_part(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash_columns_u64
 
-    return pairs.groupby(["url_a", "url_b"]).map_groups(
-        first_by_rank, batch_format="pyarrow"
+        part = (hash_columns_u64(b, ["url_a", "url_b"]) % np.uint64(P)).astype(
+            np.int32
+        )
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def block(g: pa.Table) -> pa.Table:
+        return distinct_pairs_block(g.drop_columns(["part"]))
+
+    return (
+        pairs.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
     )

@@ -69,6 +69,52 @@ def components_from_pairs(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
     return {x: min_of_root[uf.find(x)] for x in uf.parent}
 
 
+def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
+    """Connectivity-preserving distributed edge reduction.
+
+    Hash-partition edges arbitrarily (by url_a), keep a spanning forest of
+    each partition's edge set: the union of per-partition forests has the
+    same connected components as the full edge list (any cycle within a
+    partition is redundant there, and cross-partition cycles survive via
+    their per-partition trees). Output <= (#distinct urls per partition - 1)
+    rows per partition, so the driver union-find streams ~O(V) edges instead
+    of O(E) — the classic edge-sample trick from distributed MST/CC.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_columns_u64
+    from ..stages.lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def with_part(b: pa.Table) -> pa.Table:
+        part = (hash_columns_u64(b, ["url_a"]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def forest_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        ua = g["url_a"].to_pylist()
+        ub = g["url_b"].to_pylist()
+        uf = UnionFind()
+        keep: list[int] = []
+        find, parent = uf.find, uf.parent
+        for i, (a, b) in enumerate(zip(ua, ub)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                uf.union(ra, rb)
+                keep.append(i)
+        if len(keep) == len(g):
+            return g
+        return g.take(pa.array(keep, pa.int64()))
+
+    return (
+        pairs.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(forest_block, batch_format="pyarrow")
+    )
+
+
 def distributed_components(pairs_ds, max_rounds: int = 50):
     """Hash-to-min over a PAIRS Dataset -> Dataset (url, cluster_id).
 
