@@ -40,9 +40,22 @@ __all__ = [
 @dataclass
 class DedupResult:
     clusters: Any          # Dataset (CLUSTERS schema)
-    pairs: Any             # Dataset (PAIRS schema, distinct)
-    mapping: dict[str, str]
+    pairs: Any             # Dataset (PAIRS schema, distinct; lazy)
     stats: dict[str, Any] = field(default_factory=dict)
+    _mapping: dict[str, str] | None = None
+
+    @property
+    def mapping(self) -> dict[str, str]:
+        """url -> cluster_id for every clustered url (derived on demand from
+        the clusters Dataset; test/report seam, not a pipeline stage)."""
+        if self._mapping is None:
+            tbl = (
+                self.clusters.filter(expr="cluster_size > 1")
+                .select_columns(["url", "cluster_id"])
+                .to_pandas()
+            )
+            self._mapping = dict(zip(tbl["url"], tbl["cluster_id"]))
+        return self._mapping
 
 
 def default_sig_concurrency() -> tuple[int, int]:
@@ -93,8 +106,6 @@ def dedup_pipeline(
     run_id: str = "run0",
 ) -> DedupResult:
     """Full flagship pipeline; returns clusters + distinct pairs + mapping."""
-    from ..state.unionfind import components_from_pairs
-
     sigs = signatures_from_pages(
         pages, cfg, sig_concurrency=sig_concurrency, sig_batch_size=sig_batch_size
     )
@@ -113,14 +124,18 @@ def dedup_pipeline(
     # streams ~O(docs-in-clusters) edges, not O(all verified pairs). The A4
     # distinct pass stays OFF the critical path (union-find is idempotent
     # over duplicate edges); the reporting `pairs` artifact is lazy.
-    from ..state.unionfind import forest_reduce_stage
+    from ..state.unionfind import components_hashes, forest_reduce_stage
+    from ..stages.cluster import assign_clusters_distributed
 
     bands = band_stage(sigs, cfg)
-    forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest").union(
-        exact_pairs_stage(sigs)
-    )
-    edge_src = forest_reduce_stage(forest_pairs)
-    pairs = distinct_pairs_stage(forest_pairs)  # lazy unless read/checkpointed
+    near_forest = candidate_pairs_stage(bands, cfg, emit="forest")
+    exact = exact_pairs_stage(sigs)
+    # Only the near stream needs the connectivity-preserving reduction —
+    # its per-band forests repeat across the 32 bands (up to 32x members);
+    # exact star pairs are minimal by construction (m-1 edges per group),
+    # so they bypass it and all three shuffles overlap in one plan.
+    edge_src = forest_reduce_stage(near_forest).union(exact)
+    pairs = distinct_pairs_stage(near_forest.union(exact))  # lazy reporting artifact
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -128,15 +143,10 @@ def dedup_pipeline(
             pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
         )
 
-    # stream pairs into the driver union-find (pairs << docs)
-    edge_iter = (
-        (a, b)
-        for batch in edge_src.iter_batches(batch_size=65536, batch_format="pyarrow")
-        for a, b in zip(batch["url_a"].to_pylist(), batch["url_b"].to_pylist())
-    )
-    mapping = components_from_pairs(edge_iter)
-
-    clusters = assign_clusters_stage(sigs, mapping)
+    # numpy-only driver components over hashed forest edges (A6) +
+    # two-pass distributed cluster assignment (J1)
+    keys, root_h = components_hashes(edge_src)
+    clusters, n_clusters = assign_clusters_distributed(sigs, keys, root_h)
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -144,13 +154,12 @@ def dedup_pipeline(
             clusters, checkpoint_dir, stage="clusters", run_id=run_id, cfg=cfg
         )
 
-    n_clustered = len(mapping)
     stats = {
-        "docs_in_clusters": n_clustered,
-        "n_clusters": len(set(mapping.values())),
+        "docs_in_clusters": int(len(keys)),
+        "n_clusters": n_clusters,
         "config_hash": cfg.config_hash(),
     }
-    return DedupResult(clusters=clusters, pairs=pairs, mapping=mapping, stats=stats)
+    return DedupResult(clusters=clusters, pairs=pairs, stats=stats)
 
 
 def cluster_summary(clusters):

@@ -46,12 +46,200 @@ class ClusterAssigner:
 def assign_clusters_stage(
     url_ds, mapping: dict[str, str], *, concurrency: int | tuple[int, int] = (2, 8)
 ):
-    """Dataset with a ``url`` column + mapping -> CLUSTERS Dataset."""
+    """Dataset with a ``url`` column + mapping dict -> CLUSTERS Dataset."""
     import ray
 
     ref = ray.put(mapping)
     return url_ds.select_columns(["url"]).map_batches(
         ClusterAssigner,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=8192,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class ArrayClusterAssigner:
+    """Vectorized broadcast-join assigner over ClusterMaps arrays.
+
+    The broadcast payload is three numpy arrays + the (small) canonical-url
+    list — ~26 MB at 1.6M clustered docs vs ~200 MB for the url->url dict,
+    and the per-batch lookup is searchsorted + fancy indexing instead of a
+    Python dict probe per row.
+    """
+
+    def __init__(self, maps_ref) -> None:
+        import numpy as np
+        import ray
+
+        keys, root_idx, root_urls, root_sizes = ray.get(maps_ref)
+        self.keys = keys
+        self.root_idx = root_idx
+        self.root_urls = np.asarray(root_urls, dtype=object)
+        self.root_sizes = root_sizes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..functions.hashing import hash_columns_u64
+
+        n = len(batch)
+        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+        h = hash_columns_u64(batch, ["url"])
+        if len(self.keys):
+            pos = np.searchsorted(self.keys, h)
+            pos_c = np.minimum(pos, len(self.keys) - 1)
+            matched = self.keys[pos_c] == h
+        else:
+            pos_c = np.zeros(n, dtype=np.int64)
+            matched = np.zeros(n, dtype=bool)
+        cids = urls.copy()
+        sizes = np.ones(n, dtype=np.int64)
+        if matched.any():
+            ri = self.root_idx[pos_c[matched]]
+            cids[matched] = self.root_urls[ri]
+            sizes[matched] = self.root_sizes[ri]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "cluster_id": pa.array(cids, pa.string()),
+                "cluster_size": pa.array(sizes, pa.int64()),
+                "is_canonical": pa.array(urls == cids, pa.bool_()),
+            }
+        )
+
+
+def _label_fn(batch: pa.Table, *, maps_ref) -> pa.Table:
+    """Pass 1: url -> component label (uint64 root hash), vectorized.
+
+    Plain TASK function (no actor pool): ``ray.get`` of the broadcast numpy
+    arrays is zero-copy from the local plasma store per batch, and tasks
+    avoid the pool-spawn latency that dominated this short stage."""
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash_columns_u64
+
+    keys, root_h = ray.get(maps_ref)
+    n = len(batch)
+    h = hash_columns_u64(batch, ["url"])
+    if len(keys):
+        pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
+        matched = keys[pos] == h
+        root = np.where(matched, root_h[pos], h)
+    else:
+        matched = np.zeros(n, dtype=bool)
+        root = h
+    return pa.table(
+        {
+            "url": batch["url"],
+            "root_h": pa.array(root, pa.uint64()),
+            "in_cluster": pa.array(matched, pa.bool_()),
+        }
+    )
+
+
+def _finalize_fn(batch: pa.Table, *, roots_ref) -> pa.Table:
+    """Pass 2: labeled rows + (small) root table -> CLUSTERS rows."""
+    import numpy as np
+    import ray
+
+    roots, root_urls, root_sizes = ray.get(roots_ref)
+    root_urls = np.asarray(root_urls, dtype=object)
+    n = len(batch)
+    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+    root = batch["root_h"].to_numpy(zero_copy_only=False)
+    matched = batch["in_cluster"].to_numpy(zero_copy_only=False)
+    cids = urls.copy()
+    sizes = np.ones(n, dtype=np.int64)
+    if matched.any() and len(roots):
+        pos = np.minimum(np.searchsorted(roots, root[matched]), len(roots) - 1)
+        ok = roots[pos] == root[matched]
+        mi = np.flatnonzero(matched)[ok]
+        cids[mi] = root_urls[pos[ok]]
+        sizes[mi] = root_sizes[pos[ok]]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "cluster_id": pa.array(cids, pa.string()),
+            "cluster_size": pa.array(sizes, pa.int64()),
+            "is_canonical": pa.array(urls == cids, pa.bool_()),
+        }
+    )
+
+
+def assign_clusters_distributed(url_ds, keys, root_h):
+    """(url Dataset, component hash maps) -> (CLUSTERS Dataset, n_clusters).
+
+    Two vectorized broadcast passes (J1), with the canonical-url/size
+    reduction done DISTRIBUTEDLY on int keys:
+
+    1. label: broadcast (keys, root_h) (~16 B/member), searchsorted lookup;
+    2. a small ``groupby(root_h).aggregate(Min(url), Count())`` over
+       clustered rows only -> root table (one row per CLUSTER);
+    3. finalize: broadcast the root table, attach cluster_id/size.
+
+    The root-table broadcast assumes n_clusters fits the driver (true by
+    orders of magnitude here); at extreme cluster counts swap step 3 for a
+    hash join on root_h — same plan shape.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    ref1 = ray.put((keys, root_h))
+    labeled = url_ds.select_columns(["url"]).map_batches(
+        _label_fn,
+        fn_kwargs={"maps_ref": ref1},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,
+    )
+    if len(keys) == 0:
+        ref2 = ray.put((np.empty(0, np.uint64), [], np.empty(0, np.int64)))
+        n_clusters = 0
+    else:
+        labeled = labeled.materialize()
+        roots_tbl = (
+            labeled.filter(expr="in_cluster")
+            .groupby("root_h")
+            .aggregate(Min("url", alias_name="cluster_id"), Count(alias_name="size"))
+            .to_pandas()
+        )
+        roots_tbl = roots_tbl.sort_values("root_h")
+        ref2 = ray.put(
+            (
+                roots_tbl["root_h"].to_numpy(np.uint64),
+                roots_tbl["cluster_id"].tolist(),
+                roots_tbl["size"].to_numpy(np.int64),
+            )
+        )
+        n_clusters = len(roots_tbl)
+
+    clusters = labeled.map_batches(
+        _finalize_fn,
+        fn_kwargs={"roots_ref": ref2},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,
+    )
+    return clusters, n_clusters
+
+
+def assign_clusters_arrays_stage(
+    url_ds, maps, *, concurrency: int | tuple[int, int] | None = None
+):
+    """Dataset with a ``url`` column + ClusterMaps -> CLUSTERS Dataset."""
+    import ray
+
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(2, cpus // 2), cpus)
+    ref = ray.put((maps.keys, maps.root_idx, maps.root_urls, maps.root_sizes))
+    return url_ds.select_columns(["url"]).map_batches(
+        ArrayClusterAssigner,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,

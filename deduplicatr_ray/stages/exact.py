@@ -79,7 +79,6 @@ def exact_pairs_stage(signatures, *, num_partitions: int | None = None):
     P = num_partitions or default_num_partitions()
 
     def with_part(b: pa.Table) -> pa.Table:
-        b = b.select(["url", "text_sha1"])
         part = (hash_columns_u64(b, ["text_sha1"]) % np.uint64(P)).astype(np.int32)
         return b.append_column("part", pa.array(part, pa.int32()))
 
@@ -87,7 +86,8 @@ def exact_pairs_stage(signatures, *, num_partitions: int | None = None):
         return exact_pairs_block(g.drop_columns(["part"]))
 
     return (
-        signatures.map_batches(with_part, batch_format="pyarrow")
+        signatures.select_columns(["url", "text_sha1"])  # prune BEFORE the shuffle
+        .map_batches(with_part, batch_format="pyarrow")
         .groupby("part")
         .map_groups(block, batch_format="pyarrow")
     )

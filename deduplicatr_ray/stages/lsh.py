@@ -135,10 +135,32 @@ def _empty_band_table(cfg: DedupConfig) -> pa.Table:
     )
 
 
+def _local_sha_dedup(batch: pa.Table) -> pa.Table:
+    """Collapse same-content signature rows within a block to their min-url
+    representative BEFORE the 33x band explosion (min-of-mins composes with
+    the later collapses, so global output is placement-invariant). Exact
+    duplicates stay connected via the exact-hash path."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    if n < 2:
+        return batch
+    order = pc.sort_indices(
+        batch, sort_keys=[("text_sha1", "ascending"), ("url", "ascending")]
+    )
+    batch = batch.take(order)
+    sha = batch["text_sha1"].combine_chunks()
+    same = pc.equal(sha.slice(1), sha.slice(0, n - 1)).to_numpy(zero_copy_only=False)
+    if not same.any():
+        return batch
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+    return batch.take(pa.array(starts, pa.int64()))
+
+
 def band_stage(signatures, cfg: DedupConfig = CANONICAL, *, batch_size: int = 2048):
     """SIGNATURES Dataset -> BAND_KEYS Dataset (stateless tasks)."""
     return signatures.map_batches(
-        lambda b: band_explode_batch(b, cfg),
+        lambda b: band_explode_batch(_local_sha_dedup(b), cfg),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -17,18 +17,12 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import CANONICAL, DedupConfig
-from ..functions.hashing import (
-    TokenHasher,
-    make_permutations,
-    minhash_segments,
-    shingle_hashes,
-    simhash_segments,
-)
+from ..functions.hashing import TokenHasher, make_permutations, minhash_segments
 from ..functions.textnorm import tokenize
 
-# Sentinel minhash value for docs with no shingles (M10): maximum uint64,
-# never produced by the (mod p) permutation family, so short docs can never
-# collide in an LSH band (they are handled by the exact-hash path only).
+# Sentinel minhash value for docs with no shingles (M10). Banding excludes
+# docs with n_shingles == 0 explicitly, so the sentinel is cosmetic — short
+# docs are handled by the exact-hash path only.
 EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
@@ -41,46 +35,70 @@ class SignatureActor:
         self.perm_a, self.perm_b = make_permutations(cfg.num_perm, cfg.perm_seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Whole-batch vectorized body: ONE token-hash pass over the flat
+        token stream, batch-level sliding-window shingling with boundary
+        masking, and reduceat-based SimHash — no per-doc NumPy calls.
+
+        MinHash is taken over the MULTISET of w-gram hashes (min over a
+        multiset equals min over its set, so signatures are identical to
+        set semantics); ``n_shingles`` is therefore the w-gram WINDOW count
+        (0 iff the doc has < w tokens, the M10 short-doc gate).
+        """
         cfg = self.cfg
+        w = cfg.shingle_w
         texts = batch["text"].to_pylist()
         n = len(texts)
 
-        shingle_segs: list[np.ndarray] = []
-        tok_hash_parts: list[np.ndarray] = []
-        tf_parts: list[np.ndarray] = []
-        doc_idx_parts: list[np.ndarray] = []
-        n_shingles = np.zeros(n, dtype=np.int64)
+        toks_per_doc = [tokenize(t) for t in texts]
+        n_tokens = np.fromiter(
+            (len(t) for t in toks_per_doc), dtype=np.int64, count=n
+        )
+        flat_tokens: list[str] = [t for doc in toks_per_doc for t in doc]
+        th_flat = self.hasher.hash_tokens(flat_tokens)
+        tok_bounds = np.concatenate([[0], np.cumsum(n_tokens)])
+        nt = len(th_flat)
 
-        for i, text in enumerate(texts):
-            toks = tokenize(text)
-            th = self.hasher.hash_tokens(toks)
-            sh = shingle_hashes(th, cfg.shingle_w)
-            n_shingles[i] = len(sh)
-            shingle_segs.append(sh)
-            if len(th):
-                uniq, counts = np.unique(th, return_counts=True)
-                tok_hash_parts.append(uniq)
-                tf_parts.append(counts.astype(np.float64))
-                doc_idx_parts.append(np.full(len(uniq), i, dtype=np.int64))
-
-        # MinHash over the non-empty docs only, then scatter back.
-        nonempty = np.flatnonzero(n_shingles > 0)
+        # --- shingles: one poly-combine over the flat stream; windows that
+        # cross doc boundaries are masked out via a +1/-1 range delta.
+        n_shingles = np.maximum(n_tokens - w + 1, 0)
         minhash = np.full((n, cfg.num_perm), EMPTY_SENTINEL, dtype=np.uint64)
-        if len(nonempty):
-            concat = np.concatenate([shingle_segs[i] for i in nonempty])
-            lens = np.array([n_shingles[i] for i in nonempty])
-            starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        nonempty = np.flatnonzero(n_shingles > 0)
+        if nt >= w and len(nonempty):
+            from ..functions.hashing import _POLY_M, splitmix64
+
+            with np.errstate(over="ignore"):
+                acc = np.zeros(nt - w + 1, dtype=np.uint64)
+                for j in range(w):
+                    acc = acc * _POLY_M + th_flat[j : nt - w + 1 + j]
+            sh_all = splitmix64(acc)
+            delta = np.zeros(nt - w + 2, dtype=np.int64)
+            vs = tok_bounds[:-1][nonempty]
+            delta[vs] += 1
+            delta[vs + n_shingles[nonempty]] -= 1
+            valid = np.cumsum(delta[:-1]) > 0
+            sh_flat = sh_all[valid]
+            starts = np.concatenate(
+                [[0], np.cumsum(n_shingles[nonempty])[:-1]]
+            ).astype(np.int64)
             minhash[nonempty] = minhash_segments(
-                concat, starts, self.perm_a, self.perm_b
+                sh_flat, starts, self.perm_a, self.perm_b
             )
 
+        # --- SimHash: tf-weighted sign-of-sum == sum over token OCCURRENCES,
+        # so no per-doc unique: unpack bits of every token hash and reduceat.
         simhash = np.zeros(n, dtype=np.uint64)
-        if tok_hash_parts:
-            simhash = simhash_segments(
-                np.concatenate(tok_hash_parts),
-                np.concatenate(tf_parts),
-                np.concatenate(doc_idx_parts),
-                n,
+        has_tokens = np.flatnonzero(n_tokens > 0)
+        if len(has_tokens):
+            bits = np.unpackbits(
+                th_flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )
+            sums = np.add.reduceat(
+                bits, tok_bounds[:-1][has_tokens], axis=0, dtype=np.int64
+            )
+            majority = (2 * sums) > n_tokens[has_tokens][:, None]
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+            simhash[has_tokens] = (majority.astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
             )
 
         sig8 = (minhash & np.uint64(0xFF)).astype(np.uint8)

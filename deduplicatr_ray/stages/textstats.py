@@ -104,44 +104,125 @@ def fingerprint_stage(docs, *, w: int = 25, guarantee_len: int = 50):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def suffix_candidate_pairs(docs, *, w: int = 25, guarantee_len: int = 50, group_cap: int = 256):
-    """Exact-substring candidate pairs via fingerprint groupby (method='suffix').
+_EMPTY_SUFFIX_PAIRS = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "method": pa.array([], pa.string()),
+    }
+)
 
-    Same skew policy as LSH banding: fingerprint groups above ``group_cap``
-    (boilerplate n-grams) are dropped — they would emit O(m^2) pairs for
-    content the exact/minhash paths already cluster.
+
+def suffix_pairs_block(block: pa.Table, group_cap: int = 256) -> pa.Table:
+    """WHOLE fingerprint groups -> distinct doc pairs (vectorized block fn).
+
+    Groups above ``group_cap`` distinct docs (boilerplate n-grams) are
+    dropped — same skew policy as LSH banding: they would emit O(m^2) pairs
+    for content the exact/minhash paths already cluster.
     """
+    import pyarrow.compute as pc
+
+    n = len(block)
+    if n < 2:
+        return _EMPTY_SUFFIX_PAIRS
+    order = pc.sort_indices(
+        block, sort_keys=[("fingerprint", "ascending"), ("doc_id", "ascending")]
+    )
+    block = block.take(order)
+    fp = block["fingerprint"].to_numpy(zero_copy_only=False)
+    did = block["doc_id"].to_numpy(zero_copy_only=False)
+    boundary = np.flatnonzero(fp[1:] != fp[:-1]) + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [n]])
+    out: set[tuple[int, int]] = set()
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        ids = np.unique(did[s:e])
+        m = len(ids)
+        if m < 2 or m > group_cap:
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        out.update(zip(ids[iu].tolist(), ids[ju].tolist()))
+    if not out:
+        return _EMPTY_SUFFIX_PAIRS
+    arr = np.array(sorted(out), dtype=np.int64)
+    return pa.table(
+        {
+            "id_a": pa.array(arr[:, 0], pa.int64()),
+            "id_b": pa.array(arr[:, 1], pa.int64()),
+            "method": pa.array(["suffix"] * len(arr), pa.string()),
+        }
+    )
+
+
+def suffix_candidate_pairs(docs, *, w: int = 25, guarantee_len: int = 50, group_cap: int = 256):
+    """Exact-substring candidate pairs (D5, method='suffix').
+
+    The north-star's "optional suffix-array pass" detects docs sharing a
+    substring of >= L chars. For a FIXED L, two suffixes have LCP >= L iff
+    their first-L-char grams are equal — so sorting/bucketing all L-grams is
+    exactly equivalent to scanning suffix-array LCP runs at threshold L,
+    while being linear-work, streaming, and shuffle-friendly. Winnowing
+    (Schleimer et al., SIGMOD 2003) samples the L-gram stream with the
+    guarantee that any shared run of >= ``guarantee_len`` chars still shares
+    a sampled fingerprint, cutting shuffle volume ~1/w with NO false
+    negatives at the guarantee length. Pairing then follows the engine's
+    standard pattern: hash-partition whole fingerprint groups, vectorized
+    block pairing, distinct.
+    """
+    import numpy as _np
+
+    from .lsh import default_num_partitions
 
     fps = fingerprint_stage(docs, w=w, guarantee_len=guarantee_len)
+    P = default_num_partitions()
 
-    def emit(group: pa.Table) -> pa.Table:
-        m = len(group)
-        empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "method": pa.array([], pa.string()),
-            }
+    def with_part(b: pa.Table) -> pa.Table:
+        part = (
+            b["fingerprint"].to_numpy(zero_copy_only=False) % _np.uint64(P)
+        ).astype(_np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def block(g: pa.Table) -> pa.Table:
+        return suffix_pairs_block(g.drop_columns(["part"]), group_cap)
+
+    pairs = (
+        fps.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+    # distinct across partitions: a doc pair can share fingerprints that land
+    # in different partitions; dedupe on (id_a, id_b)
+    def dpart(b: pa.Table) -> pa.Table:
+        ha = b["id_a"].to_numpy(zero_copy_only=False).astype(_np.uint64)
+        hb = b["id_b"].to_numpy(zero_copy_only=False).astype(_np.uint64)
+        from ..functions.hashing import splitmix64
+
+        with _np.errstate(over="ignore"):
+            part = (splitmix64(ha * _np.uint64(0x9E3779B97F4A7C15) ^ hb) % _np.uint64(P)).astype(_np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def dfirst(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n < 2:
+            return g
+        order = pc.sort_indices(
+            g, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
         )
-        if m < 2 or m > group_cap:
-            return empty
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        if len(ids) < 2:
-            return empty
-        import itertools
+        g = g.take(order)
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b2 = g["id_b"].to_numpy(zero_copy_only=False)
+        same = (a[1:] == a[:-1]) & (b2[1:] == b2[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        return g.take(pa.array(starts, pa.int64()))
 
-        pairs = list(itertools.combinations(ids, 2))
-        return pa.table(
-            {
-                "id_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "id_b": pa.array([p[1] for p in pairs], pa.int64()),
-                "method": pa.array(["suffix"] * len(pairs), pa.string()),
-            }
-        )
-
-    pairs = fps.groupby("fingerprint").map_groups(emit, batch_format="pyarrow")
-
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
-
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+    return (
+        pairs.map_batches(dpart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dfirst, batch_format="pyarrow")
+    )

@@ -69,6 +69,198 @@ def components_from_pairs(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
     return {x: min_of_root[uf.find(x)] for x in uf.parent}
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class ClusterMaps:
+    """Array-form component mapping for the vectorized broadcast join (J1).
+
+    Member urls are keyed by their 64-bit polars row hash — run-internal
+    only (recomputed each run, never persisted), collision odds n^2/2^65
+    (~1e-7 at 1.6M dup docs; for 10^12-doc deployments widen to a 128-bit
+    key via two lexsorted arrays — noted scale path). Payload is ~26 MB at
+    1.6M members vs ~200 MB for the url->url dict it replaces.
+    """
+
+    keys: "np.ndarray"        # sorted uint64 member-url hashes
+    root_idx: "np.ndarray"    # int32 component index aligned to keys
+    root_urls: list[str]      # component index -> canonical (min) url
+    root_sizes: "np.ndarray"  # component index -> member count
+    member_urls: "np.ndarray" # object array aligned to keys (driver-side only)
+
+    @property
+    def n_clusters(self) -> int:
+        return len(self.root_urls)
+
+    @property
+    def n_members(self) -> int:
+        return len(self.keys)
+
+    def mapping_dict(self) -> dict[str, str]:
+        """url -> cluster_id dict (compat / test seam); built on demand."""
+        return {
+            u: self.root_urls[i]
+            for u, i in zip(self.member_urls.tolist(), self.root_idx.tolist())
+        }
+
+
+def components_hashes(pairs_ds):
+    """PAIRS Dataset -> (keys, root_h): numpy-only connected components.
+
+    Workers hash edge endpoints to uint64 (polars, vectorized); the driver
+    pulls ONLY the two hash columns (~16 B/edge — no Python strings) and
+    runs min-label propagation with pointer jumping over int ids. Returns
+    sorted member hashes ``keys`` and, aligned to them, the component label
+    ``root_h`` (= min member hash). Canonical urls/sizes are computed
+    DISTRIBUTEDLY afterwards (see ``assign_clusters_distributed``), so
+    driver work is O(E) numpy, independent of url lengths.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_columns_u64
+
+    def to_hashes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ha": pa.array(hash_columns_u64(b, ["url_a"]), pa.uint64()),
+                "hb": pa.array(hash_columns_u64(b, ["url_b"]), pa.uint64()),
+            }
+        )
+
+    ha_parts, hb_parts = [], []
+    for b in pairs_ds.map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ha_parts.append(b["ha"].to_numpy(zero_copy_only=False))
+        hb_parts.append(b["hb"].to_numpy(zero_copy_only=False))
+    if not ha_parts:
+        return np.empty(0, np.uint64), np.empty(0, np.uint64)
+
+    ha = np.concatenate(ha_parts)
+    hb = np.concatenate(hb_parts)
+    ids = np.unique(np.concatenate([ha, hb]))
+    ea = np.searchsorted(ids, ha)
+    eb = np.searchsorted(ids, hb)
+
+    label = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        before = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        while True:  # pointer jumping
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    return ids, ids[label]
+
+
+def components_broadcast(pairs_ds) -> "ClusterMaps":
+    """PAIRS Dataset -> ClusterMaps.
+
+    Fully vectorized driver-side connected components:
+
+    1. workers append 64-bit url hashes to each edge (polars, vectorized);
+       the driver collects numpy arrays — no per-row Python string work in
+       the hot loop;
+    2. min-label propagation with pointer jumping over int32 ids
+       (``np.minimum.at`` + ``label[label]``), O((E+V) log V) numpy ops —
+       converges in a handful of passes on forest-reduced edges;
+    3. canonical min url + component size via one pandas groupby over the
+       deduplicated member list.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.hashing import hash_columns_u64
+
+    def with_hashes(b: pa.Table) -> pa.Table:
+        ha = hash_columns_u64(b, ["url_a"])
+        hb = hash_columns_u64(b, ["url_b"])
+        return pa.table(
+            {
+                "url_a": b["url_a"],
+                "url_b": b["url_b"],
+                "ha": pa.array(ha, pa.uint64()),
+                "hb": pa.array(hb, pa.uint64()),
+            }
+        )
+
+    ha_parts, hb_parts, ua_parts, ub_parts = [], [], [], []
+    for b in pairs_ds.map_batches(
+        with_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=262144, batch_format="pyarrow"):
+        ha_parts.append(b["ha"].to_numpy(zero_copy_only=False))
+        hb_parts.append(b["hb"].to_numpy(zero_copy_only=False))
+        ua_parts.append(np.asarray(b["url_a"].to_pylist(), dtype=object))
+        ub_parts.append(np.asarray(b["url_b"].to_pylist(), dtype=object))
+
+    if not ha_parts:
+        return ClusterMaps(
+            keys=np.empty(0, np.uint64),
+            root_idx=np.empty(0, np.int32),
+            root_urls=[],
+            root_sizes=np.empty(0, np.int64),
+            member_urls=np.empty(0, object),
+        )
+
+    ha = np.concatenate(ha_parts)
+    hb = np.concatenate(hb_parts)
+    urls_flat = np.concatenate(ua_parts + ub_parts)
+
+    ids = np.unique(np.concatenate([ha, hb]))          # sorted member hashes
+    ea = np.searchsorted(ids, ha).astype(np.int64)
+    eb = np.searchsorted(ids, hb).astype(np.int64)
+
+    label = np.arange(len(ids), dtype=np.int64)
+    while True:
+        la, lb = label[ea], label[eb]
+        m = np.minimum(la, lb)
+        before = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        while True:                                    # pointer jumping
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+
+    # member table: one row per (hash, url), deduped; root label per member
+    member_h = np.concatenate([ha, hb])
+    member_root = label[np.concatenate([ea, eb])]
+    df = pd.DataFrame({"h": member_h, "root": member_root, "url": urls_flat})
+    df = df.drop_duplicates("h")
+    agg = df.groupby("root", sort=True).agg(
+        cluster_id=("url", "min"), size=("h", "count")
+    )
+    root_label_to_idx = {r: i for i, r in enumerate(agg.index.to_numpy())}
+    root_urls = agg["cluster_id"].tolist()
+    root_sizes = agg["size"].to_numpy(np.int64)
+
+    order = np.argsort(df["h"].to_numpy())
+    keys = df["h"].to_numpy(np.uint64)[order]
+    root_idx = np.fromiter(
+        (root_label_to_idx[r] for r in df["root"].to_numpy()[order]),
+        dtype=np.int32,
+        count=len(order),
+    )
+    return ClusterMaps(
+        keys=keys,
+        root_idx=root_idx,
+        root_urls=root_urls,
+        root_sizes=root_sizes,
+        member_urls=df["url"].to_numpy()[order],
+    )
+
+
 def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
     """Connectivity-preserving distributed edge reduction.
 
