@@ -152,6 +152,87 @@ def q_sampled_hash_assign(sf_dir: str):
     )
 
 
+def q_exact_dup_groups(sf_dir: str):
+    """A2+O1: reference-shaped duplicate-group report — one row per
+    duplicated content hash, biggest total first (core.clj stdout analog).
+    Keyed by canonical doc_id (min of group) so the oracle can match
+    without exposing raw hashes."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count, Min, Sum
+
+    def add_key(b: pa.Table) -> pa.Table:
+        # 64-char-prefix content key (M2 sampled-hash spirit): the sf corpora
+        # have zero full-text dups, so the group report is exercised on
+        # prefix-duplicate families instead
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars": b["n_chars"],
+                "text_key": pa.array(
+                    [t[:64] for t in b["text"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "n_chars"])
+        .map_batches(add_key, batch_format="pyarrow")
+        .groupby("text_key")
+        .aggregate(
+            Count(alias_name="dup_count"),
+            Min("doc_id", alias_name="canonical_id"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+        .filter(expr="dup_count > 1")
+        .select_columns(["canonical_id", "dup_count", "total_chars"])
+        .sort(["total_chars", "canonical_id"], descending=[True, False])
+    )
+
+
+def q_sample_docs(sf_dir: str):
+    """O4 deterministic sampling (id-mod; content-stable, oracle-checkable)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(b["doc_id"], 15), 3)  # doc_id % 16 == 3
+        return b.filter(keep)
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_en_long_docs(sf_dir: str):
+    """M9 predicate pushdown: lang filter at the Parquet scan + length gate."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pads.field("lang") == "en") & (pads.field("n_chars") >= 300),
+    )
+    return ds.select_columns(["doc_id", "n_chars"])
+
+
+def q_dedup_clusters_distributed(sf_dir: str):
+    """A6 scale path: hash-to-min label propagation expressed as Ray Data
+    groupby rounds (no driver state) over the flagship's edge stream."""
+    from deduplicatr_ray.pipelines.flagship import (
+        pairs_from_signatures,
+        signatures_from_pages,
+    )
+    from deduplicatr_ray.sources.pages import docs_as_pages
+    from deduplicatr_ray.state.unionfind import distributed_components
+
+    sigs = signatures_from_pages(docs_as_pages(sf_dir)).materialize()
+    pairs = pairs_from_signatures(sigs).materialize()
+    return distributed_components(pairs)
+
+
 def q_token_counts(sf_dir: str):
     from deduplicatr_ray.stages.textstats import token_count_stage
 
@@ -350,7 +431,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_counts": q_lang_source_counts,
         "top_docs_by_chars": q_top_docs_by_chars,
         "exact_dup_assign": q_exact_dup_assign,
+        "exact_dup_groups": q_exact_dup_groups,
+        "sample_docs": q_sample_docs,
+        "en_long_docs": q_en_long_docs,
         "sampled_hash_assign": q_sampled_hash_assign,
+        "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
         "events_by_type": q_events_by_type,
         "knn_brute": q_knn_brute,
@@ -396,6 +481,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
             FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT min(doc_id) AS canonical_id,
+                   count(*) AS dup_count,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY substr(text, 1, 64)
+            HAVING count(*) > 1
+            ORDER BY total_chars DESC, canonical_id ASC
+        """,
+        "sample_docs": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 16 = 3
+        """,
+        "en_long_docs": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars >= 300
         """,
         "sampled_hash_assign": f"""
             SELECT doc_id,

@@ -36,18 +36,34 @@ def _init_ray(num_cpus: int | None) -> None:
 
 def cmd_run(args: argparse.Namespace) -> int:
     import ray
-    import ray.data as rd
 
-    from .pipelines.flagship import cluster_summary, dedup_pipeline
+    from .pipelines.flagship import dedup_pipeline, dedup_pipeline_partitioned
     from .sources.pages import read_pages
 
     _init_ray(args.num_cpus)
     try:
         t0 = time.monotonic()
-        pages = read_pages(args.input, lang=args.lang)
-        res = dedup_pipeline(
-            pages, checkpoint_dir=args.ckpt, run_id=args.run_id
-        )
+        if args.partitions and args.ckpt:
+            import glob
+            import os
+
+            inp = args.input
+            files = (
+                sorted(glob.glob(os.path.join(inp, "*.parquet")))
+                if os.path.isdir(inp)
+                else [inp]
+            )
+            res = dedup_pipeline_partitioned(
+                files,
+                checkpoint_dir=args.ckpt,
+                run_id=args.run_id,
+                num_partitions=args.partitions,
+            )
+        else:
+            pages = read_pages(args.input, lang=args.lang)
+            res = dedup_pipeline(
+                pages, checkpoint_dir=args.ckpt, run_id=args.run_id
+            )
         n_docs = res.clusters.count()
         if args.output:
             res.clusters.write_parquet(args.output)
@@ -102,6 +118,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-id", default="run0")
     pr.add_argument("--output", default=None, help="clusters parquet out dir")
     pr.add_argument("--lang", default=None, help="optional lang filter pushdown")
+    pr.add_argument(
+        "--partitions",
+        type=int,
+        default=0,
+        help="with --ckpt: run the signature prefix as N partition-level "
+        "checkpoints (per-partition throughput + dup-rate metrics, "
+        "partition-granular resume)",
+    )
     pr.set_defaults(fn=cmd_run)
 
     pp = sub.add_parser("report", help="print top duplicate clusters")

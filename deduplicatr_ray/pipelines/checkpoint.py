@@ -129,6 +129,7 @@ def run_partitioned(
     run_id: str,
     cfg: DedupConfig = CANONICAL,
     num_partitions: int = 8,
+    metrics_fn: Callable[[Any], dict[str, Any]] | None = None,
 ):
     """Partition-level checkpointed map prefix (S5).
 
@@ -157,12 +158,16 @@ def run_partitioned(
         t0 = time.monotonic()
         rows = _atomic_write(transform(rd.read_parquet(group)), out_dir)
         wall = time.monotonic() - t0
+        extra: dict[str, Any] = {}
+        if metrics_fn is not None:
+            extra = metrics_fn(rd.read_parquet(out_dir))
         mgr.record(
             key,
             input_files=group,
             rows=rows,
             wall_sec=round(wall, 3),
             rows_per_sec=round(rows / wall, 1) if wall > 0 else None,
+            **extra,
         )
     # read_parquet takes one dir or a list of FILES (not a list of dirs)
     part_files = [

@@ -117,13 +117,70 @@ def dedup_pipeline(
         )
     else:
         sigs = sigs.materialize()
+    return cluster_from_signatures(
+        sigs, cfg, checkpoint_dir=checkpoint_dir, run_id=run_id
+    )
 
-    # Clustering edge source: forest-mode band pairs (O(m) per hot band
-    # instead of O(m^2)) + exact star pairs, then a distributed
-    # connectivity-preserving forest reduction so the driver union-find
-    # streams ~O(docs-in-clusters) edges, not O(all verified pairs). The A4
-    # distinct pass stays OFF the critical path (union-find is idempotent
-    # over duplicate edges); the reporting `pairs` artifact is lazy.
+
+def dedup_pipeline_partitioned(
+    input_files: list[str],
+    cfg: DedupConfig = CANONICAL,
+    *,
+    checkpoint_dir: str,
+    run_id: str = "run0",
+    num_partitions: int = 8,
+) -> DedupResult:
+    """Flagship with a PARTITION-LEVEL checkpointed signature prefix (S5):
+    each input-file group lands in its own Parquet dir + manifest entry with
+    per-partition throughput AND exact-dup-rate metrics (BASELINE.json:6);
+    a killed run recomputes only missing partitions."""
+    from .checkpoint import run_partitioned
+
+    def sig_metrics(ds) -> dict:
+        import pyarrow.compute as pc
+
+        shas = set()
+        rows = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            rows += len(b)
+            shas.update(pc.unique(b["text_sha1"]).to_pylist())
+        return {
+            "distinct_texts": len(shas),
+            "exact_dup_rate": round(1 - len(shas) / rows, 4) if rows else 0.0,
+        }
+
+    sigs = run_partitioned(
+        input_files,
+        lambda ds: signatures_from_pages(ds, cfg),
+        checkpoint_dir,
+        stage="signatures",
+        run_id=run_id,
+        cfg=cfg,
+        num_partitions=num_partitions,
+        metrics_fn=sig_metrics,
+    )
+    return cluster_from_signatures(
+        sigs, cfg, checkpoint_dir=checkpoint_dir, run_id=run_id
+    )
+
+
+def cluster_from_signatures(
+    sigs,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    checkpoint_dir: str | None = None,
+    run_id: str = "run0",
+) -> DedupResult:
+    """SIGNATURES Dataset -> DedupResult (the pipeline tail after the
+    checkpointable signature prefix).
+
+    Edge source: forest-mode band pairs (O(m) per hot band instead of
+    O(m^2)) + exact star pairs, a distributed connectivity-preserving
+    forest reduction of the near stream, numpy driver components over
+    hashed edges, two-pass distributed assignment. The A4 distinct pass
+    stays OFF the critical path (union-find is idempotent over duplicate
+    edges); the reporting ``pairs`` artifact is lazy.
+    """
     from ..state.unionfind import components_hashes, forest_reduce_stage
     from ..stages.cluster import assign_clusters_distributed
 

@@ -1,0 +1,152 @@
+"""Unit tests for the vectorized pair-block primitives (post-rewrite):
+forest emission, representative collapse, exact star blocks, distinct
+blocks, forest reduction, and numpy components."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicatr_ray.config import CANONICAL
+from deduplicatr_ray.stages.exact import exact_pairs_block
+from deduplicatr_ray.stages.lsh import distinct_pairs_block, emit_pairs_block
+
+
+def _band_group(urls: list[str], sig8_rows: list[np.ndarray], shas: list[int]):
+    cfg = CANONICAL
+    m = len(urls)
+    return pa.table(
+        {
+            "band_id": pa.array([0] * m, pa.int32()),
+            "band_hash": pa.array([1] * m, pa.uint64()),
+            "url": pa.array(urls),
+            "sig8": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.concatenate(sig8_rows).astype(np.uint8)), cfg.num_perm
+            ),
+            "simhash": pa.array(np.zeros(m, np.uint64)),
+            "sha64": pa.array(np.array(shas, np.uint64)),
+        }
+    )
+
+
+def test_forest_mode_emits_spanning_tree_not_clique():
+    cfg = CANONICAL
+    s = np.zeros(cfg.num_perm, np.uint8)
+    g = _band_group(
+        [f"u/{i}" for i in range(5)], [s] * 5, list(range(100, 105))
+    )
+    allp = emit_pairs_block(g, emit="all")
+    forest = emit_pairs_block(g, emit="forest")
+    assert len(allp) == 10  # C(5,2): every pair verifies (identical sig8)
+    assert len(forest) == 4  # spanning tree of 5 nodes
+
+
+def test_rep_collapse_same_sha_no_pairs():
+    cfg = CANONICAL
+    s = np.zeros(cfg.num_perm, np.uint8)
+    # five rows, all the same content hash -> one representative -> no pairs
+    g = _band_group([f"u/{i}" for i in range(5)], [s] * 5, [7] * 5)
+    assert len(emit_pairs_block(g, emit="all")) == 0
+    # two content groups -> pairing only between the two min-url reps
+    g2 = _band_group([f"u/{i}" for i in range(4)], [s] * 4, [7, 7, 9, 9])
+    out = emit_pairs_block(g2, emit="all")
+    assert out["url_a"].to_pylist() == ["u/0"]
+    assert out["url_b"].to_pylist() == ["u/2"]
+
+
+def test_exact_pairs_block_star_form_multiple_groups():
+    g = pa.table(
+        {
+            "url": pa.array(["u/3", "u/1", "u/2", "u/9", "u/8", "u/solo"]),
+            "text_sha1": pa.array(
+                [b"a" * 20, b"a" * 20, b"a" * 20, b"b" * 20, b"b" * 20, b"c" * 20],
+                pa.binary(20),
+            ),
+        }
+    )
+    out = exact_pairs_block(g)
+    rows = sorted(zip(out["url_a"].to_pylist(), out["url_b"].to_pylist()))
+    assert rows == [("u/1", "u/2"), ("u/1", "u/3"), ("u/8", "u/9")]
+    assert set(out["method"].to_pylist()) == {"exact"}
+
+
+def test_distinct_pairs_block_strongest_method_wins():
+    g = pa.table(
+        {
+            "url_a": pa.array(["a", "a", "a", "x"]),
+            "url_b": pa.array(["b", "b", "b", "y"]),
+            "jaccard_est": pa.array([0.8, 1.0, 0.9, 0.7], pa.float32()),
+            "method": pa.array(["simhash", "exact", "minhash", "minhash"]),
+        }
+    )
+    out = distinct_pairs_block(g)
+    got = {
+        (a, b): m
+        for a, b, m in zip(
+            out["url_a"].to_pylist(), out["url_b"].to_pylist(), out["method"].to_pylist()
+        )
+    }
+    assert got == {("a", "b"): "exact", ("x", "y"): "minhash"}
+
+
+def test_forest_reduce_and_components_hashes(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.state.unionfind import (
+        components_hashes,
+        forest_reduce_stage,
+    )
+
+    # two components: {a,b,c,d} (with a redundant cycle) and {x,y}
+    pairs = pa.table(
+        {
+            "url_a": pa.array(["a", "b", "c", "a", "x"]),
+            "url_b": pa.array(["b", "c", "d", "d", "y"]),
+            "jaccard_est": pa.array([1.0] * 5, pa.float32()),
+            "method": pa.array(["exact"] * 5),
+        }
+    )
+    ds = rd.from_arrow(pairs)
+    reduced = forest_reduce_stage(ds, num_partitions=2).materialize()
+    assert reduced.count() <= 5
+    keys, root_h = components_hashes(reduced)
+    assert len(keys) == 6
+    # roots: a,b,c,d share one label; x,y share another
+    lab = dict(zip(keys.tolist(), root_h.tolist()))
+    from deduplicatr_ray.functions.hashing import hash_columns_u64
+
+    h = {
+        u: int(hash_columns_u64(pa.table({"u": pa.array([u])}), ["u"])[0])
+        for u in "abcdxy"
+    }
+    assert len({lab[h[u]] for u in "abcd"}) == 1
+    assert len({lab[h[u]] for u in "xy"}) == 1
+    assert lab[h["a"]] != lab[h["x"]]
+
+
+def test_flagship_identical_under_emit_modes(ray_session):
+    """Cluster assignments must be identical whether near pairs are emitted
+    as full cliques or spanning forests (connectivity equivalence)."""
+    import ray.data as rd
+
+    from deduplicatr_ray.sources.synthetic import gen_corpus
+    from deduplicatr_ray.pipelines.flagship import (
+        pairs_from_signatures,
+        signatures_from_pages,
+    )
+    from deduplicatr_ray.stages.lsh import band_stage, candidate_pairs_stage
+    from deduplicatr_ray.state.unionfind import components_from_pairs
+
+    pages, _ = gen_corpus("near")
+    sigs = signatures_from_pages(rd.from_arrow(pages)).materialize()
+
+    def clusters_for(emit: str) -> dict[str, str]:
+        pairs = candidate_pairs_stage(band_stage(sigs), emit=emit).materialize()
+        edges = [
+            (a, b)
+            for b_ in pairs.iter_batches(batch_size=4096, batch_format="pyarrow")
+            for a, b in zip(b_["url_a"].to_pylist(), b_["url_b"].to_pylist())
+        ]
+        return components_from_pairs(edges)
+
+    assert clusters_for("all") == clusters_for("forest")
