@@ -191,7 +191,8 @@ def cluster_from_signatures(
     # its per-band forests repeat across the 32 bands (up to 32x members);
     # exact star pairs are minimal by construction (m-1 edges per group),
     # so they bypass it and all three shuffles overlap in one plan.
-    edge_src = forest_reduce_stage(near_forest).union(exact)
+    # materialized once: consumed by driver components AND the roots reduce
+    edge_src = forest_reduce_stage(near_forest).union(exact).materialize()
     pairs = distinct_pairs_stage(near_forest.union(exact))  # lazy reporting artifact
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
@@ -201,9 +202,11 @@ def cluster_from_signatures(
         )
 
     # numpy-only driver components over hashed forest edges (A6) +
-    # two-pass distributed cluster assignment (J1)
+    # fused one-pass distributed cluster assignment (J1)
     keys, root_h = components_hashes(edge_src)
-    clusters, n_clusters = assign_clusters_distributed(sigs, keys, root_h)
+    clusters, n_clusters = assign_clusters_distributed(
+        sigs, keys, root_h, edge_src=edge_src
+    )
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 

@@ -170,57 +170,103 @@ def _finalize_fn(batch: pa.Table, *, roots_ref) -> pa.Table:
     )
 
 
-def assign_clusters_distributed(url_ds, keys, root_h):
-    """(url Dataset, component hash maps) -> (CLUSTERS Dataset, n_clusters).
+def _assign_fn(batch: pa.Table, *, maps_ref, roots_ref) -> pa.Table:
+    """Fused label+finalize: url -> (cluster_id, size) in ONE pass.
 
-    Two vectorized broadcast passes (J1), with the canonical-url/size
-    reduction done DISTRIBUTEDLY on int keys:
+    Both lookups are searchsorted over broadcast numpy arrays (zero-copy
+    ``ray.get`` per batch); rows outside any component are their own
+    singleton cluster."""
+    import numpy as np
+    import ray
 
-    1. label: broadcast (keys, root_h) (~16 B/member), searchsorted lookup;
-    2. a small ``groupby(root_h).aggregate(Min(url), Count())`` over
-       clustered rows only -> root table (one row per CLUSTER);
-    3. finalize: broadcast the root table, attach cluster_id/size.
+    from ..functions.hashing import hash_columns_u64
+
+    keys, root_h = ray.get(maps_ref)
+    roots, root_urls, root_sizes = ray.get(roots_ref)
+    root_urls = np.asarray(root_urls, dtype=object)
+
+    n = len(batch)
+    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+    cids = urls.copy()
+    sizes = np.ones(n, dtype=np.int64)
+    if len(keys):
+        h = hash_columns_u64(batch, ["url"])
+        pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
+        matched = keys[pos] == h
+        if matched.any():
+            r = root_h[pos[matched]]
+            rpos = np.searchsorted(roots, r)
+            cids[matched] = root_urls[rpos]
+            sizes[matched] = root_sizes[rpos]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "cluster_id": pa.array(cids, pa.string()),
+            "cluster_size": pa.array(sizes, pa.int64()),
+            "is_canonical": pa.array(urls == cids, pa.bool_()),
+        }
+    )
+
+
+def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
+    """(url Dataset, component hash maps, edges) -> (CLUSTERS Dataset, n).
+
+    Canonical min-url per component is reduced DISTRIBUTEDLY over the edge
+    list (every member appears in >= 1 edge, so the edge-endpoint min equals
+    the member min); component sizes come from the driver's label array
+    (np.unique counts). Assignment is then ONE fused broadcast pass over the
+    corpus — no intermediate labeled materialization.
 
     The root-table broadcast assumes n_clusters fits the driver (true by
-    orders of magnitude here); at extreme cluster counts swap step 3 for a
-    hash join on root_h — same plan shape.
+    orders of magnitude); at extreme cluster counts swap the final pass for
+    a hash join on root_h — same plan shape.
     """
     import numpy as np
     import ray
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min
 
-    ref1 = ray.put((keys, root_h))
-    labeled = url_ds.select_columns(["url"]).map_batches(
-        _label_fn,
-        fn_kwargs={"maps_ref": ref1},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=16384,
-    )
-    if len(keys) == 0:
-        ref2 = ray.put((np.empty(0, np.uint64), [], np.empty(0, np.int64)))
+    if len(keys) == 0 or edge_src is None:
+        roots_payload = (np.empty(0, np.uint64), [], np.empty(0, np.int64))
         n_clusters = 0
     else:
-        labeled = labeled.materialize()
-        roots_tbl = (
-            labeled.filter(expr="in_cluster")
-            .groupby("root_h")
-            .aggregate(Min("url", alias_name="cluster_id"), Count(alias_name="size"))
-            .to_pandas()
-        )
-        roots_tbl = roots_tbl.sort_values("root_h")
-        ref2 = ray.put(
-            (
-                roots_tbl["root_h"].to_numpy(np.uint64),
-                roots_tbl["cluster_id"].tolist(),
-                roots_tbl["size"].to_numpy(np.int64),
+        ref1 = ray.put((keys, root_h))
+
+        def edge_root_urls(b: pa.Table) -> pa.Table:
+            keys_, root_ = ray.get(ref1)
+            ra = root_[np.searchsorted(keys_, b["ha"].to_numpy(zero_copy_only=False))]
+            rb = root_[np.searchsorted(keys_, b["hb"].to_numpy(zero_copy_only=False))]
+            return pa.table(
+                {
+                    "root_h": pa.array(np.concatenate([ra, rb]), pa.uint64()),
+                    "url": pa.chunked_array(
+                        [b["url_a"], b["url_b"]]
+                    ).combine_chunks(),
+                }
             )
+
+        roots_tbl = (
+            edge_src.map_batches(
+                edge_root_urls, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("root_h")
+            .aggregate(Min("url", alias_name="cluster_id"))
+            .to_pandas()
+            .sort_values("root_h")
+        )
+        uroots, counts = np.unique(root_h, return_counts=True)
+        sz = counts[np.searchsorted(uroots, roots_tbl["root_h"].to_numpy(np.uint64))]
+        roots_payload = (
+            roots_tbl["root_h"].to_numpy(np.uint64),
+            roots_tbl["cluster_id"].tolist(),
+            sz.astype(np.int64),
         )
         n_clusters = len(roots_tbl)
 
-    clusters = labeled.map_batches(
-        _finalize_fn,
-        fn_kwargs={"roots_ref": ref2},
+    ref1b = ray.put((keys, root_h))
+    ref2 = ray.put(roots_payload)
+    clusters = url_ds.select_columns(["url"]).map_batches(
+        _assign_fn,
+        fn_kwargs={"maps_ref": ref1b, "roots_ref": ref2},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=16384,

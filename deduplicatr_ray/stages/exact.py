@@ -20,6 +20,8 @@ _EMPTY = pa.table(
         "url_b": pa.array([], pa.string()),
         "jaccard_est": pa.array([], pa.float32()),
         "method": pa.array([], pa.string()),
+        "ha": pa.array([], pa.uint64()),
+        "hb": pa.array([], pa.uint64()),
     }
 )
 
@@ -50,7 +52,7 @@ def exact_pairs_block(block: pa.Table) -> pa.Table:
     if len(member) == 0:
         return _EMPTY
     urls = block["url"]
-    return pa.table(
+    out = pa.table(
         {
             "url_a": urls.take(pa.array(root[member], pa.int64())),
             "url_b": urls.take(pa.array(member, pa.int64())),
@@ -60,6 +62,17 @@ def exact_pairs_block(block: pa.Table) -> pa.Table:
             "method": pa.array(["exact"] * len(member), pa.string()),
         }
     )
+    return _append_edge_hashes(out)
+
+
+def _append_edge_hashes(pairs: pa.Table) -> pa.Table:
+    """ha/hb uint64 endpoint hashes, appended at emission (post-shuffle, so
+    free to ship) — lets the driver components pull ONLY 16 B/edge."""
+    from ..functions.hashing import hash_columns_u64
+
+    return pairs.append_column(
+        "ha", pa.array(hash_columns_u64(pairs, ["url_a"]), pa.uint64())
+    ).append_column("hb", pa.array(hash_columns_u64(pairs, ["url_b"]), pa.uint64()))
 
 
 def exact_pairs_group(group: pa.Table) -> pa.Table:

@@ -173,6 +173,8 @@ _EMPTY_PAIRS = pa.table(
         "url_b": pa.array([], pa.string()),
         "jaccard_est": pa.array([], pa.float32()),
         "method": pa.array([], pa.string()),
+        "ha": pa.array([], pa.uint64()),
+        "hb": pa.array([], pa.uint64()),
     }
 )
 
@@ -308,15 +310,19 @@ def emit_pairs_block(
     ib = pa.array(np.concatenate(ib_out), pa.int64())
     urls = block["url"]
     methods = np.repeat(np.asarray(method_out, dtype=object), mcount_out)
-    return pa.table(
-        {
-            "url_a": urls.take(ia),
-            "url_b": urls.take(ib),
-            "jaccard_est": pa.array(
-                np.concatenate(est_out).astype(np.float32), pa.float32()
-            ),
-            "method": pa.array(methods, pa.string()),
-        }
+    from .exact import _append_edge_hashes
+
+    return _append_edge_hashes(
+        pa.table(
+            {
+                "url_a": urls.take(ia),
+                "url_b": urls.take(ib),
+                "jaccard_est": pa.array(
+                    np.concatenate(est_out).astype(np.float32), pa.float32()
+                ),
+                "method": pa.array(methods, pa.string()),
+            }
+        )
     )
 
 
@@ -439,7 +445,10 @@ def distinct_pairs_block(g: pa.Table) -> pa.Table:
         starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
     else:
         starts = np.array([0])
-    return g.take(pa.array(starts, pa.int64())).drop_columns(["rank"])
+    g = g.take(pa.array(starts, pa.int64())).drop_columns(["rank"])
+    # reporting schema is PAIRS — strip run-internal edge hashes if present
+    drop = [c for c in ("ha", "hb") if c in g.column_names]
+    return g.drop_columns(drop) if drop else g
 
 
 def distinct_pairs_stage(pairs, *, num_partitions: int | None = None):

@@ -122,6 +122,8 @@ def components_hashes(pairs_ds):
     from ..functions.hashing import hash_columns_u64
 
     def to_hashes(b: pa.Table) -> pa.Table:
+        if "ha" in b.column_names:  # emitted at pair creation (16 B/edge pull)
+            return b.select(["ha", "hb"])
         return pa.table(
             {
                 "ha": pa.array(hash_columns_u64(b, ["url_a"]), pa.uint64()),
