@@ -150,3 +150,30 @@ def test_flagship_identical_under_emit_modes(ray_session):
         return components_from_pairs(edges)
 
     assert clusters_for("all") == clusters_for("forest")
+
+
+def test_distributed_components_matches_driver(ray_session):
+    """Hash-to-min rounds must produce the same components + min-url labels
+    as the exact driver union-find (A6 scale path, SURVEY.md §4.3)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicatr_ray.state.unionfind import (
+        components_from_pairs,
+        distributed_components,
+    )
+
+    edges = [
+        ("b", "a"), ("c", "b"), ("e", "d"), ("f", "e"), ("a", "c"),
+        ("p", "q"), ("q", "r"), ("r", "s"), ("s", "t"),  # chain: slow convergence
+    ]
+    pairs = pa.table(
+        {
+            "url_a": pa.array([e[0] for e in edges]),
+            "url_b": pa.array([e[1] for e in edges]),
+        }
+    )
+    want = components_from_pairs(edges)
+    got_tbl = distributed_components(rd.from_arrow(pairs)).to_pandas()
+    got = dict(zip(got_tbl.url, got_tbl.cluster_id))
+    assert got == want
