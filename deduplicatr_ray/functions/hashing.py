@@ -195,12 +195,27 @@ def minhash_segments(
     num_perm = len(a)
     n_docs = len(seg_starts)
     out = np.empty((n_docs, num_perm), dtype=_U64)
-    if len(shingles) == 0:
+    n = len(shingles)
+    if n == 0:
         return out
+    # cache blocking: process doc-aligned shingle chunks of ~16k values so
+    # the 128-perm inner loop's working set (x, hv) stays in L2 — under
+    # many-core contention the unblocked loop is DRAM-bandwidth-bound
+    seg_ends = np.concatenate([seg_starts[1:], [n]])
+    chunk = 16384
+    d0 = 0
     with np.errstate(over="ignore"):
-        for i in range(num_perm):
-            hv = (shingles ^ b[i]) * a[i]
-            out[:, i] = np.minimum.reduceat(hv, seg_starts)
+        while d0 < n_docs:
+            d1 = d0 + 1
+            while d1 < n_docs and seg_ends[d1 - 1] - seg_starts[d0] < chunk:
+                d1 += 1
+            s, e = seg_starts[d0], seg_ends[d1 - 1]
+            xs = shingles[s:e]
+            rel = (seg_starts[d0:d1] - s).astype(np.int64)
+            for i in range(num_perm):
+                hv = (xs ^ b[i]) * a[i]
+                out[d0:d1, i] = np.minimum.reduceat(hv, rel)
+            d0 = d1
     return out
 
 

@@ -213,29 +213,104 @@ def ann_lsh_pairs(
         num_cpus=1,
     )
 
-    def emit(group: pa.Table) -> pa.Table:
-        m = len(group)
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-        if m < 2 or m > group_cap:
-            return empty
-        vm = _normalize(_emb_matrix(group))
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        sims = vm @ vm.T
-        iu, ju = np.triu_indices(m, k=1)
-        keep = sims[iu, ju] >= threshold
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {"id_a": pa.array(lo, pa.int64()), "id_b": pa.array(hi, pa.int64())}
-        )
+    from ..functions.hashing import splitmix64
+    from .lsh import default_num_partitions
 
-    pairs = buckets.groupby(["table_id", "bucket"]).map_groups(
-        emit, batch_format="pyarrow"
+    P = default_num_partitions()
+    _EMPTY = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def with_part(b: pa.Table) -> pa.Table:
+        t = b["table_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = b["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (splitmix64(k * np.uint64(0x9E3779B97F4A7C15) ^ t) % np.uint64(P))
+        return b.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pyarrow")
+    def emit_block(g: pa.Table) -> pa.Table:
+        """WHOLE (table_id, bucket) groups per block — vectorized segments,
+        in-segment exact-cosine verification (same pattern as the text LSH)."""
+        import pyarrow.compute as pc
+
+        n = len(g)
+        if n < 2:
+            return _EMPTY
+        g = g.drop_columns(["part"])
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("table_id", "ascending"),
+                ("bucket", "ascending"),
+                ("vec_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        t = g["table_id"].to_numpy(zero_copy_only=False)
+        k = g["bucket"].to_numpy(zero_copy_only=False)
+        boundary = np.flatnonzero((t[1:] != t[:-1]) | (k[1:] != k[:-1])) + 1
+        starts = np.concatenate([[0], boundary])
+        ends = np.concatenate([boundary, [n]])
+        vm = _normalize(_emb_matrix(g))
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > group_cap:
+                continue
+            sims = vm[s:e] @ vm[s:e].T
+            iu, ju = np.triu_indices(m, k=1)
+            keep = sims[iu, ju] >= threshold
+            if keep.any():
+                out_a.append(ids[s + iu[keep]])
+                out_b.append(ids[s + ju[keep]])
+        if not out_a:
+            return _EMPTY
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(a, b), pa.int64()),
+                "id_b": pa.array(np.maximum(a, b), pa.int64()),
+            }
+        )
+
+    pairs = (
+        buckets.map_batches(
+            with_part, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("part")
+        .map_groups(emit_block, batch_format="pyarrow")
+    )
+
+    def dpart(b: pa.Table) -> pa.Table:
+        a = b["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b2 = b["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b2) % np.uint64(P)
+        return b.append_column("part", pa.array(part.astype(np.int32), pa.int32()))
+
+    def dfirst(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n < 2:
+            return g
+        order = pc.sort_indices(
+            g, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+        )
+        g = g.take(order)
+        a = g["id_a"].to_numpy(zero_copy_only=False)
+        b2 = g["id_b"].to_numpy(zero_copy_only=False)
+        same = (a[1:] == a[:-1]) & (b2[1:] == b2[:-1])
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        return g.take(pa.array(starts, pa.int64()))
+
+    return (
+        pairs.map_batches(
+            dpart, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        )
+        .groupby("part")
+        .map_groups(dfirst, batch_format="pyarrow")
+    )
