@@ -412,6 +412,23 @@ def q_media_features(sf_dir: str):
     return media_feature_stage(gen_fake_media(200))
 
 
+def q_media_frame_pipeline(sf_dir: str):
+    """Multimodal chain: resize -> frame-sample -> feature extraction
+    (decode stubbed; schemas/batching/actor plumbing real)."""
+    from deduplicatr_ray.stages.multimodal import (
+        frame_sample_stage,
+        gen_fake_media,
+        media_feature_stage,
+        media_resize_stage,
+    )
+
+    media = gen_fake_media(150)
+    sampled = frame_sample_stage(media_resize_stage(media)).drop_columns(
+        ["frame_idx"]
+    )
+    return media_feature_stage(sampled)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -450,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
         "media_features": q_media_features,
+        "media_frame_pipeline": q_media_frame_pipeline,
     }
 
 

@@ -31,7 +31,7 @@ class DedupConfig:
     token_hash_seed: int = 0x5EED  # seed for 64-bit token/shingle hashing
 
     # --- MinHash ---
-    num_perm: int = 128         # permutations; (a·x + b) mod p, p = 2^61 - 1
+    num_perm: int = 128         # permutations; h_i(x) = (x ^ b_i) * a_i (odd a)
     perm_seed: int = 42         # PCG64 seed for the a,b tables
 
     # --- LSH banding: num_perm = bands * rows ---
@@ -82,5 +82,7 @@ class DedupConfig:
 
 CANONICAL = DedupConfig()
 
-# Mersenne prime used by the MinHash permutation family.
+# Mersenne prime for the exact mod-p kernels in functions/hashing.py
+# (retained reference implementation; the production MinHash family is the
+# xor/odd-multiply bijection — see make_permutations).
 MERSENNE_P61 = (1 << 61) - 1

@@ -107,6 +107,106 @@ def media_feature_stage(
     )
 
 
+class MediaResizeActor:
+    """Actor-pool stage: resize image payloads to (target_w, target_h).
+
+    Real resampling needs PIL (``decode="real"`` seam, as in
+    ``MediaFeatureActor``); the deterministic stand-in re-encodes the
+    payload to a size proportional to the target area and rewrites the
+    metadata — exercising the real Ray-side contract: binary in/out, small
+    batches, meta passthrough."""
+
+    def __init__(self, target_w: int, target_h: int, decode: str = "fake") -> None:
+        if decode == "real":
+            raise NotImplementedError("plug PIL-based resize in here")
+        self.target_w, self.target_h = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs, metas = [], []
+        for p, m in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
+            p = p or b""
+            meta = json.loads(m or "{}")
+            meta["width"], meta["height"] = self.target_w, self.target_h
+            # stand-in: deterministic byte stream of area-proportional length
+            n_out = max(16, (self.target_w * self.target_h) // 64)
+            seed_digest = hashlib.sha1(p).digest()
+            reps = (n_out + 19) // 20
+            outs.append((seed_digest * reps)[:n_out])
+            metas.append(json.dumps(meta, sort_keys=True))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(outs, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+
+def media_resize_stage(media, *, width: int = 224, height: int = 224, batch_size: int = 64):
+    return media.map_batches(
+        MediaResizeActor,
+        fn_constructor_args=(width, height),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+def frame_sample_stage(media, *, every_n: int = 1, max_frames: int = 8, batch_size: int = 64):
+    """Video rows -> one row per sampled frame (flat_map-shaped plumbing).
+
+    The stand-in derives deterministic per-frame payload slices; a real
+    ffmpeg-backed sampler replaces ``_frames`` only. Non-video rows pass
+    through untouched with frame_idx = -1 (so mixed media tables keep one
+    schema)."""
+
+    def _frames(payload: bytes) -> list[bytes]:
+        if not payload:
+            return []
+        step = max(1, len(payload) // max(1, max_frames))
+        return [payload[i : i + step] for i in range(0, len(payload), step * every_n)][
+            :max_frames
+        ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids, kinds, frames, idxs, metas = [], [], [], [], []
+        for mid, kind, p, m in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            if kind == "video":
+                for fi, fr in enumerate(_frames(p or b"")):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    frames.append(fr)
+                    idxs.append(fi)
+                    metas.append(m)
+            else:
+                ids.append(mid)
+                kinds.append(kind)
+                frames.append(p or b"")
+                idxs.append(-1)
+                metas.append(m)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    return media.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+
+
 def gen_fake_media(n: int, seed: int = 42):
     """Deterministic synthetic media table (no external data)."""
     rng = np.random.Generator(np.random.PCG64(seed))
