@@ -100,12 +100,15 @@ def _init_ray(num_cpus: int) -> None:
 
 
 def scaled_pages(sf_dir: str, replicas: int):
-    """sf documents replicated ``replicas``x as a pages Dataset.
+    """sf documents amplified ``replicas``x as a WEB-PAGE-SIZED pages Dataset.
 
-    Deterministic (pure function of the parquet + replica index); urls get a
-    replica prefix, texts stay identical so replicas form known exact-dup
-    clusters. 256 input blocks so both parallelism levels see >= 4x
-    partitions per CPU (SURVEY.md §4.2 straggler guidance).
+    Deterministic (pure function of the parquet + replica index). Each base
+    doc's text is the concatenation of a 7-doc sliding window (~2 KB — the
+    typical extracted length of a Common-Crawl page; the raw sf docs are
+    ~300 chars, 5-10x shorter than real pages, which under-weights per-doc
+    compute relative to scheduling in scaling measurements). Replicas keep
+    identical text, so they form known exact-dup clusters. 256 input blocks
+    so both parallelism levels see >= 4x partitions per CPU.
     """
     import pyarrow as pa
     import ray.data as rd
@@ -119,6 +122,12 @@ def scaled_pages(sf_dir: str, replicas: int):
     def expand(batch: pa.Table) -> pa.Table:
         n = len(batch)
         doc_ids = batch["doc_id"].to_pylist()
+        base = [t or "" for t in batch["text"].to_pylist()]
+        texts = [
+            " ".join(base[i + k] for k in range(7) if i + k < n) if base[i] else ""
+            for i in range(n)
+        ]
+        text_arr = pa.array(texts, pa.string())
         parts = []
         for r in range(replicas):
             parts.append(
@@ -129,7 +138,7 @@ def scaled_pages(sf_dir: str, replicas: int):
                         ),
                         "warc_ts": pa.nulls(n, pa.timestamp("us")),
                         "html": pa.nulls(n, pa.binary()),
-                        "text": batch["text"].cast(pa.string()),
+                        "text": text_arr,
                         "lang": batch["lang"].cast(pa.string()),
                     }
                 )
@@ -149,7 +158,7 @@ def prepare_corpus(sf_dir: str, replicas: int) -> str:
     # virtual disk (a real N-node cluster has N disks; /tmp here is a single
     # vda that caps read scaling at ~2x)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = f"{base}/graft_bench_corpus_{os.path.basename(sf_dir.rstrip('/'))}_r{replicas}"
+    path = f"{base}/graft_bench_corpus_v2_{os.path.basename(sf_dir.rstrip('/'))}_r{replicas}"
     marker = path + ".complete"
     if os.path.exists(marker):
         return path

@@ -89,11 +89,12 @@ def signatures_from_pages(
 
 
 def pairs_from_signatures(sigs, cfg: DedupConfig = CANONICAL):
-    """SIGNATURES -> distinct verified PAIRS (near + exact evidence, D7)."""
+    """SIGNATURES -> distinct verified PAIRS (near + exact evidence, D7).
+
+    Exact evidence rides the band shuffle via the EXACT_BAND_ID content
+    band, so this is one all-to-all + distinct."""
     bands = band_stage(sigs, cfg)
-    near = candidate_pairs_stage(bands, cfg)
-    exact = exact_pairs_stage(sigs)
-    return distinct_pairs_stage(near.union(exact))
+    return distinct_pairs_stage(candidate_pairs_stage(bands, cfg))
 
 
 def dedup_pipeline(
@@ -181,19 +182,16 @@ def cluster_from_signatures(
     stays OFF the critical path (union-find is idempotent over duplicate
     edges); the reporting ``pairs`` artifact is lazy.
     """
-    from ..state.unionfind import components_hashes, forest_reduce_stage
-    from ..stages.cluster import assign_clusters_distributed
+    from ..state.unionfind import components_with_roots, forest_reduce_stage
+    from ..stages.cluster import assign_clusters_broadcast
 
     bands = band_stage(sigs, cfg)
-    near_forest = candidate_pairs_stage(bands, cfg, emit="forest")
-    exact = exact_pairs_stage(sigs)
-    # Only the near stream needs the connectivity-preserving reduction —
-    # its per-band forests repeat across the 32 bands (up to 32x members);
-    # exact star pairs are minimal by construction (m-1 edges per group),
-    # so they bypass it and all three shuffles overlap in one plan.
-    # materialized once: consumed by driver components AND the roots reduce
-    edge_src = forest_reduce_stage(near_forest).union(exact).materialize()
-    pairs = distinct_pairs_stage(near_forest.union(exact))  # lazy reporting artifact
+    forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
+    # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID rows);
+    # the forest reduction dedups near edges repeated across the 32 bands.
+    # Materialized once: consumed by driver components AND the roots reduce.
+    edge_src = forest_reduce_stage(forest_pairs).materialize()
+    pairs = distinct_pairs_stage(forest_pairs)  # lazy reporting artifact
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -201,12 +199,13 @@ def cluster_from_signatures(
             pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
         )
 
-    # numpy-only driver components over hashed forest edges (A6) +
-    # fused one-pass distributed cluster assignment (J1)
-    keys, root_h = components_hashes(edge_src)
-    clusters, n_clusters = assign_clusters_distributed(
-        sigs, keys, root_h, edge_src=edge_src
+    # one driver pass: numpy components + canonical roots (A6), then ONE
+    # fused broadcast assignment plan (J1)
+    keys, root_h, roots, root_urls, root_sizes = components_with_roots(edge_src)
+    clusters = assign_clusters_broadcast(
+        sigs, keys, root_h, roots, root_urls, root_sizes
     )
+    n_clusters = len(root_urls)
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 

@@ -39,16 +39,23 @@ EXTRACTED = pa.schema(
     ]
 )
 
-# Signature stage output (M6-M8).
+# Signature stage output (M6-M8). The flagship materializes the LEAN form
+# (no raw minhash): per-band hashes replace the 1 KiB minhash column, which
+# has no downstream consumer beyond banding (keep_minhash=True restores it).
 SIGNATURES = pa.schema(
     [
         pa.field("url", pa.string()),
         pa.field("text_sha1", pa.binary(20)),
-        pa.field("minhash", pa.list_(pa.uint64(), NUM_PERM)),
+        pa.field("band_hashes", pa.list_(pa.uint64(), CANONICAL.bands)),
         pa.field("sig8", pa.list_(pa.uint8(), NUM_PERM)),  # b-bit verify sketch
         pa.field("simhash", pa.uint64()),
         pa.field("n_shingles", pa.int64()),
     ]
+)
+
+# With keep_minhash=True the actor also emits the raw signature column:
+SIGNATURES_FULL = SIGNATURES.insert(
+    2, pa.field("minhash", pa.list_(pa.uint64(), NUM_PERM))
 )
 
 # Exploded LSH band keys (1 row per band per doc; minhash bands use

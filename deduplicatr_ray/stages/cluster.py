@@ -208,6 +208,23 @@ def _assign_fn(batch: pa.Table, *, maps_ref, roots_ref) -> pa.Table:
     )
 
 
+def assign_clusters_broadcast(url_ds, keys, root_h, roots, root_urls, root_sizes):
+    """Final fused assignment pass with a driver-computed root table
+    (see ``components_with_roots``) — one plan, two broadcast lookups."""
+    import numpy as np
+    import ray
+
+    ref1 = ray.put((keys, root_h))
+    ref2 = ray.put((roots, root_urls, np.asarray(root_sizes, np.int64)))
+    return url_ds.select_columns(["url"]).map_batches(
+        _assign_fn,
+        fn_kwargs={"maps_ref": ref1, "roots_ref": ref2},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,
+    )
+
+
 def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
     """(url Dataset, component hash maps, edges) -> (CLUSTERS Dataset, n).
 

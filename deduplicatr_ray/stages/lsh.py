@@ -41,10 +41,6 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
     n = len(batch)
     if n == 0:
         return _empty_band_table(cfg)
-    mh_flat = batch["minhash"].combine_chunks().flatten().to_numpy(
-        zero_copy_only=False
-    )
-    minhash = mh_flat.reshape(n, cfg.num_perm)
     sig8_col = batch["sig8"]
     simhash = batch["simhash"].to_numpy(zero_copy_only=False)
     n_shingles = batch["n_shingles"].to_numpy(zero_copy_only=False)
@@ -59,12 +55,23 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
     row_idx_out: list[np.ndarray] = []
 
     if len(idx_mh):
-        m = minhash[idx_mh].reshape(len(idx_mh), cfg.bands, cfg.rows_per_band)
-        with np.errstate(over="ignore"):
-            acc = np.zeros((len(idx_mh), cfg.bands), dtype=np.uint64)
-            for r in range(cfg.rows_per_band):
-                acc = acc * _POLY + m[:, :, r]
-            bh = splitmix64(acc)                       # (docs, bands)
+        if "band_hashes" in batch.column_names:  # precomputed in the actor
+            bh_all = (
+                batch["band_hashes"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+            ).reshape(n, cfg.bands)
+            bh = bh_all[idx_mh]
+        else:  # legacy/unit-test path: fold the raw minhash here
+            from .signatures import band_hashes_from_minhash
+
+            mh_flat = batch["minhash"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            bh = band_hashes_from_minhash(
+                mh_flat.reshape(n, cfg.num_perm)[idx_mh], cfg
+            )
         band_id_out.append(
             np.broadcast_to(
                 np.arange(cfg.bands, dtype=np.int32), bh.shape
@@ -157,10 +164,44 @@ def _local_sha_dedup(batch: pa.Table) -> pa.Table:
     return batch.take(pa.array(starts, pa.int64()))
 
 
+EXACT_BAND_ID = -1  # content-hash "band": folds exact dedup into the band shuffle
+
+
+def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """One band row per INPUT row keyed by the content hash (band_id = -1).
+
+    Exact dedup then rides the same all-to-all as LSH banding instead of a
+    second sigs shuffle; ``emit_pairs_block`` star-emits these groups with
+    method='exact' (verified in-group by simhash equality on top of the
+    64-bit sha prefix key — combined ~128 content bits; the full-sha1 path
+    remains available as ``exact_pairs_stage``)."""
+    n = len(batch)
+    sha64 = _sha64_of(batch["text_sha1"], n)
+    return pa.table(
+        {
+            "band_id": pa.array(np.full(n, EXACT_BAND_ID, np.int32), pa.int32()),
+            "band_hash": pa.array(sha64, pa.uint64()),
+            "url": batch["url"],
+            "sig8": batch["sig8"],
+            "simhash": batch["simhash"],
+            "sha64": pa.array(sha64, pa.uint64()),
+        }
+    )
+
+
 def band_stage(signatures, cfg: DedupConfig = CANONICAL, *, batch_size: int = 2048):
-    """SIGNATURES Dataset -> BAND_KEYS Dataset (stateless tasks)."""
+    """SIGNATURES Dataset -> BAND_KEYS Dataset (stateless tasks).
+
+    Emits 32+4 LSH band rows per locally-deduped content representative
+    PLUS one exact-band row per input row (EXACT_BAND_ID)."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        exact_rows = _exact_band_rows(b, cfg)
+        mh_rows = band_explode_batch(_local_sha_dedup(b), cfg)
+        return pa.concat_tables([mh_rows, exact_rows]).combine_chunks()
+
     return signatures.map_batches(
-        lambda b: band_explode_batch(_local_sha_dedup(b), cfg),
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -255,6 +296,21 @@ def emit_pairs_block(
 
     for g in multi:
         s, e = int(starts[g]), int(ends[g])
+        if bid[s] == EXACT_BAND_ID:
+            # content group: star-emit (min_url, member) per simhash subgroup
+            # (subdivision guards the 64-bit key against prefix collisions);
+            # O(m) rows, no cap — giant groups are exactly what this handles
+            sub = simhash[s:e]
+            _, first_idx, inv = np.unique(sub, return_index=True, return_inverse=True)
+            root_local = first_idx[inv]          # first (min-url) row per subgroup
+            member = np.flatnonzero(np.arange(e - s) != root_local)
+            if len(member):
+                ia_out.append(s + root_local[member])
+                ib_out.append(s + member)
+                est_out.append(np.ones(len(member)))
+                method_out.append("exact")
+                mcount_out.append(len(member))
+            continue
         # collapse identical texts to their min-url representative (rows are
         # url-sorted, so np.unique's first-occurrence index IS the min url)
         _, first_idx = np.unique(sha64[s:e], return_index=True)
@@ -359,7 +415,15 @@ def candidate_pairs_stage(
         # to their min-url row BEFORE the shuffle (min-of-mins composes with
         # the in-group representative collapse, so output is invariant to
         # how rows landed in batches). Mirrored/replicated pages stop
-        # inflating the all-to-all.
+        # inflating the all-to-all. Exact-band rows (band_id < 0) are NEVER
+        # collapsed — every member must reach its content group.
+        exact_part = None
+        if len(b) and "band_id" in b.column_names:
+            bid0 = b["band_id"].to_numpy(zero_copy_only=False)
+            if (bid0 < 0).any():
+                keep_neg = pa.array(bid0 < 0)
+                exact_part = b.filter(keep_neg)
+                b = b.filter(pa.compute.invert(keep_neg))
         n = len(b)
         if n > 1 and "sha64" in b.column_names:
             idx = pc.sort_indices(
@@ -381,6 +445,8 @@ def candidate_pairs_stage(
             if same.any():
                 starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
                 b = b.take(pa.array(starts, pa.int64()))
+        if exact_part is not None:
+            b = pa.concat_tables([b, exact_part]).combine_chunks()
         bh = b["band_hash"].to_numpy(zero_copy_only=False)
         bi = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):

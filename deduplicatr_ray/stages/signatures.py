@@ -26,11 +26,35 @@ from ..functions.textnorm import tokenize
 EMPTY_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-class SignatureActor:
-    """Callable class for ``map_batches(..., concurrency=N)`` actor pools."""
+_POLY_BAND = np.uint64(0x9E3779B97F4A7C15)
 
-    def __init__(self, cfg: DedupConfig = CANONICAL) -> None:
+
+def band_hashes_from_minhash(minhash: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, num_perm) minhash -> (n, bands) band hashes (poly-mix of each
+    band's rows_per_band values + splitmix64 finalize)."""
+    from ..functions.hashing import splitmix64
+
+    n = len(minhash)
+    m = minhash.reshape(n, cfg.bands, cfg.rows_per_band)
+    with np.errstate(over="ignore"):
+        acc = np.zeros((n, cfg.bands), dtype=np.uint64)
+        for r in range(cfg.rows_per_band):
+            acc = acc * _POLY_BAND + m[:, :, r]
+        return splitmix64(acc)
+
+
+class SignatureActor:
+    """Callable class for ``map_batches(..., concurrency=N)`` actor pools.
+
+    ``keep_minhash=False`` (the flagship setting) drops the 1 KiB/doc raw
+    minhash column after folding it into per-band hashes (bands x 8 B) —
+    the only downstream consumers are banding (band_hashes) and
+    verification (sig8), so the materialized SIGNATURES table shrinks ~4x.
+    """
+
+    def __init__(self, cfg: DedupConfig = CANONICAL, keep_minhash: bool = True) -> None:
         self.cfg = cfg
+        self.keep_minhash = keep_minhash
         self.hasher = TokenHasher(cfg.token_hash_seed)
         self.perm_a, self.perm_b = make_permutations(cfg.num_perm, cfg.perm_seed)
 
@@ -86,36 +110,54 @@ class SignatureActor:
 
         # --- SimHash: tf-weighted sign-of-sum == sum over token OCCURRENCES,
         # so no per-doc unique: unpack bits of every token hash and reduceat.
+        # Chunked on doc boundaries (~16k tokens) so the bit matrix stays
+        # ~1 MB — the unchunked version streams tens of MB per batch through
+        # DRAM and saturates bandwidth at high core counts.
         simhash = np.zeros(n, dtype=np.uint64)
         has_tokens = np.flatnonzero(n_tokens > 0)
         if len(has_tokens):
-            bits = np.unpackbits(
-                th_flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
-            )
-            sums = np.add.reduceat(
-                bits, tok_bounds[:-1][has_tokens], axis=0, dtype=np.int64
-            )
-            majority = (2 * sums) > n_tokens[has_tokens][:, None]
             weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-            simhash[has_tokens] = (majority.astype(np.uint64) * weights).sum(
-                axis=1, dtype=np.uint64
-            )
+            ht_starts = tok_bounds[:-1][has_tokens]
+            ht_ends = tok_bounds[1:][has_tokens]
+            nh = len(has_tokens)
+            chunk = 16384
+            d0 = 0
+            while d0 < nh:
+                d1 = d0 + 1
+                while d1 < nh and ht_ends[d1 - 1] - ht_starts[d0] < chunk:
+                    d1 += 1
+                s, e = ht_starts[d0], ht_ends[d1 - 1]
+                bits = np.unpackbits(
+                    th_flat[s:e].view(np.uint8).reshape(-1, 8),
+                    axis=1,
+                    bitorder="little",
+                )
+                sums = np.add.reduceat(
+                    bits, (ht_starts[d0:d1] - s).astype(np.int64), axis=0,
+                    dtype=np.int64,
+                )
+                majority = (2 * sums) > n_tokens[has_tokens[d0:d1]][:, None]
+                simhash[has_tokens[d0:d1]] = (
+                    majority.astype(np.uint64) * weights
+                ).sum(axis=1, dtype=np.uint64)
+                d0 = d1
 
         sig8 = (minhash & np.uint64(0xFF)).astype(np.uint8)
-        return pa.table(
-            {
-                "url": batch["url"],
-                "text_sha1": batch["text_sha1"],
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array(minhash.reshape(-1), pa.uint64()), cfg.num_perm
-                ),
-                "sig8": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig8.reshape(-1), pa.uint8()), cfg.num_perm
-                ),
-                "simhash": pa.array(simhash, pa.uint64()),
-                "n_shingles": pa.array(n_shingles, pa.int64()),
-            }
+        cols: dict = {"url": batch["url"], "text_sha1": batch["text_sha1"]}
+        if self.keep_minhash:
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(minhash.reshape(-1), pa.uint64()), cfg.num_perm
+            )
+        bh = band_hashes_from_minhash(minhash, cfg)
+        cols["band_hashes"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(bh.reshape(-1), pa.uint64()), cfg.bands
         )
+        cols["sig8"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(sig8.reshape(-1), pa.uint8()), cfg.num_perm
+        )
+        cols["simhash"] = pa.array(simhash, pa.uint64())
+        cols["n_shingles"] = pa.array(n_shingles, pa.int64())
+        return pa.table(cols)
 
 
 def signature_stage(
@@ -124,6 +166,7 @@ def signature_stage(
     *,
     batch_size: int = 256,
     concurrency: int | tuple[int, int] = (2, 8),
+    keep_minhash: bool = False,
 ):
     """EXTRACTED Dataset -> SIGNATURES Dataset (actor pool, 1 CPU/actor).
 
@@ -132,7 +175,7 @@ def signature_stage(
     """
     return extracted.map_batches(
         SignatureActor,
-        fn_constructor_kwargs={"cfg": cfg},
+        fn_constructor_kwargs={"cfg": cfg, "keep_minhash": keep_minhash},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -162,6 +162,73 @@ def components_hashes(pairs_ds):
     return ids, ids[label]
 
 
+def components_with_roots(pairs_ds):
+    """PAIRS Dataset -> (keys, root_h, roots, root_urls, root_sizes).
+
+    Single driver pass: pulls (ha, hb, url_a, url_b) once, runs the numpy
+    min-label propagation, then resolves canonical min-url + size per
+    component with one pandas groupby — one fewer distributed plan than
+    components_hashes + a roots aggregate (each plan costs seconds of
+    barrier latency that the 4N-CPU leg can't hide). Driver work is
+    O(E) numpy + one string groupby; for edge lists beyond driver memory
+    use ``distributed_components`` + the distributed roots aggregate in
+    ``assign_clusters_distributed`` instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ha_parts, hb_parts, ua_parts, ub_parts = [], [], [], []
+    for b in pairs_ds.select_columns(["ha", "hb", "url_a", "url_b"]).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow"
+    ):
+        ha_parts.append(b["ha"].to_numpy(zero_copy_only=False))
+        hb_parts.append(b["hb"].to_numpy(zero_copy_only=False))
+        ua_parts.append(np.asarray(b["url_a"].to_pylist(), dtype=object))
+        ub_parts.append(np.asarray(b["url_b"].to_pylist(), dtype=object))
+    empty = (
+        np.empty(0, np.uint64),
+        np.empty(0, np.uint64),
+        np.empty(0, np.uint64),
+        [],
+        np.empty(0, np.int64),
+    )
+    if not ha_parts:
+        return empty
+
+    ha = np.concatenate(ha_parts)
+    hb = np.concatenate(hb_parts)
+    ids = np.unique(np.concatenate([ha, hb]))
+    ea = np.searchsorted(ids, ha)
+    eb = np.searchsorted(ids, hb)
+
+    label = np.arange(len(ids), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        before = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        while True:  # pointer jumping
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    root_h = ids[label]
+
+    # canonical min url + size per component (each member appears in >=1
+    # edge endpoint, so the endpoint min IS the member min)
+    member_h = np.concatenate([ha, hb])
+    member_root = np.concatenate([root_h[ea], root_h[eb]])
+    urls_flat = np.concatenate(ua_parts + ub_parts)
+    df = pd.DataFrame({"h": member_h, "root": member_root, "url": urls_flat})
+    df = df.drop_duplicates("h")
+    agg = df.groupby("root", sort=True).agg(cluster_id=("url", "min"))
+    roots = agg.index.to_numpy(np.uint64)
+    _, counts = np.unique(root_h, return_counts=True)  # aligned: both sorted by root
+    return ids, root_h, roots, agg["cluster_id"].tolist(), counts.astype(np.int64)
+
+
 def components_broadcast(pairs_ds) -> "ClusterMaps":
     """PAIRS Dataset -> ClusterMaps.
 
