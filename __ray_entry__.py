@@ -239,6 +239,19 @@ def q_token_counts(sf_dir: str):
     return token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_approx_distinct_tokens(sf_dir: str):
+    """A7 sketch aggregate: HLL distinct-token estimate per lang, expressed
+    as a custom commutative AggregateFn (the reference's order-independent
+    dir-hash sum analog). Exact at this corpus's tiny vocabulary."""
+    from deduplicatr_ray.functions.sketch import approx_distinct_tokens_agg
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .groupby("lang")
+        .aggregate(approx_distinct_tokens_agg())
+    )
+
+
 def q_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
@@ -454,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_hash_assign": q_sampled_hash_assign,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
+        "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
@@ -530,6 +544,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
                      AS n_tokens
             FROM documents
+        """,
+        "approx_distinct_tokens": """
+            SELECT lang, count(DISTINCT tok) AS approx_distinct_tokens FROM (
+              SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents) GROUP BY lang
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events, min(event_id) AS min_event_id

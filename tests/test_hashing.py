@@ -122,3 +122,28 @@ def test_sha1_and_sampled_hash():
 def test_splitmix64_bijective_sample():
     x = np.arange(10_000, dtype=np.uint64)
     assert len(np.unique(splitmix64(x))) == 10_000
+
+
+def test_hll_sketch_accuracy_and_commutativity():
+    """A7 sketch: ~2% error at p=12, and merge is commutative/associative
+    (the reference's order-independent accumulation analog)."""
+    import numpy as np
+
+    from deduplicatr_ray.functions.sketch import (
+        hll_add_hashes,
+        hll_estimate,
+        hll_init,
+        hll_merge,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    hs = rng.integers(0, 2**64 - 1, 50_000, dtype=np.uint64)
+    reg = hll_add_hashes(hll_init(12), hs)
+    est = hll_estimate(reg)
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+    # split + merge in any order == whole
+    a = hll_add_hashes(hll_init(12), hs[:20_000])
+    b = hll_add_hashes(hll_init(12), hs[20_000:])
+    assert np.array_equal(hll_merge(a, b), reg)
+    assert np.array_equal(hll_merge(b, a), reg)
