@@ -232,26 +232,36 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int) -> dict:
-    """Two fresh subprocesses (N and 4N CPUs) on the same input."""
-    legs = {}
-    for cpus in (cpus_lo, cpus_hi):
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--single-run",
-                "--cpus",
-                str(cpus),
-                "--sf-dir",
-                sf_dir,
-                "--replicas",
-                str(replicas),
-            ],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
-            check=True,
-        )
-        legs[cpus] = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    """Fresh subprocesses at N and 4N CPUs on the same input.
+
+    Legs are INTERLEAVED (lo, hi, lo, hi, ...) and the best wall per level
+    is kept — the sandbox VM's host-level throughput drifts +-20% over
+    minutes, which would otherwise bias whichever leg ran second."""
+    runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    legs: dict = {}
+    env = dict(os.environ, GRAFT_BENCH_RUNS="1")
+    for _ in range(runs):
+        for cpus in (cpus_lo, cpus_hi):
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--single-run",
+                    "--cpus",
+                    str(cpus),
+                    "--sf-dir",
+                    sf_dir,
+                    "--replicas",
+                    str(replicas),
+                ],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                check=True,
+                env=env,
+            )
+            leg = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+            if cpus not in legs or leg["wall_sec"] < legs[cpus]["wall_sec"]:
+                legs[cpus] = leg
     lo, hi = legs[cpus_lo], legs[cpus_hi]
     ratio = cpus_hi / cpus_lo
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio

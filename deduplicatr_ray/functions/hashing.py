@@ -82,9 +82,23 @@ class TokenHasher:
         return h
 
     def hash_tokens(self, tokens: Iterable[str]) -> np.ndarray:
-        """Hash a token sequence to a uint64 array."""
+        """Hash a token sequence to a uint64 array.
+
+        Factorizes first (C-speed) so blake2b + memo probing run once per
+        UNIQUE token, then gathers — the per-occurrence Python path was 60%
+        of signature-stage CPU on realistic page lengths."""
+        toks = tokens if isinstance(tokens, list) else list(tokens)
+        if len(toks) < 64:
+            ht = self.hash_token
+            return np.fromiter((ht(t) for t in toks), dtype=_U64, count=len(toks))
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(toks, dtype=object), sort=False)
         ht = self.hash_token
-        return np.fromiter((ht(t) for t in tokens), dtype=_U64)
+        uhashes = np.fromiter(
+            (ht(t) for t in uniques), dtype=_U64, count=len(uniques)
+        )
+        return uhashes[codes]
 
 
 # ---------------------------------------------------------------------------
