@@ -175,7 +175,6 @@ def components_with_roots(pairs_ds):
     ``assign_clusters_distributed`` instead.
     """
     import numpy as np
-    import pandas as pd
 
     ha_parts, hb_parts, ua_parts, ub_parts = [], [], [], []
     for b in pairs_ds.select_columns(["ha", "hb", "url_a", "url_b"]).iter_batches(
@@ -197,7 +196,9 @@ def components_with_roots(pairs_ds):
 
     ha = np.concatenate(ha_parts)
     hb = np.concatenate(hb_parts)
-    ids = np.unique(np.concatenate([ha, hb]))
+    member_h = np.concatenate([ha, hb])
+    # one unique pass serves both the id table AND member dedup indices
+    ids, first_idx = np.unique(member_h, return_index=True)
     ea = np.searchsorted(ids, ha)
     eb = np.searchsorted(ids, hb)
 
@@ -217,16 +218,20 @@ def components_with_roots(pairs_ds):
     root_h = ids[label]
 
     # canonical min url + size per component (each member appears in >=1
-    # edge endpoint, so the endpoint min IS the member min)
-    member_h = np.concatenate([ha, hb])
-    member_root = np.concatenate([root_h[ea], root_h[eb]])
+    # edge endpoint, so the endpoint min IS the member min). Pure numpy:
+    # segment root-sorted members, python min per segment only.
     urls_flat = np.concatenate(ua_parts + ub_parts)
-    df = pd.DataFrame({"h": member_h, "root": member_root, "url": urls_flat})
-    df = df.drop_duplicates("h")
-    agg = df.groupby("root", sort=True).agg(cluster_id=("url", "min"))
-    roots = agg.index.to_numpy(np.uint64)
-    _, counts = np.unique(root_h, return_counts=True)  # aligned: both sorted by root
-    return ids, root_h, roots, agg["cluster_id"].tolist(), counts.astype(np.int64)
+    urls_d = urls_flat[first_idx]              # one url per member, ids-aligned
+    order = np.argsort(root_h, kind="stable")
+    rs = root_h[order]
+    us = urls_d[order]
+    bounds = np.flatnonzero(rs[1:] != rs[:-1]) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(rs)]])
+    roots = rs[starts]                         # sorted unique roots
+    root_urls = [min(us[s:e].tolist()) for s, e in zip(starts, ends)]
+    counts = (ends - starts).astype(np.int64)  # members per root, root-sorted
+    return ids, root_h, roots, root_urls, counts
 
 
 def components_broadcast(pairs_ds) -> "ClusterMaps":
