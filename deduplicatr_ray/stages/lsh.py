@@ -177,12 +177,16 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     remains available as ``exact_pairs_stage``)."""
     n = len(batch)
     sha64 = _sha64_of(batch["text_sha1"], n)
+    # sig8 is NULL here: exact groups are keyed by content hash and verified
+    # by simhash equality — shipping the 128-B sketch per exact row would
+    # add ~128 B/doc of dead shuffle payload
+    sig8_type = batch.schema.field("sig8").type
     return pa.table(
         {
             "band_id": pa.array(np.full(n, EXACT_BAND_ID, np.int32), pa.int32()),
             "band_hash": pa.array(sha64, pa.uint64()),
             "url": batch["url"],
-            "sig8": batch["sig8"],
+            "sig8": pa.nulls(n, sig8_type),
             "simhash": batch["simhash"],
             "sha64": pa.array(sha64, pa.uint64()),
         }
@@ -277,9 +281,19 @@ def emit_pairs_block(
     if len(multi) == 0:
         return _EMPTY_PAIRS
 
-    sig8 = (
-        block["sig8"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-    ).reshape(n, cfg.num_perm)
+    # rows are band_id-sorted, so exact-band rows (band_id < 0, NULL sig8)
+    # form a prefix; the sketch matrix covers only the LSH rows after it
+    n_exact = int(np.searchsorted(bid, 0))
+    if n_exact < n:
+        sig8 = (
+            block["sig8"]
+            .slice(n_exact)
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+        ).reshape(n - n_exact, cfg.num_perm)
+    else:
+        sig8 = np.empty((0, cfg.num_perm), np.uint8)
     simhash = block["simhash"].to_numpy(zero_copy_only=False)
     if "sha64" in block.column_names:
         sha64 = block["sha64"].to_numpy(zero_copy_only=False)
@@ -321,7 +335,8 @@ def emit_pairs_block(
         iu0, ju0 = _triu(m)
         iu, ju = reps[iu0] - s, reps[ju0] - s
         # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
-        eq = (sig8[s:e][iu] == sig8[s:e][ju]).mean(axis=1)
+        seg8 = sig8[s - n_exact : e - n_exact]
+        eq = (seg8[iu] == seg8[ju]).mean(axis=1)
         est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
         if bid[s] < cfg.bands:
             keep = est >= tau
