@@ -34,9 +34,16 @@ def hll_add_hashes(reg: np.ndarray, hashes: np.ndarray) -> np.ndarray:
     nz = rest != 0
     rank = np.full(len(hashes), 64 - p + 1, dtype=np.uint8)
     if nz.any():
-        # floor(log2(rest)): position of highest set bit
-        hi = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        rank[nz] = (hi + 1).astype(np.uint8)
+        # exact leading-zero count via integer ops (float log2 rounds values
+        # just under a power of two UP, overstating the highest-bit position):
+        # smear the top bit downward, then popcount == bit_length
+        v = rest[nz].copy()
+        for s in (1, 2, 4, 8, 16, 32):
+            v |= v >> np.uint64(s)
+        bitlen = np.unpackbits(v.view(np.uint8).reshape(-1, 8), axis=1).sum(
+            axis=1, dtype=np.int64
+        )
+        rank[nz] = (64 - bitlen + 1).astype(np.uint8)
     np.maximum.at(reg, idx, rank)
     return reg
 

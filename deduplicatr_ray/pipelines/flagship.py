@@ -105,8 +105,18 @@ def dedup_pipeline(
     sig_batch_size: int = 256,
     checkpoint_dir: str | None = None,
     run_id: str = "run0",
+    components: str = "auto",
 ) -> DedupResult:
-    """Full flagship pipeline; returns clusters + distinct pairs + mapping."""
+    """Full flagship pipeline; returns clusters + distinct pairs + mapping.
+
+    Without a checkpoint dir the signature stage is NOT materialized: the
+    whole read -> extract -> signatures -> band shuffle -> forest chain runs
+    as ONE streaming plan (no mid-pipeline barrier — the signature actors
+    feed banding as blocks complete). The final cluster-assignment pass
+    reads only the ``url``/``warc_ts`` columns from ``pages`` again (a
+    column-pruned re-scan is far cheaper than a full-signature
+    materialization barrier).
+    """
     sigs = signatures_from_pages(
         pages, cfg, sig_concurrency=sig_concurrency, sig_batch_size=sig_batch_size
     )
@@ -116,11 +126,30 @@ def dedup_pipeline(
         sigs = checkpoint_dataset(
             sigs, checkpoint_dir, stage="signatures", run_id=run_id, cfg=cfg
         )
-    else:
-        sigs = sigs.materialize()
     return cluster_from_signatures(
-        sigs, cfg, checkpoint_dir=checkpoint_dir, run_id=run_id
+        sigs,
+        cfg,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        url_source=_url_projection(pages),
+        components=components,
     )
+
+
+def _url_projection(pages):
+    """pages -> (url, warc_ts) Dataset for the assignment pass (column-pruned:
+    only these two columns leave storage on the re-scan)."""
+    import pyarrow as pa
+
+    cols = None
+    try:
+        cols = pages.schema(fetch_if_missing=False)
+    except Exception:
+        cols = None
+    names = cols.names if cols is not None else None
+    if names is not None and "warc_ts" not in names:
+        return pages.select_columns(["url"])
+    return pages.select_columns(["url", "warc_ts"])
 
 
 def dedup_pipeline_partitioned(
@@ -165,33 +194,70 @@ def dedup_pipeline_partitioned(
     )
 
 
+# Above this many forest edges the driver no longer pulls url STRINGS:
+# components run over uint64 hashes only (16 B/edge) and the canonical
+# min-url reduce happens distributedly (assign_clusters_distributed).
+DRIVER_EDGE_MAX = int(__import__("os").environ.get("GRAFT_DRIVER_EDGE_MAX", 5_000_000))
+
+
 def cluster_from_signatures(
     sigs,
     cfg: DedupConfig = CANONICAL,
     *,
     checkpoint_dir: str | None = None,
     run_id: str = "run0",
+    url_source=None,
+    components: str = "auto",
 ) -> DedupResult:
     """SIGNATURES Dataset -> DedupResult (the pipeline tail after the
     checkpointable signature prefix).
 
     Edge source: forest-mode band pairs (O(m) per hot band instead of
     O(m^2)) + exact star pairs, a distributed connectivity-preserving
-    forest reduction of the near stream, numpy driver components over
-    hashed edges, two-pass distributed assignment. The A4 distinct pass
-    stays OFF the critical path (union-find is idempotent over duplicate
-    edges); the reporting ``pairs`` artifact is lazy.
-    """
-    from ..state.unionfind import components_with_roots, forest_reduce_stage
-    from ..stages.cluster import assign_clusters_broadcast
+    forest reduction of the near stream, components over hashed edges,
+    fused broadcast assignment. The A4 distinct pass stays OFF the
+    critical path (union-find is idempotent over duplicate edges).
 
+    ``components`` selects the A6 implementation:
+
+    * ``"driver"`` — numpy min-label propagation + driver min-url groupby
+      (fastest below ~5M forest edges);
+    * ``"hashes"`` — driver pulls ONLY uint64 edge hashes (16 B/edge); the
+      canonical min-url per component is reduced DISTRIBUTEDLY
+      (``assign_clusters_distributed``) so no url strings ever land on the
+      driver — the default beyond ``DRIVER_EDGE_MAX`` edges;
+    * ``"auto"`` — pick by the materialized forest-edge count.
+
+    The reporting ``pairs`` artifact is lazy and built from an
+    ``emit="all"`` pass — it is the FULL verified-pair set (D3/D4
+    semantics), not the clustering forest; consuming it re-runs the band
+    shuffle with full pair emission (and re-executes the signature prefix
+    when ``sigs`` is a streaming plan).
+    """
+    from ..state.unionfind import (
+        components_hashes,
+        components_with_roots,
+        forest_reduce_stage,
+    )
+    from ..stages.cluster import (
+        assign_clusters_broadcast,
+        assign_clusters_distributed,
+    )
+
+    url_ds = (
+        url_source if url_source is not None else sigs.select_columns(["url"])
+    )
     bands = band_stage(sigs, cfg)
     forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
     # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID rows);
     # the forest reduction dedups near edges repeated across the 32 bands.
     # Materialized once: consumed by driver components AND the roots reduce.
     edge_src = forest_reduce_stage(forest_pairs).materialize()
-    pairs = distinct_pairs_stage(forest_pairs)  # lazy reporting artifact
+    # full verified-pair reporting artifact (ADVICE r1: forest edges are
+    # connectivity-equivalent but NOT the documented pairs semantics)
+    pairs = distinct_pairs_stage(
+        candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="all")
+    )
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -199,13 +265,26 @@ def cluster_from_signatures(
             pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
         )
 
-    # one driver pass: numpy components + canonical roots (A6), then ONE
-    # fused broadcast assignment plan (J1)
-    keys, root_h, roots, root_urls, root_sizes = components_with_roots(edge_src)
-    clusters = assign_clusters_broadcast(
-        sigs, keys, root_h, roots, root_urls, root_sizes
-    )
-    n_clusters = len(root_urls)
+    mode = components
+    n_edges = edge_src.count()
+    if mode == "auto":
+        mode = "driver" if n_edges <= DRIVER_EDGE_MAX else "hashes"
+
+    if mode == "driver":
+        # one driver pass: numpy components + canonical roots (A6), then ONE
+        # fused broadcast assignment plan (J1)
+        keys, root_h, roots, root_urls, root_sizes = components_with_roots(edge_src)
+        clusters = assign_clusters_broadcast(
+            url_ds, keys, root_h, roots, root_urls, root_sizes
+        )
+        n_clusters = len(root_urls)
+    elif mode == "hashes":
+        keys, root_h = components_hashes(edge_src)
+        clusters, n_clusters = assign_clusters_distributed(
+            url_ds, keys, root_h, edge_src
+        )
+    else:
+        raise ValueError(f"unknown components mode: {components!r}")
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -216,6 +295,8 @@ def cluster_from_signatures(
     stats = {
         "docs_in_clusters": int(len(keys)),
         "n_clusters": n_clusters,
+        "n_forest_edges": int(n_edges),
+        "components_mode": mode,
         "config_hash": cfg.config_hash(),
     }
     return DedupResult(clusters=clusters, pairs=pairs, stats=stats)
@@ -223,12 +304,21 @@ def cluster_from_signatures(
 
 def cluster_summary(clusters):
     """A1 analog of the reference's commutative dir-summary accumulation:
-    one row per cluster with member count + canonical url, sorted desc."""
-    from ray.data.aggregate import Count, Min
+    one row per cluster with member count + canonical url (+ most recent
+    ``warc_ts`` as ``last_seen_ts`` recency metadata when the clusters
+    table carries timestamps), sorted desc."""
+    from ray.data.aggregate import Count, Max, Min
 
+    aggs = [Count(alias_name="members"), Min("url", alias_name="canonical_url")]
+    try:
+        names = clusters.schema().names
+    except Exception:
+        names = []
+    if "warc_ts" in names:
+        aggs.append(Max("warc_ts", alias_name="last_seen_ts"))
     return (
         clusters.groupby("cluster_id")
-        .aggregate(Count(alias_name="members"), Min("url", alias_name="canonical_url"))
+        .aggregate(*aggs)
         .sort("members", descending=True)
     )
 

@@ -63,10 +63,18 @@ def read_pages(path: str, *, lang: str | None = None, columns: list[str] | None 
     return read_parquet_auto(path, **kwargs)
 
 
+# deterministic synthetic crawl time for the doc adapter: 2020-01-01 UTC
+# + doc_id minutes (SQL-reproducible: TIMESTAMP '2020-01-01' + doc_id *
+# INTERVAL 1 MINUTE), so cluster recency metadata is oracle-checkable.
+_TS_EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+
+
 def docs_as_pages(sf_dir: str, *, columns_needed: bool = True):
     """Adapt /root/testdata ``documents.parquet`` to the pages schema
-    (FIXTURES.md §5 mapping: url = doc://{doc_id}, warc_ts/html = NULL)."""
+    (FIXTURES.md §5 mapping: url = doc://{doc_id}, html = NULL,
+    warc_ts = 2020-01-01 + doc_id minutes)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
@@ -74,13 +82,17 @@ def docs_as_pages(sf_dir: str, *, columns_needed: bool = True):
 
     def to_pages(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        urls = pa.array(
-            [f"doc://{d}" for d in batch["doc_id"].to_pylist()], pa.string()
+        urls = pc.binary_join_element_wise(
+            "doc://", pc.cast(batch["doc_id"], pa.string()), ""
         )
+        ts = pc.add(
+            pc.multiply(pc.cast(batch["doc_id"], pa.int64()), 60_000_000),
+            _TS_EPOCH_US,
+        ).cast(pa.timestamp("us"))
         return pa.table(
             {
                 "url": urls,
-                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+                "warc_ts": ts,
                 "html": pa.nulls(n, pa.binary()),
                 "text": batch["text"].cast(pa.string()),
                 "lang": batch["lang"].cast(pa.string()),

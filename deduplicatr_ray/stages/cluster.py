@@ -198,25 +198,29 @@ def _assign_fn(batch: pa.Table, *, maps_ref, roots_ref) -> pa.Table:
             rpos = np.searchsorted(roots, r)
             cids[matched] = root_urls[rpos]
             sizes[matched] = root_sizes[rpos]
-    return pa.table(
-        {
-            "url": batch["url"],
-            "cluster_id": pa.array(cids, pa.string()),
-            "cluster_size": pa.array(sizes, pa.int64()),
-            "is_canonical": pa.array(urls == cids, pa.bool_()),
-        }
-    )
+    cols = {
+        "url": batch["url"],
+        "cluster_id": pa.array(cids, pa.string()),
+        "cluster_size": pa.array(sizes, pa.int64()),
+        "is_canonical": pa.array(urls == cids, pa.bool_()),
+    }
+    if "warc_ts" in batch.column_names:  # recency metadata rides along (§2.8)
+        cols["warc_ts"] = batch["warc_ts"]
+    return pa.table(cols)
 
 
 def assign_clusters_broadcast(url_ds, keys, root_h, roots, root_urls, root_sizes):
     """Final fused assignment pass with a driver-computed root table
-    (see ``components_with_roots``) — one plan, two broadcast lookups."""
+    (see ``components_with_roots``) — one plan, two broadcast lookups.
+
+    ``url_ds`` must already be projected to ``url`` (+ optional ``warc_ts``,
+    which passes through as cluster recency metadata)."""
     import numpy as np
     import ray
 
     ref1 = ray.put((keys, root_h))
     ref2 = ray.put((roots, root_urls, np.asarray(root_sizes, np.int64)))
-    return url_ds.select_columns(["url"]).map_batches(
+    return url_ds.map_batches(
         _assign_fn,
         fn_kwargs={"maps_ref": ref1, "roots_ref": ref2},
         batch_format="pyarrow",
@@ -281,7 +285,7 @@ def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
 
     ref1b = ray.put((keys, root_h))
     ref2 = ray.put(roots_payload)
-    clusters = url_ds.select_columns(["url"]).map_batches(
+    clusters = url_ds.map_batches(
         _assign_fn,
         fn_kwargs={"maps_ref": ref1b, "roots_ref": ref2},
         batch_format="pyarrow",

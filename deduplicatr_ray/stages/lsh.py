@@ -224,15 +224,23 @@ _EMPTY_PAIRS = pa.table(
 )
 
 
-_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+# single bounded cache entry: the triu for the LARGEST m seen. Smaller m
+# are derived by masking (triu_indices enumerates row-major, so the subset
+# with both indices < m preserves order and equals triu_indices(m)) —
+# a long-lived worker no longer accumulates one index pair per distinct
+# group size (~45 MB at cap=256, cubic in the cap).
+_TRIU_MAX: list = [0, None]  # [max_m, (iu, ju)]
 
 
 def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
-    pair = _TRIU_CACHE.get(m)
-    if pair is None:
-        pair = np.triu_indices(m, k=1)
-        _TRIU_CACHE[m] = pair
-    return pair
+    if m > _TRIU_MAX[0]:
+        _TRIU_MAX[0] = m
+        _TRIU_MAX[1] = np.triu_indices(m, k=1)
+    iu, ju = _TRIU_MAX[1]
+    if _TRIU_MAX[0] == m:
+        return iu, ju
+    keep = ju < m  # iu < ju always, so iu < m follows
+    return iu[keep], ju[keep]
 
 
 def emit_pairs_block(

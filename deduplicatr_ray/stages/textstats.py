@@ -63,13 +63,19 @@ def textstats_stage(docs, *, concurrency: int | tuple[int, int] = (1, 8)):
 
 
 def token_count_stage(docs):
-    """(doc_id, n_tokens) under the canonical tokenizer (SQL-oracle-checkable)."""
-    from ..functions.textstats import TOKEN_RE
+    """(doc_id, n_tokens) under the canonical tokenizer (SQL-oracle-checkable).
+
+    Vectorized: pyarrow's RE2 regex-count kernel over the lowered column —
+    no per-row Python. ``[a-z0-9]+`` has identical match semantics under
+    RE2 and Python ``re`` (verified by the ``token_counts`` oracle hash)."""
+    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts = [len(TOKEN_RE.findall(t.lower())) for t in batch["text"].to_pylist()]
+        counts = pc.count_substring_regex(
+            pc.utf8_lower(batch["text"]), "[a-z0-9]+"
+        )
         return pa.table(
-            {"doc_id": batch["doc_id"], "n_tokens": pa.array(counts, pa.int64())}
+            {"doc_id": batch["doc_id"], "n_tokens": pc.cast(counts, pa.int64())}
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
