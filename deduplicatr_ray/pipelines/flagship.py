@@ -226,7 +226,16 @@ def cluster_from_signatures(
       canonical min-url per component is reduced DISTRIBUTEDLY
       (``assign_clusters_distributed``) so no url strings ever land on the
       driver — the default beyond ``DRIVER_EDGE_MAX`` edges;
-    * ``"auto"`` — pick by the materialized forest-edge count.
+    * ``"distributed"`` — NOTHING touches the driver: min-label
+      propagation as partition-grouped vectorized rounds
+      (``distributed_components``, fixpoint via a distributed Sum) and a
+      hash-partitioned shuffle join for corpus assignment
+      (``assign_clusters_shuffle``) instead of a broadcast. The path for
+      edge lists beyond driver memory (~10^9+ forest edges); costs one
+      corpus-wide shuffle, so it is explicit opt-in rather than part of
+      ``auto``;
+    * ``"auto"`` — pick driver vs hashes by the materialized forest-edge
+      count.
 
     The reporting ``pairs`` artifact is lazy and built from an
     ``emit="all"`` pass — it is the FULL verified-pair set (D3/D4
@@ -283,8 +292,18 @@ def cluster_from_signatures(
         clusters, n_clusters = assign_clusters_distributed(
             url_ds, keys, root_h, edge_src
         )
+    elif mode == "distributed":
+        from ..state.unionfind import distributed_components
+        from ..stages.cluster import assign_clusters_shuffle
+
+        members = distributed_components(edge_src, full=True).materialize()
+        clusters = assign_clusters_shuffle(url_ds, members)
+        n_clusters = members.groupby("cluster_id").count().count()
+        docs_in_clusters = members.count()
     else:
         raise ValueError(f"unknown components mode: {components!r}")
+    if mode != "distributed":
+        docs_in_clusters = int(len(keys))
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 
@@ -293,7 +312,7 @@ def cluster_from_signatures(
         )
 
     stats = {
-        "docs_in_clusters": int(len(keys)),
+        "docs_in_clusters": docs_in_clusters,
         "n_clusters": n_clusters,
         "n_forest_edges": int(n_edges),
         "components_mode": mode,

@@ -295,6 +295,107 @@ def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
     return clusters, n_clusters
 
 
+def assign_clusters_shuffle(url_ds, members, *, num_partitions: int | None = None):
+    """Never-on-driver corpus assignment: hash-partitioned shuffle join.
+
+    ``members`` is ``distributed_components(..., full=True)`` output —
+    ``(h uint64, url, cluster_id, cluster_size)`` for every url in a
+    verified pair. Corpus rows and member rows are co-partitioned by
+    ``hash(url) % P`` (corpus side recomputes the same
+    ``hash_columns_u64`` the pair stage used) and joined per partition
+    with one sorted uint64 ``searchsorted`` — one Python call per
+    PARTITION, vectorized inside, no broadcast, no driver pull. Urls
+    absent from ``members`` are their own singleton cluster.
+
+    This is the 10^12-doc path: the broadcast assigners above assume the
+    member table fits every worker's heap; this one only assumes a sane
+    partition count.
+    """
+    import numpy as np
+    import ray
+
+    from ..functions.hashing import hash_columns_u64
+    from ..stages.lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+    PU = np.uint64(P)
+    try:
+        has_ts = "warc_ts" in url_ds.schema().names
+    except Exception:
+        has_ts = False
+
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["url"])
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(h, pa.uint64()),
+                "url": b["url"],
+                "cluster_id": pa.nulls(n, pa.string()),
+                "cluster_size": pa.nulls(n, pa.int64()),
+                "warc_ts": (
+                    b["warc_ts"] if has_ts else pa.nulls(n, pa.timestamp("us"))
+                ),
+            }
+        )
+
+    def tag_members(b: pa.Table) -> pa.Table:
+        h = b["h"].to_numpy(zero_copy_only=False)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "h": b["h"],
+                "url": pa.nulls(n, pa.string()),
+                "cluster_id": b["cluster_id"],
+                "cluster_size": b["cluster_size"],
+                "warc_ts": pa.nulls(n, pa.timestamp("us")),
+            }
+        )
+
+    def join_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_c = pc.is_valid(g["url"]).to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        gm = g.filter(pa.array(~is_c))
+        m_h = h[~is_c]
+        m_cid = np.asarray(gm["cluster_id"].to_pylist(), dtype=object)
+        m_sz = gm["cluster_size"].to_numpy(zero_copy_only=False)
+        order = np.argsort(m_h)
+        m_h, m_cid, m_sz = m_h[order], m_cid[order], m_sz[order]
+        gc = g.filter(pa.array(is_c))
+        c_h = h[is_c]
+        urls = np.asarray(gc["url"].to_pylist(), dtype=object)
+        cids = urls.copy()
+        sizes = np.ones(len(c_h), dtype=np.int64)
+        if len(m_h):
+            pos = np.minimum(np.searchsorted(m_h, c_h), len(m_h) - 1)
+            hit = m_h[pos] == c_h
+            cids[hit] = m_cid[pos[hit]]
+            sizes[hit] = m_sz[pos[hit]].astype(np.int64)
+        cols = {
+            "url": gc["url"],
+            "cluster_id": pa.array(cids, pa.string()),
+            "cluster_size": pa.array(sizes, pa.int64()),
+            "is_canonical": pa.array(urls == cids, pa.bool_()),
+        }
+        if has_ts:
+            cols["warc_ts"] = gc["warc_ts"]
+        return pa.table(cols)
+
+    corpus = url_ds.map_batches(
+        tag_corpus, batch_format="pyarrow", zero_copy_batch=True
+    )
+    mem = members.map_batches(
+        tag_members, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return corpus.union(mem).groupby("part").map_groups(
+        join_part, batch_format="pyarrow"
+    )
+
+
 def assign_clusters_arrays_stage(
     url_ds, maps, *, concurrency: int | tuple[int, int] | None = None
 ):

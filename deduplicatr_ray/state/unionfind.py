@@ -381,136 +381,319 @@ def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
     )
 
 
-def distributed_components(pairs_ds, max_rounds: int = 50):
-    """Hash-to-min over a PAIRS Dataset -> Dataset (url, cluster_id).
+def _part_join(left, right, fn, *, P: int):
+    """Co-partitioned vectorized join: union two ``kind``-tagged Datasets
+    that share a ``part`` column, group by PARTITION (not by key!) and run
+    ``fn`` once per partition over the whole Arrow block. This is the
+    engine's standard hash-partition + vectorized-block pattern
+    (``stages/lsh.py`` pair emission uses the same shape) — exactly P
+    Python invocations per pass, numpy/searchsorted inside, instead of one
+    ``map_groups`` call per key."""
+    return (
+        left.union(right)
+        .groupby("part")
+        .map_groups(fn, batch_format="pyarrow")
+    )
 
-    Each round: emit (node, label) both ways over every edge plus each node's
-    own current label, take min label per node via a groupby aggregate, and
-    rewrite edge endpoints' labels. Terminates when no label changes.
 
-    Edges are relabelled by broadcasting the (small) changed-label delta is
-    NOT assumed — the full label map is re-joined via groupby each round, so
-    the pattern scales with the edge list, not the driver.
+def distributed_components(
+    pairs_ds, max_rounds: int = 50, num_partitions=None, full: bool = False
+):
+    """Min-label propagation over a PAIRS Dataset -> Dataset (url, cluster_id)
+    with NOTHING ever materialized on the driver (A6 scale path).
+
+    All per-round state is uint64 (node hash, label hash; 16 B/row shuffle
+    payload — url strings only enter the two final passes). Each round is
+    two partition-grouped vectorized passes:
+
+    1. **offer** — edges and labels co-partitioned by ``src % P``; per
+       partition, one ``np.searchsorted`` maps every edge's src to its
+       current label and emits ``(dst, label)`` offers re-keyed by
+       ``dst % P``;
+    2. **min** — offers and old labels co-partitioned by ``node % P``; per
+       partition, ``np.minimum.at`` folds offers into the label array and a
+       per-row ``changed`` flag is emitted.
+
+    Fixpoint is a distributed ``Sum`` of the change flags (a scalar to the
+    driver — never the label table). Converges in O(component diameter)
+    rounds; the flagship feeds forest-reduced edges (per-band stars joined
+    by shared members), so the diameter is small in practice and bounded by
+    ``max_rounds``. Cluster ids are the lexicographic min url per component,
+    reduced distributedly (groupby-Min) and joined back partition-wise.
+
+    ``full=True`` additionally carries the member url hash and the
+    distributed per-component Count, returning
+    ``(h uint64, url, cluster_id, cluster_size)`` — the input the
+    shuffle-join corpus assignment (``assign_clusters_shuffle``) needs for
+    the never-on-driver flagship path.
+
+    cf. hash-to-min (Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", ICDE 2013) — this is the
+    fixed-label-width variant that trades round count for O(1) per-node
+    state.
     """
+    import numpy as np
     import pyarrow as pa
     import ray.data as rd
-    from ray.data.aggregate import Min
 
-    # node-labels l(v) initialised to v; edge list symmetrised once
+    from ..functions.hashing import hash_columns_u64
+    from ..stages.lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+    PU = np.uint64(P)
+
+    # ---- pass 0: symmetric uint64 edge list + per-partition node dedup ----
     def to_edges(b: pa.Table) -> pa.Table:
+        if "ha" in b.column_names:  # emitted at pair creation
+            ha = b["ha"].to_numpy(zero_copy_only=False)
+            hb = b["hb"].to_numpy(zero_copy_only=False)
+        else:
+            ha = hash_columns_u64(b, ["url_a"])
+            hb = hash_columns_u64(b, ["url_b"])
+        src = np.concatenate([ha, hb])
+        dst = np.concatenate([hb, ha])
         return pa.table(
             {
-                "node": pa.chunked_array([b["url_a"], b["url_b"]]).combine_chunks(),
-                "nbr": pa.chunked_array([b["url_b"], b["url_a"]]).combine_chunks(),
+                "part": pa.array((src % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(src, pa.uint64()),
+                "v": pa.array(dst, pa.uint64()),
+                "kind": pa.array(np.zeros(len(src), np.int8), pa.int8()),
             }
         )
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    edges = pairs_ds.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        cols = {"url": pa.array([], pa.string()),
+                "cluster_id": pa.array([], pa.string())}
+        if full:
+            cols = {"h": pa.array([], pa.uint64()), **cols,
+                    "cluster_size": pa.array([], pa.int64())}
+        return rd.from_arrow(pa.table(cols))
 
-    # labels: min neighbour (including self) per node, iterated
-    def with_self(b: pa.Table) -> pa.Table:
+    def to_nodes(b: pa.Table) -> pa.Table:
+        if "ha" in b.column_names:
+            ha = b["ha"].to_numpy(zero_copy_only=False)
+            hb = b["hb"].to_numpy(zero_copy_only=False)
+        else:
+            ha = hash_columns_u64(b, ["url_a"])
+            hb = hash_columns_u64(b, ["url_b"])
+        h = np.concatenate([ha, hb])
+        urls = pa.chunked_array([b["url_a"], b["url_b"]]).combine_chunks()
         return pa.table(
             {
-                "node": pa.chunked_array([b["node"], b["node"]]).combine_chunks(),
-                "cand": pa.chunked_array([b["nbr"], b["node"]]).combine_chunks(),
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(h, pa.uint64()),
+                "url": urls,
             }
         )
 
-    labels = (
-        edges.map_batches(with_self, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("cand", alias_name="label"))
+    def dedup_nodes(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(h, return_index=True)
+        return g.take(pa.array(np.sort(first), pa.int64()))
+
+    # (part, h, url) — one row per node, partitioned by h % P; also the
+    # initial label table label(v) = v
+    nodes = (
+        pairs_ds.map_batches(to_nodes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dedup_nodes, batch_format="pyarrow")
         .materialize()
     )
 
-    for _ in range(max_rounds):
-        # propagate: each node offers its label to every neighbour
-        lab_edges = _join_labels(edges, labels)  # (node, nbr, label_of_node)
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {
+                "part": b["part"],
+                "h": b["h"],
+                "v": b["h"],  # label := self
+                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
+            }
+        )
 
-        def offers(b: pa.Table) -> pa.Table:
+    labels = nodes.map_batches(
+        init_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # ---- rounds ----
+    def offer_pass(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        e = kind == 0
+        src, dst = h[e], v[e]
+        l_node, l_val = h[~e], v[~e]
+        if len(src) == 0:
             return pa.table(
-                {
-                    "node": pa.chunked_array([b["nbr"], b["node"]]).combine_chunks(),
-                    "cand": pa.chunked_array([b["label"], b["label"]]).combine_chunks(),
-                }
+                {"part": pa.array([], pa.int32()), "h": pa.array([], pa.uint64()),
+                 "v": pa.array([], pa.uint64()),
+                 "kind": pa.array([], pa.int8())}
             )
-
-        new_labels = (
-            lab_edges.map_batches(offers, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="label"))
-            .materialize()
+        order = np.argsort(l_node)
+        l_node, l_val = l_node[order], l_val[order]
+        lab = l_val[np.searchsorted(l_node, src)]  # every src has a label
+        keep = lab < dst  # offers that can't lower anything are dropped early
+        dst, lab = dst[keep], lab[keep]
+        return pa.table(
+            {
+                "part": pa.array((dst % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(dst, pa.uint64()),
+                "v": pa.array(lab, pa.uint64()),
+                "kind": pa.array(np.zeros(len(dst), np.int8), pa.int8()),
+            }
         )
-        if _labels_equal(labels, new_labels):
-            labels = new_labels
+
+    def min_pass(g: pa.Table) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        old = kind == 1
+        l_node, l_val = h[old], v[old].copy()
+        order = np.argsort(l_node)
+        l_node, l_val = l_node[order], l_val[order]
+        o_node, o_val = h[~old], v[~old]
+        new = l_val.copy()
+        if len(o_node):
+            np.minimum.at(new, np.searchsorted(l_node, o_node), o_val)
+        changed = (new != l_val).astype(np.int64)
+        part = np.full(len(l_node), -1, np.int32)
+        if len(l_node):
+            part = (l_node % PU).astype(np.int32)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int32()),
+                "h": pa.array(l_node, pa.uint64()),
+                "v": pa.array(new, pa.uint64()),
+                "kind": pa.array(np.ones(len(l_node), np.int8), pa.int8()),
+                "changed": pa.array(changed, pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        offers = _part_join(edges, labels, offer_pass, P=P)
+        new_labels = _part_join(offers, labels, min_pass, P=P).materialize()
+        n_changed = new_labels.sum("changed")  # distributed fixpoint scalar
+        labels = new_labels.drop_columns(["changed"])
+        if not n_changed:
             break
-        labels = new_labels
 
-    return labels.map_batches(
-        lambda b: pa.table({"url": b["node"], "cluster_id": b["label"]}),
-        batch_format="pyarrow",
-    )
+    # ---- resolve cluster ids: min url per component, all distributed ----
+    from ray.data.aggregate import Min
 
-
-def _join_labels(edges, labels):
-    """Hash-join edges with node labels via a two-key-source groupby trick."""
-    import pyarrow as pa
-
-    def tag_edge(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "node": b["node"],
-                "nbr": b["nbr"],
-                "label": pa.nulls(n, pa.string()),
-            }
-        )
-
-    def tag_label(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "node": b["node"],
-                "nbr": pa.nulls(n, pa.string()),
-                "label": b["label"],
-            }
-        )
-
-    unioned = edges.map_batches(tag_edge, batch_format="pyarrow").union(
-        labels.map_batches(tag_label, batch_format="pyarrow")
-    )
-
-    def resolve(g: pa.Table) -> pa.Table:
+    def member_pass(g: pa.Table) -> pa.Table:
+        """join nodes (h, url) with final labels (h -> root) per partition"""
         import pyarrow.compute as pc
 
-        lab = pc.drop_null(g["label"])
-        if len(lab) == 0:
-            label = g["node"][0]
-        else:
-            label = lab[0]
-        nbrs = g.filter(pc.is_valid(g["nbr"]))
-        m = len(nbrs)
-        if m == 0:
-            return pa.table(
-                {
-                    "node": pa.array([], pa.string()),
-                    "nbr": pa.array([], pa.string()),
-                    "label": pa.array([], pa.string()),
-                }
-            )
+        is_node = pc.is_valid(g["url"]).to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        l_node, l_val = h[~is_node], v[~is_node]
+        order = np.argsort(l_node)
+        l_node, l_val = l_node[order], l_val[order]
+        gn = g.filter(pa.array(is_node))
+        root = l_val[np.searchsorted(l_node, h[is_node])]
+        # int64 bit-view: Ray's hash groupby coerces out-of-range uint64
+        # keys to pickled Python objects; the view is bijective so
+        # equality-grouping semantics are unchanged
         return pa.table(
             {
-                "node": nbrs["node"],
-                "nbr": nbrs["nbr"],
-                "label": pa.array([label.as_py()] * m, pa.string()),
+                "h": pa.array(h[is_node], pa.uint64()),
+                "url": gn["url"],
+                "root_h": pa.array(root.view(np.int64), pa.int64()),
             }
         )
 
-    return unioned.groupby("node").map_groups(resolve, batch_format="pyarrow")
+    def tag_nodes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": b["part"], "h": b["h"],
+                "v": pa.nulls(len(b), pa.uint64()), "url": b["url"],
+            }
+        )
 
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": b["part"], "h": b["h"],
+                "v": b["v"], "url": pa.nulls(len(b), pa.string()),
+            }
+        )
 
-def _labels_equal(a, b) -> bool:
-    """Compare two small (node,label) Datasets for fixpoint detection."""
-    ta = a.to_pandas().sort_values("node").reset_index(drop=True)
-    tb = b.to_pandas().sort_values("node").reset_index(drop=True)
-    return ta.equals(tb)
+    members = _part_join(
+        nodes.map_batches(tag_nodes, batch_format="pyarrow"),
+        labels.map_batches(tag_labels, batch_format="pyarrow"),
+        member_pass,
+        P=P,
+    ).materialize()
+
+    from ray.data.aggregate import Count
+
+    roots = members.groupby("root_h").aggregate(
+        Min("url", alias_name="cluster_id"),
+        Count(alias_name="cluster_size"),
+    )
+
+    def tag_members2(b: pa.Table) -> pa.Table:
+        rh = b["root_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((rh % PU).astype(np.int32), pa.int32()),
+                "root_h": b["root_h"],
+                "h": b["h"],
+                "url": b["url"],
+                "cluster_id": pa.nulls(n, pa.string()),
+                "cluster_size": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_roots(b: pa.Table) -> pa.Table:
+        rh = b["root_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((rh % PU).astype(np.int32), pa.int32()),
+                "root_h": b["root_h"],
+                "h": pa.nulls(n, pa.uint64()),
+                "url": pa.nulls(n, pa.string()),
+                "cluster_id": b["cluster_id"],
+                "cluster_size": pa.array(
+                    b["cluster_size"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+        )
+
+    def assign_pass(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_m = pc.is_valid(g["url"]).to_numpy(zero_copy_only=False)
+        rh = g["root_h"].to_numpy(zero_copy_only=False)
+        gr = g.filter(pa.array(~is_m))
+        r_h = rh[~is_m]
+        r_cid = np.asarray(gr["cluster_id"].to_pylist(), dtype=object)
+        r_sz = gr["cluster_size"].to_numpy(zero_copy_only=False)
+        order = np.argsort(r_h)
+        r_h, r_cid, r_sz = r_h[order], r_cid[order], r_sz[order]
+        gm = g.filter(pa.array(is_m))
+        pos = np.searchsorted(r_h, rh[is_m])
+        cols = {
+            "url": gm["url"],
+            "cluster_id": pa.array(r_cid[pos], pa.string()),
+        }
+        if full:
+            cols = {
+                "h": gm["h"],
+                **cols,
+                "cluster_size": pa.array(r_sz[pos].astype(np.int64), pa.int64()),
+            }
+        return pa.table(cols)
+
+    return _part_join(
+        members.map_batches(tag_members2, batch_format="pyarrow"),
+        roots.map_batches(tag_roots, batch_format="pyarrow"),
+        assign_pass,
+        P=P,
+    )

@@ -177,3 +177,28 @@ def test_distributed_components_matches_driver(ray_session):
     got_tbl = distributed_components(rd.from_arrow(pairs)).to_pandas()
     got = dict(zip(got_tbl.url, got_tbl.cluster_id))
     assert got == want
+
+
+def test_distributed_mode_matches_driver_full_corpus(ray_session):
+    """The fully distributed flagship path (label-propagation components +
+    shuffle-join assignment, nothing on the driver) must row-match the
+    driver path over a whole mixed synthetic corpus (VERDICT r1 item 1)."""
+    import ray.data as rd
+
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+    from deduplicatr_ray.sources.synthetic import gen_corpus
+
+    pages, _ = gen_corpus("mixed")
+    cols = ["url", "cluster_id", "cluster_size", "is_canonical"]
+
+    def run(mode):
+        res = dedup_pipeline(rd.from_arrow(pages), components=mode)
+        df = res.clusters.to_pandas()[cols]
+        return res, df.sort_values("url").reset_index(drop=True)
+
+    res_d, want = run("driver")
+    for mode in ("hashes", "distributed"):
+        res_m, got = run(mode)
+        assert got.equals(want), f"{mode} clusters diverge from driver"
+        assert res_m.stats["n_clusters"] == res_d.stats["n_clusters"]
+        assert res_m.stats["docs_in_clusters"] == res_d.stats["docs_in_clusters"]
