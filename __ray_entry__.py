@@ -345,6 +345,16 @@ def q_suffix_dups(sf_dir: str):
     return suffix_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_suffix_array_dups(sf_dir: str):
+    """D5, true suffix-array variant: per-partition SA + LCP over
+    fingerprint-routed texts; exact >= min_len substring pairs with a
+    variable-length lcs_len bound (superset of suffix_dups at the
+    winnowing guarantee length)."""
+    from deduplicatr_ray.stages.textstats import suffix_array_pairs
+
+    return suffix_array_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_fingerprint_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -440,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "suffix_dups": q_suffix_dups,
+        "suffix_array_dups": q_suffix_array_dups,
         "fingerprint_counts": q_fingerprint_counts,
         "text_quality": q_text_quality,
         "cluster_summary": q_cluster_summary,

@@ -232,3 +232,94 @@ def suffix_candidate_pairs(docs, *, w: int = 25, guarantee_len: int = 50, group_
         .groupby("part")
         .map_groups(dfirst, batch_format="pyarrow")
     )
+
+
+def suffix_array_pairs(
+    docs,
+    *,
+    w: int = 25,
+    guarantee_len: int = 50,
+    min_len: int = 25,
+    group_cap: int = 256,
+    num_partitions: int | None = None,
+):
+    """TRUE suffix-array substring pass (D5's "optional suffix-array pass").
+
+    Routing reuses the winnowing guarantee: each doc's text is shipped to
+    every DISTINCT partition one of its sampled fingerprints hashes to, so
+    any pair sharing >= ``guarantee_len`` chars co-locates in at least one
+    partition (no false negatives at the guarantee length — the same
+    contract as ``suffix_candidate_pairs``). Inside each partition a
+    concatenated suffix array + LCP scan (``functions/suffix.py``, pure
+    numpy prefix doubling) finds every co-located pair sharing >=
+    ``min_len`` chars and reports a variable-length ``lcs_len`` lower bound
+    — which fixed-L winnowing cannot produce. The text-duplication factor
+    (<= distinct fingerprint partitions per doc) is the stage's documented
+    scale cost; cf. the substring-dedup design in Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (ACL 2022),
+    which also shards full text into suffix-array chunks.
+
+    With ``min_len <= w`` the output pair set is a SUPERSET of
+    ``suffix_candidate_pairs`` (every shared sampled w-gram fingerprint is
+    a shared w-char substring, found exactly here), minus hash-collision
+    false positives the candidate pass can emit.
+    """
+    import numpy as _np
+
+    from ..functions.suffix import sa_doc_pairs
+    from ..functions.textstats import fingerprint_doc
+    from .lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+
+    def route(batch: pa.Table) -> pa.Table:
+        parts: list[int] = []
+        ids: list[int] = []
+        texts: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
+            if not len(f):
+                continue
+            for p in _np.unique(f % _np.uint64(P)).tolist():
+                parts.append(int(p))
+                ids.append(d)
+                texts.append(t)
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def sa_block(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        first = np.sort(first)
+        texts = [g["text"][int(i)].as_py() for i in first]
+        a, b, l = sa_doc_pairs(
+            texts, ids[first], min_len=min_len, group_cap=group_cap
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "lcs_len": pa.array(l, pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sa_block, batch_format="pyarrow")
+    )
+
+    # distinct across partitions (a pair can co-locate in several), keeping
+    # the best lcs_len bound
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("lcs_len", alias_name="lcs_len"))
+        .sort(["id_a", "id_b"])
+    )
