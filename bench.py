@@ -109,7 +109,16 @@ def scaled_pages(sf_dir: str, replicas: int):
     compute relative to scheduling in scaling measurements). Replicas keep
     identical text, so they form known exact-dup clusters. 256 input blocks
     so both parallelism levels see >= 4x partitions per CPU.
+
+    ODD replicas carry raw ``html`` bytes with ``text = NULL`` — the M4
+    extractor runs in the hot path on ~half the corpus (VERDICT r1 "What's
+    missing" #4). The html template round-trips the frozen extractor
+    (FIXTURES.md §3: body escaped, whitespace already collapsed in the sf
+    text), so html replicas stay byte-identical exact dups of text replicas
+    and the cluster structure is unchanged.
     """
+    import html as _htmlmod
+
     import pyarrow as pa
     import ray.data as rd
 
@@ -128,8 +137,18 @@ def scaled_pages(sf_dir: str, replicas: int):
             for i in range(n)
         ]
         text_arr = pa.array(texts, pa.string())
+        htmls = [
+            (
+                "<html><head><title>d</title><script>var q=0;</script>"
+                f"<style>p{{margin:0}}</style></head><body><p>"
+                f"{_htmlmod.escape(t)}</p><!-- crawl --></body></html>"
+            ).encode("utf-8")
+            for t in texts
+        ]
+        html_arr = pa.array(htmls, pa.binary())
         parts = []
         for r in range(replicas):
+            as_html = r % 2 == 1
             parts.append(
                 pa.table(
                     {
@@ -137,8 +156,8 @@ def scaled_pages(sf_dir: str, replicas: int):
                             [f"doc://r{r}/{d}" for d in doc_ids], pa.string()
                         ),
                         "warc_ts": pa.nulls(n, pa.timestamp("us")),
-                        "html": pa.nulls(n, pa.binary()),
-                        "text": text_arr,
+                        "html": html_arr if as_html else pa.nulls(n, pa.binary()),
+                        "text": pa.nulls(n, pa.string()) if as_html else text_arr,
                         "lang": batch["lang"].cast(pa.string()),
                     }
                 )
@@ -158,7 +177,7 @@ def prepare_corpus(sf_dir: str, replicas: int) -> str:
     # virtual disk (a real N-node cluster has N disks; /tmp here is a single
     # vda that caps read scaling at ~2x)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-    path = f"{base}/graft_bench_corpus_v2_{os.path.basename(sf_dir.rstrip('/'))}_r{replicas}"
+    path = f"{base}/graft_bench_corpus_v3_{os.path.basename(sf_dir.rstrip('/'))}_r{replicas}"
     marker = path + ".complete"
     if os.path.exists(marker):
         return path
@@ -200,6 +219,75 @@ def run_single(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     }
 
 
+PHASE_NAMES = ["read_extract", "signatures", "band_forest", "components", "assign"]
+
+
+def run_phased(sf_dir: str, num_cpus: int, replicas: int) -> dict:
+    """One fresh-process flagship run SPLIT at materialize barriers so each
+    phase's wall can be compared across parallelism levels (VERDICT r1 #3:
+    per-phase efficiency breakdown — shows WHERE scaling is lost).
+
+    The barriers make the total slower than the streaming plan `run_single`
+    times (phases can't overlap here); the per-phase ratios, not the total,
+    are the product of this mode.
+    """
+    _init_ray(num_cpus)
+    import ray
+    import ray.data as rd
+
+    from deduplicatr_ray.config import CANONICAL
+    from deduplicatr_ray.pipelines.flagship import default_sig_concurrency
+    from deduplicatr_ray.stages.cluster import assign_clusters_broadcast
+    from deduplicatr_ray.stages.extract import extract_stage
+    from deduplicatr_ray.stages.lsh import band_stage, candidate_pairs_stage
+    from deduplicatr_ray.stages.signatures import signature_stage
+    from deduplicatr_ray.state.unionfind import (
+        components_with_roots,
+        forest_reduce_stage,
+    )
+
+    corpus = prepare_corpus(sf_dir, replicas)
+    phases: dict[str, float] = {}
+
+    def mark(name: str, t0: float) -> float:
+        t1 = time.perf_counter()
+        phases[name] = round(t1 - t0, 3)
+        return t1
+
+    t = time.perf_counter()
+    extracted = rd.read_parquet(corpus)
+    extracted = extract_stage(extracted).materialize()
+    t = mark("read_extract", t)
+    sigs = signature_stage(
+        extracted,
+        CANONICAL,
+        batch_size=256,
+        concurrency=default_sig_concurrency(),
+    ).materialize()
+    t = mark("signatures", t)
+    edges = forest_reduce_stage(
+        candidate_pairs_stage(band_stage(sigs, CANONICAL), CANONICAL, emit="forest")
+    ).materialize()
+    t = mark("band_forest", t)
+    keys, root_h, roots, root_urls, root_sizes = components_with_roots(edges)
+    t = mark("components", t)
+    clusters = assign_clusters_broadcast(
+        extracted.select_columns(["url"]), keys, root_h, roots, root_urls, root_sizes
+    )
+    n_rows = _consume(clusters)
+    mark("assign", t)
+
+    total = round(sum(phases.values()), 3)
+    ray.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "docs": n_rows,
+        "wall_sec": total,
+        "docs_per_sec": round(n_rows / total, 1),
+        "phases": phases,
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     """Default mode: time each headline query over the sf dir."""
     _init_ray(num_cpus)
@@ -231,22 +319,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int) -> dict:
+def run_scaling(
+    sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int, phases: bool = False
+) -> dict:
     """Fresh subprocesses at N and 4N CPUs on the same input.
 
     Legs are INTERLEAVED (lo, hi, lo, hi, ...) and the best wall per level
     is kept — the sandbox VM's host-level throughput drifts +-20% over
-    minutes, which would otherwise bias whichever leg ran second."""
+    minutes, which would otherwise bias whichever leg ran second.
+
+    With ``phases=True`` each leg runs the barrier-split pipeline
+    (``run_phased``) and the report adds per-phase walls + per-phase
+    efficiency — the evidence for WHICH stage loses scaling on this box."""
     runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     legs: dict = {}
     env = dict(os.environ, GRAFT_BENCH_RUNS="1")
+    mode_flag = ["--phased-run"] if phases else ["--single-run"]
     for _ in range(runs):
         for cpus in (cpus_lo, cpus_hi):
             proc = subprocess.run(
                 [
                     sys.executable,
                     os.path.abspath(__file__),
-                    "--single-run",
+                    *mode_flag,
                     "--cpus",
                     str(cpus),
                     "--sf-dir",
@@ -265,7 +360,7 @@ def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int) -> dict:
     lo, hi = legs[cpus_lo], legs[cpus_hi]
     ratio = cpus_hi / cpus_lo
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ratio
-    return {
+    out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -283,6 +378,17 @@ def run_scaling(sf_dir: str, cpus_lo: int, cpus_hi: int, replicas: int) -> dict:
         },
         "cpu_ratio": ratio,
     }
+    if phases:
+        out["phases"] = {
+            f"cpus{cpus_lo}": lo["phases"],
+            f"cpus{cpus_hi}": hi["phases"],
+        }
+        out["phase_efficiency"] = {
+            p: round((lo["phases"][p] / hi["phases"][p]) / ratio, 3)
+            for p in PHASE_NAMES
+            if hi["phases"].get(p)
+        }
+    return out
 
 
 def main() -> None:
@@ -299,15 +405,23 @@ def main() -> None:
         "that per-stage barrier overheads amortize, as they would on a real "
         "cluster's hours-long runs)",
     )
+    ap.add_argument(
+        "--phases",
+        action="store_true",
+        help="with --scaling: barrier-split legs reporting per-phase efficiency",
+    )
     ap.add_argument("--single-run", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--phased-run", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     real_fd = _silence_stdout()
     if args.single_run:
         _emit(real_fd, run_single(args.sf_dir, args.cpus, args.replicas))
+    elif args.phased_run:
+        _emit(real_fd, run_phased(args.sf_dir, args.cpus, args.replicas))
     elif args.scaling:
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
-        _emit(real_fd, run_scaling(args.sf_dir, lo, hi, args.replicas))
+        _emit(real_fd, run_scaling(args.sf_dir, lo, hi, args.replicas, args.phases))
     else:
         _emit(real_fd, run_bench(args.sf_dir, args.cpus))
 

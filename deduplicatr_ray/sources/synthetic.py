@@ -57,6 +57,7 @@ class _Builder:
     def __init__(self, corpus: str, rng: np.random.Generator) -> None:
         self.corpus = corpus
         self.rng = rng
+        self.html_only = False  # force every page through the M4 extractor
         self.vocab = _vocab(rng)
         self.urls: list[str] = []
         self.ts: list[int] = []
@@ -102,7 +103,9 @@ class _Builder:
             ).encode("utf-8")
         text_col: str | None = text
         html_col: bytes | None = html
-        if mode < 0.10:
+        if self.html_only:
+            text_col = None      # whole corpus rides the extractor hot path
+        elif mode < 0.10:
             text_col = None      # html-only path: extractor must recover text
         elif mode < 0.20:
             html_col = None      # text-only path
@@ -275,12 +278,21 @@ def _gen_edge(b: _Builder) -> None:
         b.add_page(b.sample_text(1, 10))
 
 
+def _gen_htmlmix(b: _Builder) -> None:
+    """The ``mixed`` workload with EVERY page html-only (text = NULL): the
+    recall gate runs with the M4 extractor in the hot path for 100% of rows
+    (VERDICT r1 "What's missing" #4)."""
+    b.html_only = True
+    _gen_mixed(b)
+
+
 _GENERATORS = {
     "exact": _gen_exact,
     "near": _gen_near,
     "boiler": _gen_boiler,
     "mixed": _gen_mixed,
     "edge": _gen_edge,
+    "htmlmix": _gen_htmlmix,
 }
 
 

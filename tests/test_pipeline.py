@@ -30,7 +30,9 @@ def _run(pages):
     return dedup_pipeline(rd.from_arrow(pages))
 
 
-@pytest.mark.parametrize("name", ["exact", "near", "boiler", "mixed", "edge"])
+@pytest.mark.parametrize(
+    "name", ["exact", "near", "boiler", "mixed", "edge", "htmlmix"]
+)
 def test_recall_gate(ray_session, name):
     """dup-pair recall >= 0.99 against injected ground truth (BASELINE.json:2)."""
     pages, truth = gen_corpus(name)
