@@ -18,17 +18,22 @@ import sys
 import time
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None, address: str = "local") -> None:
+    """``local`` starts a single-node session (the sandbox default);
+    ``auto`` attaches to a running cluster — the mode ``ray job submit``
+    uses (jobs/README.md). ``num_cpus`` only applies to local sessions."""
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        kwargs = dict(
+            address=address,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -40,7 +45,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     from .pipelines.flagship import dedup_pipeline, dedup_pipeline_partitioned
     from .sources.pages import read_pages
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     try:
         t0 = time.monotonic()
         if args.partitions and args.ckpt:
@@ -62,7 +67,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         else:
             pages = read_pages(args.input, lang=args.lang)
             res = dedup_pipeline(
-                pages, checkpoint_dir=args.ckpt, run_id=args.run_id
+                pages,
+                checkpoint_dir=args.ckpt,
+                run_id=args.run_id,
+                components=args.components,
             )
         n_docs = res.clusters.count()
         if args.output:
@@ -92,7 +100,7 @@ def cmd_report(args: argparse.Namespace) -> int:
     import ray
     import ray.data as rd
 
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.address)
     try:
         clusters = rd.read_parquet(args.clusters)
         from .pipelines.flagship import cluster_summary
@@ -110,6 +118,12 @@ def cmd_report(args: argparse.Namespace) -> int:
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--address",
+        default="local",
+        help="'local' starts a single-node session; 'auto' attaches to a "
+        "running cluster (what `ray job submit` entrypoints use)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("run", help="run the flagship dedup pipeline")
@@ -118,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-id", default="run0")
     pr.add_argument("--output", default=None, help="clusters parquet out dir")
     pr.add_argument("--lang", default=None, help="optional lang filter pushdown")
+    pr.add_argument(
+        "--components",
+        default="auto",
+        choices=["auto", "driver", "hashes", "distributed"],
+        help="A6 connected-components implementation (see "
+        "pipelines/flagship.py:cluster_from_signatures); 'distributed' "
+        "keeps everything off the driver for 10^9+ forest edges",
+    )
     pr.add_argument(
         "--partitions",
         type=int,

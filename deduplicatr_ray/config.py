@@ -54,6 +54,12 @@ class DedupConfig:
     band_group_cap: int = 256   # groups larger than this are routed to the
                                 # exact-hash path instead of O(m^2) pairing
 
+    # --- exact-band key width (ADVICE r1): 64 = sha1 prefix subdivided by
+    #     simhash (~128 correlated content bits, probabilistic 'exact');
+    #     128 = sha1 bytes 0..16 (full 128-bit match, same shuffle payload —
+    #     recommended for 10^11+-doc corpora) ---
+    exact_key_bits: int = 64
+
     # --- optional suffix pass (off in goldens) ---
     suffix_min_len: int = 50    # common substring >= L chars
     suffix_enabled: bool = False

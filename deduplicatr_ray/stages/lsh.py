@@ -127,6 +127,15 @@ def _sha64_of(sha1_col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
     return buf[start : start + n * 20].reshape(n, 20)[:, :8].copy().view(np.uint64).reshape(n)
 
 
+def _sha64b_of(sha1_col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """Bytes 8..16 of each sha1 as uint64 — the second half of the 128-bit
+    exact key (``cfg.exact_key_bits = 128``)."""
+    arr = sha1_col.combine_chunks() if isinstance(sha1_col, pa.ChunkedArray) else sha1_col
+    buf = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * 20
+    return buf[start : start + n * 20].reshape(n, 20)[:, 8:16].copy().view(np.uint64).reshape(n)
+
+
 def _empty_band_table(cfg: DedupConfig) -> pa.Table:
     return pa.table(
         {
@@ -172,13 +181,21 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
     Exact dedup then rides the same all-to-all as LSH banding instead of a
     second sigs shuffle; ``emit_pairs_block`` star-emits these groups with
-    method='exact' (verified in-group by simhash equality on top of the
-    64-bit sha prefix key — combined ~128 content bits; the full-sha1 path
-    remains available as ``exact_pairs_stage``)."""
+    method='exact', subdividing each 64-bit-prefix group by the row's
+    ``simhash`` slot. With the default ``cfg.exact_key_bits = 64`` that slot
+    carries the SimHash (~128 combined content bits, probabilistic 'exact'
+    — documented r1 trade); with ``exact_key_bits = 128`` it carries sha1
+    bytes 8..16 instead, making 'exact' a full 128-bit sha1 match at ZERO
+    extra shuffle payload (the slot is only ever used for exact-group
+    subdivision). The full-sha1 path remains as ``exact_pairs_stage``."""
     n = len(batch)
     sha64 = _sha64_of(batch["text_sha1"], n)
+    if cfg.exact_key_bits >= 128:
+        subkey = pa.array(_sha64b_of(batch["text_sha1"], n), pa.uint64())
+    else:
+        subkey = batch["simhash"]
     # sig8 is NULL here: exact groups are keyed by content hash and verified
-    # by simhash equality — shipping the 128-B sketch per exact row would
+    # by subkey equality — shipping the 128-B sketch per exact row would
     # add ~128 B/doc of dead shuffle payload
     sig8_type = batch.schema.field("sig8").type
     return pa.table(
@@ -187,7 +204,7 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
             "band_hash": pa.array(sha64, pa.uint64()),
             "url": batch["url"],
             "sig8": pa.nulls(n, sig8_type),
-            "simhash": batch["simhash"],
+            "simhash": subkey,
             "sha64": pa.array(sha64, pa.uint64()),
         }
     )

@@ -101,6 +101,24 @@ def test_cluster_outputs_well_formed(ray_session):
     assert summ.members.iloc[0] >= 30
 
 
+def test_wide_exact_key_equivalent_clusters(ray_session):
+    """cfg.exact_key_bits=128 (full sha1-128 exact match, ADVICE r1) yields
+    the same clusters as the default probabilistic 64+simhash key on a
+    corpus with heavy exact duplication."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from deduplicatr_ray.config import CANONICAL
+
+    pages, _ = gen_corpus("mixed")
+    wide = dataclasses.replace(CANONICAL, exact_key_bits=128)
+    r64 = dedup_pipeline(rd.from_arrow(pages))
+    r128 = dedup_pipeline(rd.from_arrow(pages), cfg=wide)
+    assert r64.mapping == r128.mapping
+    assert r64.stats["config_hash"] != r128.stats["config_hash"]
+
+
 def test_short_and_empty_docs_only_exact(ray_session):
     """M10: docs below shingle width cluster only via exact byte equality."""
     import ray.data as rd

@@ -1,0 +1,80 @@
+"""Blocked exact embedding-dup pairs (stages/similarity.py) vs an
+in-process dense reference: the block-pair task decomposition must produce
+exactly the dense pair set, once per unordered pair, across multiple
+blocks (within-block triu + cross-block emission)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _fixture_embeddings(n: int = 100, dim: int = 16, seed: int = 7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # a few tight clusters so pairs exist at high thresholds
+    centers = rng.standard_normal((8, dim))
+    assign = rng.integers(0, 8, size=n)
+    m = centers[assign] + 0.05 * rng.standard_normal((n, dim))
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(m), pa.list_(pa.float64(), dim)),
+        }
+    )
+    return tbl, ids, m
+
+
+def _dense_pairs(ids: np.ndarray, m: np.ndarray, threshold: float) -> set:
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= threshold
+    return {(int(ids[i]), int(ids[j])) for i, j in zip(iu[keep], ju[keep])}
+
+
+@pytest.mark.parametrize("block_rows", [16, 1000])
+def test_blocked_pairs_match_dense(ray_session, block_rows):
+    """Multi-block (16 => 7 blocks, 28 block-pair tasks) and single-block
+    configurations both reproduce the dense pair set exactly."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import embedding_dup_pairs
+
+    tbl, ids, m = _fixture_embeddings()
+    want = _dense_pairs(ids, m, threshold=0.9)
+    assert want  # fixture sanity: clusters produce pairs
+
+    out = embedding_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.9, block_rows=block_rows
+    ).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert got == want
+    # exactly once per unordered pair (no triu/cross double emission)
+    assert len(out) == len(got)
+    assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_blocked_pairs_row_chunking(ray_session):
+    """row_chunk smaller than the block: chunked matmul must not drop or
+    duplicate upper-triangle pairs at chunk boundaries."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import (
+        _block_pair_sims,
+        embedding_dup_pairs,
+    )
+
+    tbl, ids, m = _fixture_embeddings(n=50)
+    want = _dense_pairs(ids, m, threshold=0.85)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    out = _block_pair_sims((ids, norm), (ids, norm), 0.85, same=True, row_chunk=7)
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert got == want
+
+    # end-to-end with blocks not dividing n evenly
+    ds_out = embedding_dup_pairs(
+        rd.from_arrow(tbl), threshold=0.85, block_rows=13
+    ).to_pandas()
+    assert set(zip(ds_out["id_a"].astype(int), ds_out["id_b"].astype(int))) == want
