@@ -338,6 +338,16 @@ def q_ngram_jaccard_dups(sf_dir: str):
     return ngram_verify_join(docs_as_pages(sf_dir), _verified_pairs(sf_dir))
 
 
+def q_ngram_jaccard_all(sf_dir: str):
+    """EXACT corpus-wide n-gram Jaccard (inverted-index postings join, no
+    LSH prefilter): every unordered doc pair with shingle-set Jaccard >= 1/2.
+    Integer threshold test (2*n_shared >= n_union) so the result is bit-exact
+    vs the DuckDB string-shingle oracle."""
+    from deduplicatr_ray.stages.verify import ngram_jaccard_all
+
+    return ngram_jaccard_all(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_suffix_dups(sf_dir: str):
     """D5 exact-substring candidates via winnowed rolling-hash fingerprints."""
     from deduplicatr_ray.stages.textstats import suffix_candidate_pairs
@@ -389,6 +399,17 @@ def q_ann_lsh_dups(sf_dir: str):
     from deduplicatr_ray.stages.similarity import ann_lsh_pairs
 
     return ann_lsh_pairs(_embeddings(sf_dir), threshold=0.35, bits=4, tables=16)
+
+
+def q_ann_ivf_knn(sf_dir: str):
+    """IVF approximate top-k: spherical-kmeans coarse quantizer, probe 4 of
+    16 cells (recall vs brute gated in test_similarity.py; nprobe=ncells is
+    tested exactly equal to knn_brute)."""
+    from deduplicatr_ray.stages.similarity import ann_ivf_knn
+
+    return ann_ivf_knn(
+        _embeddings(sf_dir), query_ids=list(range(10)), k=5, ncells=16, nprobe=4
+    )
 
 
 def q_media_features(sf_dir: str):
@@ -449,12 +470,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
+        "ngram_jaccard_all": q_ngram_jaccard_all,
         "suffix_dups": q_suffix_dups,
         "suffix_array_dups": q_suffix_array_dups,
         "fingerprint_counts": q_fingerprint_counts,
         "text_quality": q_text_quality,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
+        "ann_ivf_knn": q_ann_ivf_knn,
         "media_features": q_media_features,
         "media_frame_pipeline": q_media_frame_pipeline,
     }
@@ -462,6 +485,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     k = _SAMPLED_K
+    from deduplicatr_ray.functions.textstats import STOPWORDS
+
+    sw_rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in sorted(ws)
+    )
     return {
         "doc_stats_by_lang": """
             SELECT lang,
@@ -545,5 +575,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # string-shingle replica of the engine's hashed-shingle postings join;
+        # identical absent 64-bit hash collisions (p ~ n_shingles^2 / 2^64)
+        "ngram_jaccard_all": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 4, 0))) AS g(i)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   c AS n_shared,
+                   sa.n + sb.n - c AS n_union
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE 2 * c >= sa.n + sb.n - c
+            ORDER BY id_a, id_b
+        """,
+        # mirrors functions/textstats.py exactly: same regexes (corpus is
+        # ASCII, so Python-re and RE2 \\w/\\s agree), same float expression
+        # trees (bit-identical IEEE doubles), stopword table generated from
+        # the SAME dict, ties broken (hits DESC, lang DESC) like Python's
+        # max((score, lang))
+        "text_quality": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+                     CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                       AS n_punct
+              FROM documents
+            ),
+            f2 AS (
+              SELECT doc_id, n_chars,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     n_punct,
+                     CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(length(array_to_string(toks, '')) AS BIGINT)
+                               / len(toks)
+                     END AS mean_token_len
+              FROM feats
+            ),
+            sw(lang, word) AS (VALUES {sw_rows}),
+            hits AS (
+              SELECT f.doc_id, s.lang, count(*) AS c
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM feats) f
+              JOIN sw s ON f.tok = s.word
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, lang DESC) AS rn
+              FROM hits
+            )
+            SELECT f2.doc_id, f2.n_chars, f2.n_tokens, f2.n_punct,
+                   f2.mean_token_len,
+                   CASE WHEN f2.n_tokens = 0 OR f2.n_chars = 0 THEN 0.0
+                        ELSE round(least(1.0, f2.n_tokens / 100.0)
+                                   * greatest(0.0,
+                                       1.0 - 4.0 * (f2.n_punct / f2.n_chars))
+                                   * (CASE WHEN f2.mean_token_len
+                                               BETWEEN 2.5 AND 9.0
+                                           THEN 1.0 ELSE 0.5 END), 6)
+                   END AS quality,
+                   coalesce(b.lang, 'und') AS lang_pred
+            FROM f2
+            LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+              USING (doc_id)
         """,
     }

@@ -105,6 +105,198 @@ def _block_jaccard(
     return j
 
 
+_EMPTY_JACCARD_ALL = pa.table(
+    {
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "na": pa.array([], pa.int64()),
+        "nb": pa.array([], pa.int64()),
+    }
+)
+
+
+class _ShingleExplodeActor:
+    """docs batch -> one row per (doc_id, distinct shingle hash), carrying the
+    doc's distinct-shingle-set size so the final Jaccard needs NO extra join
+    against a per-doc sizes table (the count is denormalized onto every
+    posting row, 8 bytes each). Hasher state built once per actor."""
+
+    def __init__(self, cfg: DedupConfig) -> None:
+        from ..functions.hashing import TokenHasher
+
+        self.cfg = cfg
+        self.hasher = TokenHasher(cfg.token_hash_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import shingle_hashes
+        from ..functions.textnorm import tokenize
+
+        w = self.cfg.shingle_w
+        ids: list[np.ndarray] = []
+        shs: list[np.ndarray] = []
+        ns: list[np.ndarray] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = shingle_hashes(self.hasher.hash_tokens(tokenize(t or "")), w)
+            m = len(sh)
+            if not m:
+                continue
+            shs.append(sh)
+            ids.append(np.full(m, d, np.int64))
+            ns.append(np.full(m, m, np.int64))
+        if not shs:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.uint64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "nset": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(shs), pa.uint64()),
+                "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+                "nset": pa.array(np.concatenate(ns), pa.int64()),
+            }
+        )
+
+
+def _posting_pairs_block(g: pa.Table, df_cap: int | None) -> pa.Table:
+    """WHOLE shingle groups -> one pair row per shared shingle (vectorized
+    segments; same block pattern as ``suffix_pairs_block``). Each row carries
+    both docs' set sizes so downstream needs only a groupby-count."""
+    import pyarrow.compute as pc
+
+    n = len(g)
+    if n < 2:
+        return _EMPTY_JACCARD_ALL
+    order = pc.sort_indices(
+        g, sort_keys=[("sh", "ascending"), ("doc_id", "ascending")]
+    )
+    g = g.take(order)
+    sh = g["sh"].to_numpy(zero_copy_only=False)
+    did = g["doc_id"].to_numpy(zero_copy_only=False)
+    nst = g["nset"].to_numpy(zero_copy_only=False)
+    boundary = np.flatnonzero(sh[1:] != sh[:-1]) + 1
+    starts = np.concatenate([[0], boundary])
+    ends = np.concatenate([boundary, [n]])
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2 or (df_cap is not None and m > df_cap):
+            continue
+        iu, ju = np.triu_indices(m, k=1)
+        out_a.append(did[s + iu])
+        out_b.append(did[s + ju])
+        out_na.append(nst[s + iu])
+        out_nb.append(nst[s + ju])
+    if not out_a:
+        return _EMPTY_JACCARD_ALL
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "na": pa.array(np.concatenate(out_na), pa.int64()),
+            "nb": pa.array(np.concatenate(out_nb), pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_all(
+    docs,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    df_cap: int | None = None,
+    num_partitions: int | None = None,
+    sh_concurrency: int | tuple[int, int] = (1, 8),
+):
+    """EXACT corpus-wide n-gram Jaccard dedup — the inverted-index postings
+    join (no LSH prefilter, no sampling): docs -> distinct shingle postings ->
+    pairs per shared shingle -> groupby(pair) count -> integer threshold.
+
+    Output ``(id_a, id_b, n_shared, n_union)`` for every unordered doc pair
+    with Jaccard(shingle sets) >= tau_num/tau_den. The threshold test is the
+    integer cross-multiplication ``tau_den * n_shared >= tau_num * n_union``
+    — no float compare, so the result is bit-exact against the DuckDB SQL
+    oracle (``oracle_sql()['ngram_jaccard_all']``, which builds the same
+    5-token shingles with string keys; hash-collision divergence probability
+    is ~n_shingles^2 / 2^64).
+
+    Scale notes: one all-to-all on the shingle hash, vectorized block pairing
+    per posting segment. Cost is sum(df^2) over shingles — quadratic in a
+    shingle's document frequency, which is what "exact" costs. ``df_cap``
+    drops boilerplate shingles above a doc-frequency cap (standard practice;
+    breaks exactness, documented); the LSH pipeline is the sub-quadratic
+    route and this operator is its exactness oracle.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Min
+
+    from .lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+
+    postings = docs.map_batches(
+        _ShingleExplodeActor,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        concurrency=sh_concurrency,
+        num_cpus=1,
+    )
+
+    def with_part(b: pa.Table) -> pa.Table:
+        part = (
+            b["sh"].to_numpy(zero_copy_only=False) % np.uint64(P)
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def block(g: pa.Table) -> pa.Table:
+        return _posting_pairs_block(g.drop_columns(["part"]), df_cap)
+
+    pair_rows = (
+        postings.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+    agg = pair_rows.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_shared"),
+        Min("na", alias_name="na"),
+        Min("nb", alias_name="nb"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        shared = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = (
+            b["na"].to_numpy(zero_copy_only=False)
+            + b["nb"].to_numpy(zero_copy_only=False)
+            - shared
+        ).astype(np.int64)
+        keep = tau_den * shared >= tau_num * union
+        out = pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "n_shared": pa.array(shared, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+            }
+        )
+        return out.filter(pa.array(keep))
+
+    return pair_rows_finish_sort(
+        agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def pair_rows_finish_sort(ds):
+    """Deterministic (id_a, id_b) ordering for reports/goldens."""
+    return ds.sort(["id_a", "id_b"])
+
+
 def ngram_verify_join(
     pages,
     cand_pairs,

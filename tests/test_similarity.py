@@ -78,3 +78,45 @@ def test_blocked_pairs_row_chunking(ray_session):
         rd.from_arrow(tbl), threshold=0.85, block_rows=13
     ).to_pandas()
     assert set(zip(ds_out["id_a"].astype(int), ds_out["id_b"].astype(int))) == want
+
+
+def test_ivf_full_probe_equals_brute(ray_session):
+    """nprobe == ncells prunes nothing: IVF must equal brute exactly."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import ann_ivf_knn, knn_brute
+
+    tbl, _, _ = _fixture_embeddings(n=120)
+    ds = rd.from_arrow(tbl)
+    qids = list(range(6))
+    brute = (
+        knn_brute(ds, query_ids=qids, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ann_ivf_knn(ds, query_ids=qids, k=5, ncells=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert brute.equals(ivf)
+
+
+def test_ivf_pruned_recall(ray_session):
+    """Clustered fixture: probing 2 of 8 cells keeps recall@5 high — the
+    coarse quantizer routes queries to their own cluster's cell."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import ann_ivf_knn, knn_brute
+
+    tbl, _, _ = _fixture_embeddings(n=200)
+    ds = rd.from_arrow(tbl)
+    qids = list(range(10))
+    brute = knn_brute(ds, query_ids=qids, k=5).to_pandas()
+    ivf = ann_ivf_knn(ds, query_ids=qids, k=5, ncells=8, nprobe=2).to_pandas()
+    want = set(zip(brute["query_id"], brute["neighbor_id"]))
+    got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall

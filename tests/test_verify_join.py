@@ -125,3 +125,85 @@ def test_verify_join_empty_candidates(ray_session):
         {"url_a": pa.array([], pa.string()), "url_b": pa.array([], pa.string())}
     )
     assert ngram_verify_join(rd.from_arrow(pages), rd.from_arrow(cand)).count() == 0
+
+
+def _brute_jaccard_all(docs: dict[int, str], tau_num: int, tau_den: int):
+    """Set-ops reference for ngram_jaccard_all on hand-built docs."""
+    from deduplicatr_ray.config import CANONICAL
+    from deduplicatr_ray.functions.hashing import TokenHasher, shingle_hashes
+    from deduplicatr_ray.functions.textnorm import tokenize
+
+    th = TokenHasher(CANONICAL.token_hash_seed)
+    sets = {
+        d: set(
+            shingle_hashes(th.hash_tokens(tokenize(t)), CANONICAL.shingle_w).tolist()
+        )
+        for d, t in docs.items()
+    }
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and tau_den * inter >= tau_num * union:
+                out[(a, b)] = (inter, union)
+    return out
+
+
+def test_ngram_jaccard_all_matches_set_ops(ray_session):
+    """Exact postings-join Jaccard == brute-force set intersection/union."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.verify import ngram_jaccard_all
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    variant = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau CHANGED"
+    )
+    unrelated = (
+        "one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = {1: base, 2: variant, 3: unrelated, 4: base}
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in sorted(docs)], pa.string()),
+        }
+    )
+    got_df = ngram_jaccard_all(rd.from_arrow(tbl)).to_pandas()
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.n_union) for r in got_df.itertuples()
+    }
+    want = _brute_jaccard_all(docs, 1, 2)
+    assert got == want
+    assert (1, 4) in got  # identical docs: full overlap
+    ns, nu = got[(1, 4)]
+    assert ns == nu
+
+
+def test_ngram_jaccard_all_short_docs_and_df_cap(ray_session):
+    """Docs under shingle_w tokens emit no postings; df_cap drops
+    boilerplate shingles shared by more docs than the cap."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.verify import ngram_jaccard_all
+
+    boiler = "shared boilerplate navigation footer text"  # 5 tokens = 1 shingle
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [boiler, boiler, boiler, "too short"], pa.string()
+            ),
+        }
+    )
+    full = ngram_jaccard_all(rd.from_arrow(tbl)).to_pandas()
+    assert set(zip(full["id_a"], full["id_b"])) == {(1, 2), (1, 3), (2, 3)}
+    capped = ngram_jaccard_all(rd.from_arrow(tbl), df_cap=2).to_pandas()
+    assert len(capped) == 0
