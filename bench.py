@@ -87,16 +87,61 @@ def _emit(real_fd: int, payload: dict) -> None:
     os.write(real_fd, (json.dumps(payload) + "\n").encode())
 
 
+def _patch_hash_shuffle_empty_partitions() -> None:
+    """ray 2.49 edge case: a hash-shuffle partition that received zero rows
+    finalizes as a schema-less empty table, and ``sort_by(key)`` on it raises
+    ArrowInvalid. Skip the sort for column-less blocks. Must run in EVERY
+    process that can host a HashShuffleAggregator actor (worker setup hook),
+    not just the driver."""
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+
+    def _finalize(self, partition_id):
+        block = self._partition_block_builders[partition_id].build()
+        if self._should_sort and block.num_columns:
+            block = block.sort_by([(k, "ascending") for k in self._key_columns])
+        return block
+
+    _hs.Concat.finalize = _finalize
+
+
 def _init_ray(num_cpus: int) -> None:
     import ray
 
+    strat = os.environ.get("GRAFT_SHUFFLE")
     if not ray.is_initialized():
+        kwargs = {}
+        if strat == "hash":
+            kwargs["runtime_env"] = {
+                "worker_process_setup_hook": _patch_hash_shuffle_empty_partitions
+            }
         ray.init(
             address="local",
             num_cpus=num_cpus,
             include_dashboard=False,
             logging_level="ERROR",
+            **kwargs,
         )
+    # optional shuffle-strategy override for A/B runs: the flagship's
+    # all-to-all is a groupby on a precomputed hash-partition id, so Ray's
+    # HASH_SHUFFLE (2.49+) can route blocks without the global sort the
+    # default SORT_SHUFFLE_PULL_BASED performs.
+    if strat:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        ctx = DataContext.get_current()
+        ctx.shuffle_strategy = {
+            "hash": ShuffleStrategy.HASH_SHUFFLE,
+            "sort": ShuffleStrategy.SORT_SHUFFLE_PULL_BASED,
+            "push": ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED,
+        }[strat]
+        if strat == "hash":
+            # hash shuffle runs long-lived aggregator ACTORS that each pin a
+            # CPU; the defaults (200 partitions / 64 aggregators) starve every
+            # other stage on a small cluster and the job hangs. Cap both so
+            # aggregators use at most ~1/4 of the CPUs.
+            ctx.max_hash_shuffle_aggregators = max(2, num_cpus // 4)
+            ctx.default_hash_shuffle_parallelism = max(8, num_cpus * 2)
+            _patch_hash_shuffle_empty_partitions()
 
 
 def scaled_pages(sf_dir: str, replicas: int):

@@ -68,7 +68,20 @@ def default_sig_concurrency() -> tuple[int, int]:
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (max(2, (3 * cpus) // 4), cpus)
+    lo, hi = max(2, (3 * cpus) // 4), cpus
+    try:
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        if DataContext.get_current().shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE:
+            # Hash-shuffle aggregator ACTORS pin CPUs for the whole run; a
+            # pool min at 3/4 of the cluster deadlocks against them (observed
+            # at 8 CPUs: 6 pool + 1 read + 2 aggregator CPUs > 8 and every
+            # operator backpressures forever). Leave them headroom.
+            lo = max(2, cpus // 2)
+            hi = max(lo, cpus - max(2, cpus // 8))
+    except ImportError:  # older ray without ShuffleStrategy
+        pass
+    return (lo, hi)
 
 
 def signatures_from_pages(
