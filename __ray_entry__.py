@@ -261,6 +261,45 @@ def q_events_by_type(sf_dir: str):
     )
 
 
+def q_events_windowed(sf_dir: str):
+    """Tumbling 1-hour window aggregate per event type (windowed-aggregate
+    custom operator; stateless window projection + partial-combining
+    groupby)."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import windowed_event_agg
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return windowed_event_agg(ev, hours=1)
+
+
+def q_user_sessions(sf_dir: str):
+    """Gap sessionization (30-min gap): per-user event + session counts.
+    User-partitioned shuffle + one vectorized kernel per partition."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import sessionize
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return sessionize(ev, gap_minutes=30)
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent prior
+    click (backward inclusive). Ray Data lacks an as-of join; this is the
+    user-partitioned merge_asof composition."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import asof_join_events
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return asof_join_events(ev, left_type="purchase", right_type="click")
+
+
 def q_knn_brute(sf_dir: str):
     """Similarity search baseline: exact cosine top-5 for query vecs 0..9."""
     from deduplicatr_ray.stages.similarity import knn_brute
@@ -464,6 +503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
+        "user_sessions": q_user_sessions,
+        "events_asof": q_events_asof,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -558,6 +600,38 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": """
             SELECT event_type, count(*) AS n_events, min(event_id) AS min_event_id
             FROM events GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT epoch_us(ts) // 3600000000 AS window_hour,
+                   event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            SELECT user_id, count(*) AS n_events,
+                   count(*) FILTER (
+                     WHERE prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                   ) AS n_sessions
+            FROM (SELECT user_id, ts,
+                         lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "events_asof": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS matched_event_id,
+                   CASE WHEN r.event_id IS NULL THEN NULL
+                        ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
