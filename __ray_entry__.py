@@ -300,6 +300,22 @@ def q_events_asof(sf_dir: str):
     return asof_join_events(ev, left_type="purchase", right_type="click")
 
 
+def q_events_range_join(sf_dir: str):
+    """Range join: per purchase, count of same-user clicks in the preceding
+    hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
+    rank-difference kernel."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import range_join_events
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return range_join_events(
+        ev, left_type="purchase", right_type="click", window_minutes=60
+    )
+
+
 def q_knn_brute(sf_dir: str):
     """Similarity search baseline: exact cosine top-5 for query vecs 0..9."""
     from deduplicatr_ray.stages.similarity import knn_brute
@@ -506,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "user_sessions": q_user_sessions,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -632,6 +649,19 @@ def oracle_sql() -> dict[str, str]:
                         ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "events_range_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 r AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, l.ts,
+                   count(r.ts) AS n_in_window
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND epoch_us(r.ts) <= epoch_us(l.ts)
+             AND epoch_us(r.ts) > epoch_us(l.ts) - 3600000000
+            GROUP BY l.event_id, l.user_id, l.ts
         """,
         "knn_brute": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -145,6 +145,105 @@ def sessionize(events, *, gap_minutes: int = 30, num_partitions: int | None = No
     )
 
 
+def _empty_range() -> pa.Table:
+    return pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "n_in_window": pa.array([], pa.int64()),
+        }
+    )
+
+
+def range_join_events(
+    events,
+    *,
+    left_type: str,
+    right_type: str,
+    window_minutes: int = 60,
+    num_partitions: int | None = None,
+):
+    """Range (interval) join within an event stream: for every ``left_type``
+    event at time ``t``, the COUNT of same-user ``right_type`` events in the
+    half-open window ``(t - W, t]`` (left-exclusive, right-inclusive).
+
+    Output: ``event_id, user_id, ts, n_in_window`` — one row per left event,
+    zero-filled when no right event falls in the window (left-join
+    semantics).
+
+    Ray Data has no range join; this composes the engine's user-partitioned
+    shuffle with a per-partition rank-difference kernel: give the right side
+    a per-user cumulative count, then two backward ``pandas.merge_asof``
+    probes (at ``t`` and at ``t - W``) turn the interval count into a
+    difference of ranks — all vectorized C merges, no per-user Python loop.
+    Both sides of a user always co-reside (the ``part`` column is
+    ``user_id % P``), so block-local counting is exact.
+    """
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    w_us = np.int64(window_minutes * US_PER_MINUTE)
+
+    def block(g: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = g.drop_columns(["part"])
+        if len(g) == 0:
+            return _empty_range()
+        df = g.to_pandas()
+        left = df.loc[
+            df["event_type"] == left_type, ["event_id", "user_id", "ts"]
+        ].sort_values("ts", kind="mergesort")
+        if not len(left):
+            return _empty_range()
+        right = df.loc[df["event_type"] == right_type, ["user_id", "ts"]]
+        right = right.sort_values(["user_id", "ts"], kind="mergesort")
+        right["cum"] = right.groupby("user_id").cumcount() + 1
+        right = right.sort_values("ts", kind="mergesort")
+
+        def rank_at(probe_ts: pd.Series) -> np.ndarray:
+            """count of right events with r.ts <= probe, per left row."""
+            probe = left[["user_id"]].copy()
+            probe["ts"] = probe_ts
+            probe = probe.sort_values("ts", kind="mergesort")
+            m = pd.merge_asof(
+                probe,
+                right,
+                on="ts",
+                by="user_id",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            # restore left's row order (probe was re-sorted by ts)
+            return (
+                m.set_index(probe.index)["cum"].reindex(left.index).fillna(0.0)
+            ).to_numpy()
+
+        ts_us = left["ts"].astype("datetime64[us]").astype(np.int64)
+        hi = rank_at(left["ts"])
+        lo = rank_at((ts_us - w_us).astype("datetime64[us]"))
+        n = (hi - lo).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    left["event_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "user_id": pa.array(
+                    left["user_id"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "ts": pa.array(left["ts"].astype("datetime64[us]")),
+                "n_in_window": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        _part_by_user(events, P)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+
 def _empty_asof() -> pa.Table:
     return pa.table(
         {

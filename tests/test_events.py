@@ -9,6 +9,7 @@ import pytest
 
 from deduplicatr_ray.stages.events import (
     asof_join_events,
+    range_join_events,
     sessionize,
     windowed_event_agg,
 )
@@ -114,6 +115,64 @@ def test_asof_backward_inclusive_and_null(ray_session, stream):
     assert out.loc[0, "lag_us"] == 40 * MIN
     # purchase 5 (user 2, t=5) has no prior click (user 2's click is LATER)
     assert np.isnan(out.loc[1, "matched_event_id"])
+
+
+def test_range_join_counts_window(ray_session, stream):
+    import ray
+
+    out = (
+        range_join_events(
+            ray.data.from_arrow(stream),
+            left_type="purchase",
+            right_type="click",
+            window_minutes=30,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["event_id"].tolist() == [3, 5]
+    # purchase 3 (user 1, t=50): clicks at 0 and 10; window (20, 50] -> 0
+    assert out.loc[0, "n_in_window"] == 0
+    # purchase 5 (user 2, t=5): user 2's click is at t=100 (later) -> 0
+    assert out.loc[1, "n_in_window"] == 0
+    out2 = (
+        range_join_events(
+            ray.data.from_arrow(stream),
+            left_type="purchase",
+            right_type="click",
+            window_minutes=60,
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # window widened to (−10, 50]: both of user 1's clicks count
+    assert out2["n_in_window"].tolist() == [2, 0]
+
+
+def test_range_join_boundaries(ray_session):
+    import ray
+
+    # clicks exactly at t-W (excluded) and exactly at t (included)
+    ev = _events(
+        [
+            (1, 5, 0.0, "click", 0.0),    # == t - W -> excluded
+            (2, 5, 0.001, "click", 0.0),  # just inside
+            (3, 5, 30.0, "click", 0.0),   # == t -> included
+            (4, 5, 30.0, "purchase", 1.0),
+        ]
+    )
+    out = range_join_events(
+        ray.data.from_arrow(ev),
+        left_type="purchase",
+        right_type="click",
+        window_minutes=30,
+        num_partitions=2,
+    ).to_pandas()
+    assert out["n_in_window"].tolist() == [2]
 
 
 def test_asof_exact_ts_matches(ray_session):
