@@ -300,6 +300,78 @@ def q_events_asof(sf_dir: str):
     return asof_join_events(ev, left_type="purchase", right_type="click")
 
 
+_DIR_LEVELS = ["source", "lang", "bucket", "name"]  # bucket = doc_id % 10
+
+
+def _doc_files(sf_dir: str, *, mirror_source: str | None = None):
+    """documents → one 'file' row per doc with hierarchy columns
+    source/lang/bucket/name and a uint64 content hash matching DuckDB's
+    ``md5_number_lower`` (digest bytes 8..16, little-endian).
+
+    ``mirror_source``: deterministically re-emit that source's rows under
+    ``<source>_copy`` — a duplicated subtree, so the dup-group/prune path
+    runs non-trivially (the sf documents tables contain no duplicate
+    texts). Mirrored in the SQL oracle as a UNION ALL."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                for t in b["text"].to_pylist()
+            ),
+            np.uint64,
+            len(b),
+        )
+        bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
+        t = pa.table(
+            {
+                "source": pc.cast(b["source"], pa.string()),
+                "lang": b["lang"],
+                "bucket": pc.cast(pa.array(bucket, pa.int64()), pa.string()),
+                "name": pc.cast(b["doc_id"], pa.string()),
+                "hash64": pa.array(h, pa.uint64()),
+                "n_bytes": pc.cast(b["n_chars"], pa.int64()),
+            }
+        )
+        if mirror_source is not None:
+            mask = pc.equal(t["source"], mirror_source)
+            copy = t.filter(mask)
+            copy = copy.set_column(
+                0,
+                "source",
+                pa.array([f"{mirror_source}_copy"] * len(copy), pa.string()),
+            )
+            t = pa.concat_tables([t, copy])
+        return t
+
+    return _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dir_summaries(sf_dir: str):
+    """Reference headline analog (A1): commutative dir-hash rollup over the
+    source/lang/bucket/name hierarchy — one row per dir/file node."""
+    from deduplicatr_ray.stages.dirtree import dir_rollup
+
+    return dir_rollup(_doc_files(sf_dir), _DIR_LEVELS)
+
+
+def q_dir_dup_groups(sf_dir: str):
+    """Reference headline output (D6): duplicate dirs/files grouped by
+    (hash_sum, filecount, n_bytes), nested members pruned. Runs over the
+    corpus + a deterministic mirrored subtree (src0 → src0_copy) so the
+    group/prune path is exercised: the two roots group at depth 1 and all
+    their descendants are pruned."""
+    from deduplicatr_ray.stages.dirtree import dir_dup_groups, dir_rollup
+
+    s = dir_rollup(_doc_files(sf_dir, mirror_source="src0"), _DIR_LEVELS)
+    return dir_dup_groups(s, leaf_depth=len(_DIR_LEVELS))
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -523,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": q_user_sessions,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        "dir_summaries": q_dir_summaries,
+        "dir_dup_groups": q_dir_dup_groups,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -649,6 +723,71 @@ def oracle_sql() -> dict[str, str]:
                         ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "dir_summaries": """
+            WITH f AS (
+              SELECT source, lang,
+                     CAST(doc_id % 10 AS VARCHAR) AS bucket,
+                     CAST(doc_id AS VARCHAR) AS name,
+                     md5_number_lower(text) AS h, n_chars
+              FROM documents
+            ), nodes AS (
+              SELECT source AS path, 1 AS depth, h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang, 2, h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang || '/' || bucket, 3,
+                               h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang || '/' || bucket
+                               || '/' || name, 4, h, n_chars FROM f
+            )
+            SELECT path, CAST(depth AS BIGINT) AS depth,
+                   count(*) AS filecount,
+                   CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                   CAST(sum(CAST(h AS HUGEINT))
+                        % 18446744073709551616 AS UBIGINT) AS hash_sum
+            FROM nodes GROUP BY path, depth
+        """,
+        "dir_dup_groups": """
+            WITH base AS (
+              SELECT source, lang,
+                     CAST(doc_id % 10 AS VARCHAR) AS bucket,
+                     CAST(doc_id AS VARCHAR) AS name,
+                     md5_number_lower(text) AS h, n_chars
+              FROM documents
+            ), f AS (
+              SELECT * FROM base
+              UNION ALL
+              SELECT source || '_copy', lang, bucket, name, h, n_chars
+              FROM base WHERE source = 'src0'
+            ), nodes AS (
+              SELECT source AS path, 1 AS depth, h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang, 2, h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang || '/' || bucket, 3,
+                               h, n_chars FROM f
+              UNION ALL SELECT source || '/' || lang || '/' || bucket
+                               || '/' || name, 4, h, n_chars FROM f
+            ), s AS (
+              SELECT path, CAST(depth AS BIGINT) AS depth,
+                     count(*) AS filecount,
+                     CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                     CAST(sum(CAST(h AS HUGEINT))
+                          % 18446744073709551616 AS UBIGINT) AS hash_sum
+              FROM nodes GROUP BY path, depth
+            ), g AS (
+              SELECT *, count(*) OVER (
+                PARTITION BY hash_sum, filecount, n_bytes) AS pre_n
+              FROM s
+            ), d AS (SELECT * FROM g WHERE pre_n > 1),
+            dirs AS (SELECT path FROM d WHERE depth < 4),
+            kept AS (
+              SELECT d.* FROM d WHERE NOT EXISTS (
+                SELECT 1 FROM dirs WHERE starts_with(d.path, dirs.path || '/'))
+            ), kept2 AS (
+              SELECT path, depth, filecount, n_bytes, hash_sum,
+                     count(*) OVER (
+                       PARTITION BY hash_sum, filecount, n_bytes) AS n_dups
+              FROM kept
+            )
+            SELECT * FROM kept2 WHERE n_dups >= 2
         """,
         "events_range_join": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
