@@ -372,6 +372,52 @@ def q_dir_dup_groups(sf_dir: str):
     return dir_dup_groups(s, leaf_depth=len(_DIR_LEVELS))
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (window-function analog): 3 longest docs per lang,
+    ties broken by doc_id."""
+    from deduplicatr_ray.stages.relational import grouped_top_k
+
+    return grouped_top_k(
+        _docs(sf_dir, ["lang", "doc_id", "n_chars"]),
+        by="lang",
+        order_by="n_chars",
+        k=3,
+        descending=True,
+        tie_by="doc_id",
+    )
+
+
+def q_orders_by_region(sf_dir: str):
+    """Broadcast dimension-join chain: orders → customer → nation → region
+    (fact table streams; dims ship once via ray.put), grouped per region."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Min
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import broadcast_join
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    joined = broadcast_join(orders, customer, key="o_custkey", small_key="c_custkey")
+    joined = broadcast_join(joined, nation, key="c_nationkey", small_key="n_nationkey")
+    joined = broadcast_join(
+        joined, region, key="n_regionkey", small_key="r_regionkey",
+        columns=["r_name"],
+    )
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_orderkey", alias_name="min_orderkey"),
+    )
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -597,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": q_events_range_join,
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "orders_by_region": q_orders_by_region,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -723,6 +771,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                     PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                   ) AS "rank"
+            FROM documents QUALIFY "rank" <= 3
+        """,
+        "orders_by_region": """
+            SELECT r.r_name, count(*) AS n_orders,
+                   min(o.o_orderkey) AS min_orderkey
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "dir_summaries": """
             WITH f AS (

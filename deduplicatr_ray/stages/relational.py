@@ -1,0 +1,141 @@
+"""Generic relational operators the dedup pipelines (and their users)
+compose: broadcast dimension joins and grouped top-k.
+
+The reference has no relational layer (it is a single-tree CLI;
+SURVEY.md §2.4's joins J1-J3 are its only join-shaped steps); these two
+operators generalize the engine's existing patterns into reusable pieces:
+
+* ``broadcast_join`` is the J1 pattern (``stages/cluster.py``
+  ``_assign_fn``) made generic: the SMALL side is shipped to the object
+  store once via ``ray.put`` and every map task probes it with a sorted
+  numpy ``searchsorted`` lookup — a per-batch vectorized hash-join probe
+  with NO shuffle of the big side. This is how dimension tables (nation,
+  region, per-cluster metadata) must be joined at 100 TB: the fact table
+  streams, the dimension broadcasts.
+* ``grouped_top_k`` is the O1-O3 family per group (SQL
+  ``row_number() OVER (PARTITION BY ... ORDER BY ...) <= k``): one
+  hash-partitioned shuffle on the group key, then a per-partition
+  vectorized rank kernel (Arrow sort + segment-relative numpy ranks — no
+  per-group Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join(
+    ds,
+    small: pa.Table,
+    *,
+    key: str,
+    small_key: str | None = None,
+    columns: list[str] | None = None,
+    how: str = "inner",
+):
+    """Join a (big, streaming) Dataset against a small in-memory Arrow table.
+
+    ``small`` is put in the object store ONCE; each batch probes it via
+    ``np.searchsorted`` over the sorted key array (exact, vectorized).
+    ``how``: ``"inner"`` drops probe misses, ``"left"`` keeps them with
+    null payloads. Keys must be unique in ``small`` (dimension-table
+    contract; duplicate keys raise at build time).
+    """
+    import ray
+
+    sk = small_key or key
+    cols = columns or [c for c in small.column_names if c != sk]
+    keys_np = small[sk].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys_np, kind="stable")
+    keys_sorted = keys_np[order]
+    if len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
+        raise ValueError(f"broadcast_join: duplicate keys in small side {sk!r}")
+    payload = small.select(cols).take(pa.array(order, pa.int64()))
+    ref = ray.put((keys_sorted, payload))
+
+    def probe(b: pa.Table) -> pa.Table:
+        keys_s, pay = ray.get(ref)
+        probe_np = b[key].to_numpy(zero_copy_only=False).astype(keys_s.dtype)
+        pos = np.searchsorted(keys_s, probe_np)
+        pos_c = np.minimum(pos, len(keys_s) - 1)
+        hit = (
+            (keys_s[pos_c] == probe_np)
+            if len(keys_s)
+            else np.zeros(len(b), np.bool_)
+        )
+        if how == "inner":
+            b = b.filter(pa.array(hit))
+            idx = pa.array(pos_c[hit], pa.int64())
+            for c in cols:
+                b = b.append_column(c, pay[c].take(idx))
+            return b
+        idx = pa.array(
+            np.where(hit, pos_c, 0).astype(np.int64), pa.int64(), mask=~hit
+        )
+        for c in cols:
+            b = b.append_column(c, pay[c].take(idx))
+        return b
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_top_k(
+    ds,
+    *,
+    by: str,
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tie_by: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Top-``k`` rows per ``by`` group, ranked on ``order_by`` (ties broken
+    deterministically by ``tie_by`` ascending). Appends an int64 ``rank``
+    column (1-based). One shuffle on the group key; per-partition kernel is
+    an Arrow sort + vectorized segment-relative ranks.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    direction = "descending" if descending else "ascending"
+
+    def with_part(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("part", pa.array([], pa.int32()))
+        part = (
+            hash_columns_u64(b, [by]) % np.uint64(P)
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n == 0:
+            return g.append_column("rank", pa.array([], pa.int64()))
+        sort_keys = [(by, "ascending"), (order_by, direction)]
+        if tie_by:
+            sort_keys.append((tie_by, "ascending"))
+        g = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        grp = g[by].combine_chunks()
+        neq = pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        seg = np.zeros(n, np.int64)
+        seg[starts] = 1
+        seg_id = np.cumsum(seg) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg_id] + 1
+        keep = rank <= k
+        return g.filter(pa.array(keep)).append_column(
+            "rank", pa.array(rank[keep], pa.int64())
+        )
+
+    return (
+        ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )

@@ -1,0 +1,119 @@
+"""Broadcast dimension join + grouped top-k (stages/relational.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+from deduplicatr_ray.stages.relational import broadcast_join, grouped_top_k
+
+
+def _facts():
+    return pa.table(
+        {
+            "k": pa.array([1, 2, 3, 2, 9], pa.int64()),
+            "v": pa.array([10, 20, 30, 21, 90], pa.int64()),
+        }
+    )
+
+
+def _dim():
+    return pa.table(
+        {
+            "dk": pa.array([3, 1, 2], pa.int64()),
+            "name": pa.array(["three", "one", "two"], pa.string()),
+        }
+    )
+
+
+def test_broadcast_join_inner(ray_session):
+    import ray
+
+    out = (
+        broadcast_join(
+            ray.data.from_arrow(_facts()), _dim(), key="k", small_key="dk"
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    # k=9 has no dim row -> dropped
+    assert out["k"].tolist() == [1, 2, 2, 3]
+    assert out["name"].tolist() == ["one", "two", "two", "three"]
+
+
+def test_broadcast_join_left_keeps_misses(ray_session):
+    import ray
+
+    out = (
+        broadcast_join(
+            ray.data.from_arrow(_facts()), _dim(), key="k", small_key="dk",
+            how="left",
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    assert out.loc[4, "k"] == 9
+    assert out.loc[4, "name"] is None or out.loc[4, "name"] != out.loc[4, "name"]
+
+
+def test_broadcast_join_rejects_dup_keys(ray_session):
+    import ray
+
+    dup = pa.table(
+        {"dk": pa.array([1, 1], pa.int64()), "x": pa.array([0, 1], pa.int64())}
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        broadcast_join(ray.data.from_arrow(_facts()), dup, key="k", small_key="dk")
+
+
+def test_grouped_top_k_ranks_and_ties(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            "score": pa.array([5, 9, 9, 1, 7], pa.int64()),
+            "id": pa.array([4, 2, 1, 3, 8], pa.int64()),
+        }
+    )
+    out = (
+        grouped_top_k(
+            ray.data.from_arrow(t),
+            by="g", order_by="score", k=2, descending=True, tie_by="id",
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    # group a: score 9 twice -> tie broken by id (1 before 2); b has 1 row
+    assert out["g"].tolist() == ["a", "a", "b"]
+    assert out["id"].tolist() == [1, 2, 8]
+    assert out["rank"].tolist() == [1, 2, 1]
+
+
+def test_grouped_top_k_ascending_k_larger_than_group(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "g": pa.array(["x", "x"], pa.string()),
+            "score": pa.array([4, 2], pa.int64()),
+            "id": pa.array([1, 2], pa.int64()),
+        }
+    )
+    out = (
+        grouped_top_k(
+            ray.data.from_arrow(t),
+            by="g", order_by="score", k=10, descending=False, tie_by="id",
+            num_partitions=2,
+        )
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["score"].tolist() == [2, 4]
+    assert out["rank"].tolist() == [1, 2]
