@@ -236,6 +236,13 @@ def q_token_counts(sf_dir: str):
     return token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus vocabulary head: 20 most frequent tokens (ties by token)."""
+    from deduplicatr_ray.stages.textstats import top_tokens
+
+    return top_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """A7 sketch aggregate: HLL distinct-token estimate per lang, expressed
     as a custom commutative AggregateFn (the reference's order-independent
@@ -635,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_hash_assign": q_sampled_hash_assign,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
+        "top_tokens": q_top_tokens,
         "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
@@ -730,6 +738,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
                      AS n_tokens
             FROM documents
+        """,
+        "top_tokens": """
+            SELECT tok AS token, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20
         """,
         "approx_distinct_tokens": """
             SELECT lang, count(DISTINCT tok) AS approx_distinct_tokens FROM (

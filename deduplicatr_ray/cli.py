@@ -115,6 +115,81 @@ def cmd_report(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_dirs(args: argparse.Namespace) -> int:
+    """Duplicate directories/files, biggest first — the reference CLI's
+    headline output (``duplicates.clj:~10-60`` analog): commutative-sum
+    rollup over a path hierarchy, dup grouping, nested pruning."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .sources.pages import read_parquet_auto
+    from .stages.dirtree import dir_dup_groups, dir_rollup
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        levels = args.levels.split(",")
+        ds = read_parquet_auto(args.input)
+        names = ds.schema().names
+        missing = [c for c in levels + [args.hash_col, args.bytes_col] if c not in names]
+        if missing:
+            # documents-shaped convenience mapping: source/lang/bucket/name
+            if {"doc_id", "text"} <= set(names):
+                import hashlib
+
+                import numpy as np
+                import pyarrow as pa
+
+                def prep(b):
+                    h = np.fromiter(
+                        (
+                            int.from_bytes(
+                                hashlib.md5(t.encode()).digest()[8:16], "little"
+                            )
+                            for t in b["text"].to_pylist()
+                        ),
+                        np.uint64,
+                        len(b),
+                    )
+                    bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
+                    nb = (
+                        b["n_chars"]
+                        if "n_chars" in b.column_names
+                        else pc.utf8_length(b["text"])
+                    )
+                    return pa.table(
+                        {
+                            "source": pc.cast(b["source"], pa.string()),
+                            "lang": pc.cast(b["lang"], pa.string()),
+                            "bucket": pc.cast(
+                                pa.array(bucket, pa.int64()), pa.string()
+                            ),
+                            "name": pc.cast(b["doc_id"], pa.string()),
+                            "hash64": pa.array(h, pa.uint64()),
+                            "n_bytes": pc.cast(nb, pa.int64()),
+                        }
+                    )
+
+                ds = ds.map_batches(prep, batch_format="pyarrow")
+                levels = ["source", "lang", "bucket", "name"]
+            else:
+                print(f"missing columns: {missing}", file=sys.stderr)
+                return 2
+        s = dir_rollup(ds, levels, hash_col=args.hash_col, bytes_col=args.bytes_col)
+        dups = dir_dup_groups(s, leaf_depth=len(levels))
+        top = (
+            dups.sort("n_bytes", descending=True).limit(args.top).take_all()
+        )
+        for row in top:
+            kind = "dir " if row["depth"] < len(levels) else "file"
+            print(
+                f"{row['n_bytes']:10d} bytes  {row['filecount']:5d} files  "
+                f"x{row['n_dups']}  {kind} {row['path']}"
+            )
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -154,6 +229,21 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--clusters", required=True, help="clusters parquet dir")
     pp.add_argument("--top", type=int, default=20)
     pp.set_defaults(fn=cmd_report)
+
+    pd = sub.add_parser(
+        "dirs", help="print duplicate directories/files, biggest first"
+    )
+    pd.add_argument("--input", required=True, help="file-table parquet")
+    pd.add_argument(
+        "--levels",
+        default="source,lang,bucket,name",
+        help="comma-separated hierarchy columns, outermost first; the last "
+        "is the file name (documents-shaped inputs are auto-mapped)",
+    )
+    pd.add_argument("--hash-col", default="hash64")
+    pd.add_argument("--bytes-col", default="n_bytes")
+    pd.add_argument("--top", type=int, default=20)
+    pd.set_defaults(fn=cmd_dirs)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -81,6 +81,48 @@ def token_count_stage(docs):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def top_tokens(docs, *, k: int = 20):
+    """Corpus vocabulary head: the ``k`` most frequent tokens under the
+    canonical tokenizer, ties broken by token ascending (deterministic).
+
+    Training-data staple (vocabulary audits, stopword discovery). Fully
+    streaming: each batch pre-counts its tokens (RE2 split +
+    ``pc.value_counts`` — no per-row Python), so the groupby shuffle moves
+    O(distinct tokens per block) rows, not O(corpus tokens); the final
+    sort+limit runs over the aggregated vocabulary only.
+
+    Output: ``token, n`` (int64), descending by ``n``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        if len(vc) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fingerprint_stage(docs, *, w: int = 25, guarantee_len: int = 50):
     """Explode winnowed rolling-hash fingerprints: one row per (doc_id, fp).
 
