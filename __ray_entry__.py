@@ -281,6 +281,18 @@ def q_events_windowed(sf_dir: str):
     return windowed_event_agg(ev, hours=1)
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate: 1-hour windows every 15 min (each event in
+    exactly 4 overlapping windows; stateless fan-out + combining groupby)."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import hopping_event_agg
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_event_agg(ev, window_minutes=60, hop_minutes=15)
+
+
 def q_user_sessions(sf_dir: str):
     """Gap sessionization (30-min gap): per-user event + session counts.
     User-partitioned shuffle + one vectorized kernel per partition."""
@@ -646,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
+        "events_hopping": q_events_hopping,
         "user_sessions": q_user_sessions,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -761,6 +774,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_c
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping": """
+            SELECT ((epoch_us(ts) // 900000000) - o.off) * 15
+                     AS window_start_min,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_c
+            FROM events
+            CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS off) o
+            GROUP BY 1, 2
         """,
         "user_sessions": """
             SELECT user_id, count(*) AS n_events,

@@ -84,6 +84,56 @@ def windowed_event_agg(events, *, hours: int = 1):
     )
 
 
+def hopping_event_agg(events, *, window_minutes: int = 60, hop_minutes: int = 15):
+    """Hopping (sliding) window aggregate: per (window, event_type) count +
+    cent-sum over OVERLAPPING windows of ``window_minutes`` advancing every
+    ``hop_minutes`` (``hop`` must divide ``window``; each event lands in
+    exactly window/hop windows).
+
+    Output: ``window_start_min`` (int64 epoch-minutes of the window start),
+    ``event_type``, ``n_events``, ``sum_value_c``.
+
+    Scale: the fan-out is a stateless per-batch ``np.repeat`` projection
+    (factor window/hop, a small constant) and the only exchange is the
+    final partial-combining aggregate — the standard streaming
+    sliding-window decomposition.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    if window_minutes % hop_minutes:
+        raise ValueError("hop_minutes must divide window_minutes")
+    R = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes * US_PER_MINUTE)
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = len(b)
+        ts_us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k_hi = ts_us // hop_us  # latest window start at-or-before t
+        off = np.tile(np.arange(R, dtype=np.int64), n)
+        k = np.repeat(k_hi, R) - off
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), R))
+        value_c = np.floor(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "window_start_min": pa.array(k * hop_minutes, pa.int64()),
+                "event_type": b["event_type"].take(idx),
+                "value_c": pa.array(np.repeat(value_c, R), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start_min", "event_type"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c", alias_name="sum_value_c"),
+        )
+    )
+
+
 _EMPTY_SESSIONS = pa.table(
     {
         "user_id": pa.array([], pa.int64()),

@@ -9,6 +9,7 @@ import pytest
 
 from deduplicatr_ray.stages.events import (
     asof_join_events,
+    hopping_event_agg,
     range_join_events,
     sessionize,
     windowed_event_agg,
@@ -115,6 +116,38 @@ def test_asof_backward_inclusive_and_null(ray_session, stream):
     assert out.loc[0, "lag_us"] == 40 * MIN
     # purchase 5 (user 2, t=5) has no prior click (user 2's click is LATER)
     assert np.isnan(out.loc[1, "matched_event_id"])
+
+
+def test_hopping_windows_fan_out(ray_session):
+    import ray
+
+    # one event at t=base+20min, window 60 / hop 15: starts s = k*15 with
+    # t-60 < s <= t -> s in {base-30, base-15, base, base+15} (4 windows)
+    ev = _events([(1, 1, 20.0, "click", 1.00)])
+    out = (
+        hopping_event_agg(
+            ray.data.from_arrow(ev), window_minutes=60, hop_minutes=15
+        )
+        .to_pandas()
+        .sort_values("window_start_min")
+        .reset_index(drop=True)
+    )
+    base_min = _ts(0) // MIN
+    assert out["window_start_min"].tolist() == [
+        base_min - 30, base_min - 15, base_min, base_min + 15,
+    ]
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
+    assert out["sum_value_c"].tolist() == [100] * 4
+
+
+def test_hopping_requires_divisible_hop(ray_session):
+    import ray
+
+    ev = _events([(1, 1, 0.0, "click", 0.0)])
+    with pytest.raises(ValueError, match="divide"):
+        hopping_event_agg(
+            ray.data.from_arrow(ev), window_minutes=60, hop_minutes=25
+        )
 
 
 def test_range_join_counts_window(ray_session, stream):
