@@ -406,6 +406,19 @@ def q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-lang discrete quantiles of doc length (p50/p90/p99),
+    DuckDB quantile_disc rule: sorted[max(0, ceil(q*n)-1)]."""
+    from deduplicatr_ray.stages.relational import grouped_quantiles
+
+    return grouped_quantiles(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        by="lang",
+        value_col="n_chars",
+        qs={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
 def q_orders_by_region(sf_dir: str):
     """Broadcast dimension-join chain: orders → customer → nation → region
     (fact table streams; dims ship once via ray.put), grouped per region."""
@@ -665,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
         "top_docs_per_lang": q_top_docs_per_lang,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "orders_by_region": q_orders_by_region,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
@@ -815,6 +829,13 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY lang ORDER BY n_chars DESC, doc_id
                    ) AS "rank"
             FROM documents QUALIFY "rank" <= 3
+        """,
+        "doc_len_quantiles": """
+            SELECT lang, count(*) AS n,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang
         """,
         "orders_by_region": """
             SELECT r.r_name, count(*) AS n_orders,

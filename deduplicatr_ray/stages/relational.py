@@ -80,6 +80,78 @@ def broadcast_join(
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_quantiles(
+    ds,
+    *,
+    by: str,
+    value_col: str,
+    qs: dict[str, float],
+    num_partitions: int | None = None,
+):
+    """Exact per-group discrete quantiles: one row per ``by`` group with a
+    column per entry of ``qs`` (name → quantile in [0,1]) plus ``n``.
+
+    Discrete-quantile rule matches DuckDB ``quantile_disc``:
+    ``sorted[max(0, ceil(q*n) - 1)]`` (verified empirically; no
+    interpolation, so integer inputs stay integers and the result is
+    order- and float-accumulation-free — oracle-hashable).
+
+    One shuffle on the group key; per-partition kernel is an Arrow sort +
+    vectorized per-group index arithmetic. Whole groups co-reside (the
+    partitioning assumption); for billion-row single groups use a
+    sketch-based quantile instead.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def with_part(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("part", pa.array([], pa.int32()))
+        part = (hash_columns_u64(b, [by]) % np.uint64(P)).astype(np.int32)
+        return b.append_column("part", pa.array(part, pa.int32()))
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n == 0:
+            cols = {by: g[by], "n": pa.array([], pa.int64())}
+            for name in qs:
+                cols[name] = pa.array([], g[value_col].type)
+            return pa.table(cols)
+        g = g.take(
+            pc.sort_indices(
+                g, sort_keys=[(by, "ascending"), (value_col, "ascending")]
+            )
+        )
+        grp = g[by].combine_chunks()
+        neq = pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        counts = np.diff(np.append(starts, n))
+        vals = g[value_col]
+        cols = {
+            by: grp.take(pa.array(starts, pa.int64())),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+        for name, q in qs.items():
+            idx = starts + np.maximum(
+                0, np.ceil(np.float64(q) * counts).astype(np.int64) - 1
+            )
+            cols[name] = vals.take(pa.array(idx, pa.int64()))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+
 def grouped_top_k(
     ds,
     *,

@@ -5,7 +5,11 @@ from __future__ import annotations
 import pyarrow as pa
 import pytest
 
-from deduplicatr_ray.stages.relational import broadcast_join, grouped_top_k
+from deduplicatr_ray.stages.relational import (
+    broadcast_join,
+    grouped_quantiles,
+    grouped_top_k,
+)
 
 
 def _facts():
@@ -93,6 +97,31 @@ def test_grouped_top_k_ranks_and_ties(ray_session):
     assert out["g"].tolist() == ["a", "a", "b"]
     assert out["id"].tolist() == [1, 2, 8]
     assert out["rank"].tolist() == [1, 2, 1]
+
+
+def test_grouped_quantiles_disc_rule(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 10 + ["b"], pa.string()),
+            "v": pa.array(list(range(1, 11)) + [42], pa.int64()),
+        }
+    )
+    out = (
+        grouped_quantiles(
+            ray.data.from_arrow(t),
+            by="g", value_col="v",
+            qs={"p50": 0.5, "p90": 0.9, "p0": 0.0, "p100": 1.0},
+            num_partitions=4,
+        )
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # DuckDB quantile_disc on 1..10: p50=5, p90=9, p0=1, p100=10
+    assert out.loc[0, ["n", "p50", "p90", "p0", "p100"]].tolist() == [10, 5, 9, 1, 10]
+    assert out.loc[1, ["n", "p50", "p90", "p0", "p100"]].tolist() == [1, 42, 42, 42, 42]
 
 
 def test_grouped_top_k_ascending_k_larger_than_group(ray_session):
