@@ -44,6 +44,10 @@ BENCH_QUERIES = [
     "knn_brute",             # similarity search baseline
     "ann_lsh_dups",          # similarity search scale path
     "cluster_summary",       # A1/O1 cluster summary
+    "top_tokens",            # vocabulary head (partial-count shuffle)
+    "dir_dup_groups",        # reference headline: duplicate directories
+    "events_asof",           # as-of join (user-partitioned merge)
+    "doc_len_quantiles",     # exact grouped quantiles
 ]
 
 FLAGSHIP = "dedup_clusters"
