@@ -450,6 +450,42 @@ def q_orders_by_region(sf_dir: str):
     )
 
 
+def q_orders_by_region_shuffle(sf_dir: str):
+    """Same result as ``orders_by_region`` but the orders⋈customer step
+    uses Ray Data's NATIVE hash-shuffle join (``Dataset.join``, Ray≥2.46)
+    — the path when BOTH sides are too big to broadcast. The tiny
+    nation/region dims stay broadcast (shuffling a 25-row table would be
+    waste); same SQL oracle as the broadcast variant."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Min
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import broadcast_join
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customer = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        customer, "inner", 16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    joined = broadcast_join(joined, nation, key="c_nationkey", small_key="n_nationkey")
+    joined = broadcast_join(
+        joined, region, key="n_regionkey", small_key="r_regionkey",
+        columns=["r_name"],
+    )
+    return joined.groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Min("o_orderkey", alias_name="min_orderkey"),
+    )
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -680,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "doc_len_quantiles": q_doc_len_quantiles,
         "orders_by_region": q_orders_by_region,
+        "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -838,6 +875,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "orders_by_region": """
+            SELECT r.r_name, count(*) AS n_orders,
+                   min(o.o_orderkey) AS min_orderkey
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "orders_by_region_shuffle": """
             SELECT r.r_name, count(*) AS n_orders,
                    min(o.o_orderkey) AS min_orderkey
             FROM orders o
