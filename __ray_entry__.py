@@ -486,6 +486,89 @@ def q_orders_by_region_shuffle(sf_dir: str):
     )
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-like pricing summary over the big fact table: per
+    (returnflag, linestatus) counts + integer-cent sums (floats carried as
+    floor(x*100) cents so the hash compare is accumulation-order-free).
+    All aggregation pre-combines per block before one tiny shuffle."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+
+    li = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        price = np.floor(
+            b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty_c": pa.array(qty, pa.int64()),
+                "price_c": pa.array(price, pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("price_c", alias_name="sum_price_c"),
+        )
+    )
+
+
+def q_supplier_nation_volume(sf_dir: str):
+    """Fact-vs-dims: lineitem ⋈ supplier ⋈ nation (both dims broadcast),
+    item counts + quantity cents per nation."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import broadcast_join
+
+    li = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_quantity"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_suppkey": b["l_suppkey"],
+                "qty_c": pa.array(qty, pa.int64()),
+            }
+        )
+
+    li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = broadcast_join(li, supplier, key="l_suppkey", small_key="s_suppkey")
+    j = broadcast_join(j, nation, key="s_nationkey", small_key="n_nationkey")
+    return j.groupby("n_name").aggregate(
+        Count(alias_name="n_items"), Sum("qty_c", alias_name="sum_qty_c")
+    )
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -717,6 +800,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
+        "pricing_summary": q_pricing_summary,
+        "supplier_nation_volume": q_supplier_nation_volume,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -891,6 +976,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_c
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "supplier_nation_volume": """
+            SELECT n.n_name, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "dir_summaries": """
             WITH f AS (
