@@ -569,6 +569,39 @@ def q_supplier_nation_volume(sf_dir: str):
     )
 
 
+def q_brand_volume(sf_dir: str):
+    """lineitem ⋈ part (broadcast dim): item counts + quantity cents per
+    brand — completes coverage of every testdata table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import broadcast_join
+
+    li = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        qty = np.floor(
+            b["l_quantity"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"l_partkey": b["l_partkey"], "qty_c": pa.array(qty, pa.int64())}
+        )
+
+    li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    j = broadcast_join(li, part, key="l_partkey", small_key="p_partkey")
+    return j.groupby("p_brand").aggregate(
+        Count(alias_name="n_items"), Sum("qty_c", alias_name="sum_qty_c")
+    )
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -802,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "pricing_summary": q_pricing_summary,
         "supplier_nation_volume": q_supplier_nation_volume,
+        "brand_volume": q_brand_volume,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -993,6 +1027,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "brand_volume": """
+            SELECT p.p_brand, count(*) AS n_items,
+                   CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
         """,
         "dir_summaries": """
             WITH f AS (
