@@ -569,6 +569,17 @@ def q_supplier_nation_volume(sf_dir: str):
     )
 
 
+def q_incremental_exact(sf_dir: str):
+    """ST-family: streaming-ingest exact dedup against sharded index
+    actors (first arrival wins; docs fed in id order ⇒ canonical = min id,
+    so the batch-groupby SQL is the oracle)."""
+    from deduplicatr_ray.state.incremental import incremental_exact_assign
+
+    return incremental_exact_assign(
+        _docs(sf_dir, ["doc_id", "text"]), num_shards=8
+    )
+
+
 def q_brand_volume(sf_dir: str):
     """lineitem ⋈ part (broadcast dim): item counts + quantity cents per
     brand — completes coverage of every testdata table."""
@@ -836,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "supplier_nation_volume": q_supplier_nation_volume,
         "brand_volume": q_brand_volume,
+        "incremental_exact": q_incremental_exact,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1027,6 +1039,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "incremental_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM documents
         """,
         "brand_volume": """
             SELECT p.p_brand, count(*) AS n_items,
