@@ -243,6 +243,15 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_docs(sf_dir, ["text"]), k=20)
 
 
+def q_token_doc_freq(sf_dir: str):
+    """Document-frequency head (IDF building block): 20 tokens present in
+    the most docs; exact distinct-doc count via per-batch (doc,token)
+    dedup (a doc never spans batches), no distinct shuffle."""
+    from deduplicatr_ray.stages.textstats import token_doc_freq
+
+    return token_doc_freq(_docs(sf_dir, ["doc_id", "text"]), k=20)
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """A7 sketch aggregate: HLL distinct-token estimate per lang, expressed
     as a custom commutative AggregateFn (the reference's order-independent
@@ -831,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
+        "token_doc_freq": q_token_doc_freq,
         "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
@@ -939,6 +949,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
               FROM documents)
             GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
+        "token_doc_freq": """
+            SELECT tok AS token, count(DISTINCT doc_id) AS df FROM (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents)
+            GROUP BY tok ORDER BY df DESC, tok LIMIT 20
         """,
         "approx_distinct_tokens": """
             SELECT lang, count(DISTINCT tok) AS approx_distinct_tokens FROM (

@@ -123,6 +123,79 @@ def top_tokens(docs, *, k: int = 20):
     )
 
 
+def token_doc_freq(docs, *, k: int = 20):
+    """Document frequency head: the ``k`` tokens present in the most
+    documents (the IDF building block), ties broken by token ascending.
+
+    Exact distinct-doc counting WITHOUT a distinct shuffle: a token can
+    repeat only within a row, and a row lives in exactly one batch — so
+    deduplicating (doc, token) pairs per batch (one lexsort) makes the
+    downstream ``groupby(token).Sum`` an exact document-frequency count.
+
+    Output: ``token, df`` (int64), descending by ``df``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+        )
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_ids = doc_ids[nonempty]
+        if len(flat) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        # per-batch (doc, token) dedup -> each (doc, token) contributes 1
+        t = pa.table({"token": flat, "doc": pa.array(doc_ids, pa.int64())})
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("token", "ascending"), ("doc", "ascending")]
+            )
+        )
+        tok = t["token"].combine_chunks()
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        first = np.empty(n, np.bool_)
+        first[0] = True
+        neq_tok = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first[1:] = neq_tok | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(first)
+        tok_first = tok.take(pa.array(starts, pa.int64()))
+        # count distinct docs per token within the batch (runs of tok_first)
+        m = len(starts)
+        tnew = np.empty(m, np.bool_)
+        tnew[0] = True
+        tnew[1:] = pc.not_equal(
+            tok_first.slice(1), tok_first.slice(0, m - 1)
+        ).to_numpy(zero_copy_only=False)
+        tstarts = np.flatnonzero(tnew)
+        counts = np.diff(np.append(tstarts, m))
+        return pa.table(
+            {
+                "token": tok_first.take(pa.array(tstarts, pa.int64())),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="df"))
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def fingerprint_stage(docs, *, w: int = 25, guarantee_len: int = 50):
     """Explode winnowed rolling-hash fingerprints: one row per (doc_id, fp).
 
