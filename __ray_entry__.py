@@ -328,64 +328,24 @@ def q_events_asof(sf_dir: str):
     return asof_join_events(ev, left_type="purchase", right_type="click")
 
 
-_DIR_LEVELS = ["source", "lang", "bucket", "name"]  # bucket = doc_id % 10
-
-
 def _doc_files(sf_dir: str, *, mirror_source: str | None = None):
-    """documents → one 'file' row per doc with hierarchy columns
-    source/lang/bucket/name and a uint64 content hash matching DuckDB's
-    ``md5_number_lower`` (digest bytes 8..16, little-endian).
+    """documents → 'file' rows via the shared mapping in ``stages/dirtree``
+    (single home for the oracle-critical hash/hierarchy conventions;
+    ``mirror_source`` is mirrored in the SQL oracle as a UNION ALL)."""
+    from deduplicatr_ray.stages.dirtree import documents_to_file_table
 
-    ``mirror_source``: deterministically re-emit that source's rows under
-    ``<source>_copy`` — a duplicated subtree, so the dup-group/prune path
-    runs non-trivially (the sf documents tables contain no duplicate
-    texts). Mirrored in the SQL oracle as a UNION ALL."""
-    import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    def prep(b: pa.Table) -> pa.Table:
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
-                for t in b["text"].to_pylist()
-            ),
-            np.uint64,
-            len(b),
-        )
-        bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
-        t = pa.table(
-            {
-                "source": pc.cast(b["source"], pa.string()),
-                "lang": b["lang"],
-                "bucket": pc.cast(pa.array(bucket, pa.int64()), pa.string()),
-                "name": pc.cast(b["doc_id"], pa.string()),
-                "hash64": pa.array(h, pa.uint64()),
-                "n_bytes": pc.cast(b["n_chars"], pa.int64()),
-            }
-        )
-        if mirror_source is not None:
-            mask = pc.equal(t["source"], mirror_source)
-            copy = t.filter(mask)
-            copy = copy.set_column(
-                0,
-                "source",
-                pa.array([f"{mirror_source}_copy"] * len(copy), pa.string()),
-            )
-            t = pa.concat_tables([t, copy])
-        return t
-
-    return _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]).map_batches(
-        prep, batch_format="pyarrow", zero_copy_batch=True
+    return documents_to_file_table(
+        _docs(sf_dir, ["doc_id", "text", "lang", "source", "n_chars"]),
+        mirror_source=mirror_source,
     )
 
 
 def q_dir_summaries(sf_dir: str):
     """Reference headline analog (A1): commutative dir-hash rollup over the
     source/lang/bucket/name hierarchy — one row per dir/file node."""
-    from deduplicatr_ray.stages.dirtree import dir_rollup
+    from deduplicatr_ray.stages.dirtree import DOC_LEVELS, dir_rollup
 
-    return dir_rollup(_doc_files(sf_dir), _DIR_LEVELS)
+    return dir_rollup(_doc_files(sf_dir), DOC_LEVELS)
 
 
 def q_dir_dup_groups(sf_dir: str):
@@ -394,10 +354,14 @@ def q_dir_dup_groups(sf_dir: str):
     corpus + a deterministic mirrored subtree (src0 → src0_copy) so the
     group/prune path is exercised: the two roots group at depth 1 and all
     their descendants are pruned."""
-    from deduplicatr_ray.stages.dirtree import dir_dup_groups, dir_rollup
+    from deduplicatr_ray.stages.dirtree import (
+        DOC_LEVELS,
+        dir_dup_groups,
+        dir_rollup,
+    )
 
-    s = dir_rollup(_doc_files(sf_dir, mirror_source="src0"), _DIR_LEVELS)
-    return dir_dup_groups(s, leaf_depth=len(_DIR_LEVELS))
+    s = dir_rollup(_doc_files(sf_dir, mirror_source="src0"), DOC_LEVELS)
+    return dir_dup_groups(s, leaf_depth=len(DOC_LEVELS))
 
 
 def q_top_docs_per_lang(sf_dir: str):

@@ -119,7 +119,6 @@ def cmd_dirs(args: argparse.Namespace) -> int:
     """Duplicate directories/files, biggest first — the reference CLI's
     headline output (``duplicates.clj:~10-60`` analog): commutative-sum
     rollup over a path hierarchy, dup grouping, nested pruning."""
-    import pyarrow.compute as pc
     import ray
 
     from .sources.pages import read_parquet_auto
@@ -130,51 +129,33 @@ def cmd_dirs(args: argparse.Namespace) -> int:
         levels = args.levels.split(",")
         ds = read_parquet_auto(args.input)
         names = ds.schema().names
-        missing = [c for c in levels + [args.hash_col, args.bytes_col] if c not in names]
+        hash_col, bytes_col = args.hash_col, args.bytes_col
+        missing = [c for c in levels + [hash_col, bytes_col] if c not in names]
         if missing:
-            # documents-shaped convenience mapping: source/lang/bucket/name
+            # documents-shaped convenience mapping: source/lang/bucket/name.
+            # The mapping OWNS the output schema, so any user-supplied
+            # --levels/--hash-col/--bytes-col are overridden (say so).
             if {"doc_id", "text"} <= set(names):
-                import hashlib
+                from .stages.dirtree import DOC_LEVELS, documents_to_file_table
 
-                import numpy as np
-                import pyarrow as pa
-
-                def prep(b):
-                    h = np.fromiter(
-                        (
-                            int.from_bytes(
-                                hashlib.md5(t.encode()).digest()[8:16], "little"
-                            )
-                            for t in b["text"].to_pylist()
-                        ),
-                        np.uint64,
-                        len(b),
+                ds = documents_to_file_table(ds)
+                if (levels, hash_col, bytes_col) != (
+                    DOC_LEVELS,
+                    "hash64",
+                    "n_bytes",
+                ):
+                    print(
+                        "documents-shaped input: using levels "
+                        f"{','.join(DOC_LEVELS)} with hash64/n_bytes "
+                        "(supplied column flags ignored)",
+                        file=sys.stderr,
                     )
-                    bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
-                    nb = (
-                        b["n_chars"]
-                        if "n_chars" in b.column_names
-                        else pc.utf8_length(b["text"])
-                    )
-                    return pa.table(
-                        {
-                            "source": pc.cast(b["source"], pa.string()),
-                            "lang": pc.cast(b["lang"], pa.string()),
-                            "bucket": pc.cast(
-                                pa.array(bucket, pa.int64()), pa.string()
-                            ),
-                            "name": pc.cast(b["doc_id"], pa.string()),
-                            "hash64": pa.array(h, pa.uint64()),
-                            "n_bytes": pc.cast(nb, pa.int64()),
-                        }
-                    )
-
-                ds = ds.map_batches(prep, batch_format="pyarrow")
-                levels = ["source", "lang", "bucket", "name"]
+                levels = list(DOC_LEVELS)
+                hash_col, bytes_col = "hash64", "n_bytes"
             else:
                 print(f"missing columns: {missing}", file=sys.stderr)
                 return 2
-        s = dir_rollup(ds, levels, hash_col=args.hash_col, bytes_col=args.bytes_col)
+        s = dir_rollup(ds, levels, hash_col=hash_col, bytes_col=bytes_col)
         dups = dir_dup_groups(s, leaf_depth=len(levels))
         top = (
             dups.sort("n_bytes", descending=True).limit(args.top).take_all()

@@ -281,6 +281,20 @@ def hash_columns_u64(table, cols: list[str], seed: int = 0) -> np.ndarray:
     return df.hash_rows(seed=seed).to_numpy().astype(_U64, copy=False)
 
 
+def add_hash_part(table, cols: list[str], num_partitions: int):
+    """Append the engine's standard int32 ``part`` column
+    (``hash_columns_u64(cols) % num_partitions``) — the per-batch key every
+    hash-partitioned ``groupby("part").map_groups`` stage shuffles on."""
+    import pyarrow as pa
+
+    if len(table) == 0:
+        return table.append_column("part", pa.array([], pa.int32()))
+    part = (hash_columns_u64(table, cols) % np.uint64(num_partitions)).astype(
+        np.int32
+    )
+    return table.append_column("part", pa.array(part, pa.int32()))
+
+
 def sha1_bytes(texts: Iterable[str]) -> list[bytes]:
     """20-byte SHA-1 of each utf-8 encoded text (M1; exact dedup key D1)."""
     return [hashlib.sha1(t.encode("utf-8")).digest() for t in texts]

@@ -49,6 +49,63 @@ def _empty_summary() -> pa.Table:
     return pa.table({k: pa.array([], t) for k, t in _SUMMARY_SCHEMA.items()})
 
 
+DOC_LEVELS = ["source", "lang", "bucket", "name"]  # bucket = doc_id % 10
+
+
+def documents_to_file_table(ds, *, mirror_source: str | None = None):
+    """documents-schema Dataset → one 'file' row per doc with the
+    ``DOC_LEVELS`` hierarchy columns, ``hash64`` (uint64 content hash
+    matching DuckDB ``md5_number_lower``: digest bytes 8..16
+    little-endian) and ``n_bytes`` (``n_chars``, or utf8 length when the
+    column is absent). The oracle-critical conventions live ONLY here —
+    both `__ray_entry__` and the CLI import this mapping.
+
+    ``mirror_source``: deterministically re-emit that source's rows under
+    ``<source>_copy`` (a duplicated subtree, for exercising the dup-group/
+    prune path on corpora with no duplicate texts)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    def prep(b: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                for t in b["text"].to_pylist()
+            ),
+            np.uint64,
+            len(b),
+        )
+        bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
+        nb = (
+            b["n_chars"]
+            if "n_chars" in b.column_names
+            else pc.utf8_length(b["text"])
+        )
+        t = pa.table(
+            {
+                "source": pc.cast(b["source"], pa.string()),
+                "lang": pc.cast(b["lang"], pa.string()),
+                "bucket": pc.cast(pa.array(bucket, pa.int64()), pa.string()),
+                "name": pc.cast(b["doc_id"], pa.string()),
+                "hash64": pa.array(h, pa.uint64()),
+                "n_bytes": pc.cast(nb, pa.int64()),
+            }
+        )
+        if mirror_source is not None:
+            mask = pc.equal(t["source"], mirror_source)
+            copy = t.filter(mask)
+            copy = copy.set_column(
+                0,
+                "source",
+                pa.array([f"{mirror_source}_copy"] * len(copy), pa.string()),
+            )
+            t = pa.concat_tables([t, copy])
+        return t
+
+    return ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _rollup_table(t: pa.Table) -> pa.Table:
     """Aggregate (filecount, n_bytes, hash_sum) per (path, depth).
 
@@ -107,7 +164,7 @@ def dir_rollup(
     """
     import pyarrow.compute as pc
 
-    from ..functions.hashing import hash_columns_u64
+    from ..functions.hashing import add_hash_part
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
@@ -143,10 +200,7 @@ def dir_rollup(
         return _rollup_table(pa.concat_tables(parts))
 
     def with_part(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b.append_column("part", pa.array([], pa.int32()))
-        part = (hash_columns_u64(b, ["path"]) % np.uint64(P)).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
+        return add_hash_part(b, ["path"], P)
 
     def final(g: pa.Table) -> pa.Table:
         return _rollup_table(g.drop_columns(["part"]))
@@ -224,16 +278,13 @@ def dir_dup_groups(
     """
     import ray
 
-    from ..functions.hashing import hash_columns_u64
+    from ..functions.hashing import add_hash_part
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
 
     def with_part(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b.append_column("part", pa.array([], pa.int32()))
-        part = (hash_columns_u64(b, ["hash_sum"]) % np.uint64(P)).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
+        return add_hash_part(b, ["hash_sum"], P)
 
     def block(g: pa.Table) -> pa.Table:
         return _dup_members(g.drop_columns(["part"]))
@@ -275,18 +326,12 @@ def dir_dup_groups(
     pruned = dups.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
 
     # re-check group sizes after pruning (a group can fall below 2)
-    def with_part2(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b.append_column("part", pa.array([], pa.int32()))
-        part = (hash_columns_u64(b, ["hash_sum"]) % np.uint64(P)).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
-
     def recheck(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part", "n_dups"])
         return _dup_members(g)
 
     out = (
-        pruned.map_batches(with_part2, batch_format="pyarrow", zero_copy_batch=True)
+        pruned.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(recheck, batch_format="pyarrow")
     )

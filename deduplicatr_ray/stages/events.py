@@ -62,7 +62,9 @@ def windowed_event_agg(events, *, hours: int = 1):
 
     def add_window(b: pa.Table) -> pa.Table:
         ts_us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        wh = ts_us // div
+        # epoch-hours of the WINDOW START (not the window ordinal): the
+        # ordinal times `hours` recovers the start for any window width
+        wh = (ts_us // div) * np.int64(hours)
         value_c = np.floor(
             b["value"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
@@ -343,7 +345,11 @@ def asof_join_events(
         right = df.loc[
             df["event_type"] == right_type, ["event_id", "user_id", "ts"]
         ].rename(columns={"event_id": "matched_event_id", "ts": "ts_r"})
-        right = right.sort_values("ts_r", kind="mergesort")
+        # merge_asof picks the LAST equal-ts right row, so sorting the tie
+        # by event_id makes equal-timestamp matches deterministic (max id)
+        right = right.sort_values(
+            ["ts_r", "matched_event_id"], kind="mergesort"
+        )
         m = pd.merge_asof(
             left,
             right,

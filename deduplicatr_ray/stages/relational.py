@@ -103,16 +103,13 @@ def grouped_quantiles(
     """
     import pyarrow.compute as pc
 
-    from ..functions.hashing import hash_columns_u64
+    from ..functions.hashing import add_hash_part
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
 
     def with_part(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b.append_column("part", pa.array([], pa.int32()))
-        part = (hash_columns_u64(b, [by]) % np.uint64(P)).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
+        return add_hash_part(b, [by], P)
 
     def block(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part"])
@@ -169,19 +166,14 @@ def grouped_top_k(
     """
     import pyarrow.compute as pc
 
-    from ..functions.hashing import hash_columns_u64
+    from ..functions.hashing import add_hash_part
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
     direction = "descending" if descending else "ascending"
 
     def with_part(b: pa.Table) -> pa.Table:
-        if len(b) == 0:
-            return b.append_column("part", pa.array([], pa.int32()))
-        part = (
-            hash_columns_u64(b, [by]) % np.uint64(P)
-        ).astype(np.int32)
-        return b.append_column("part", pa.array(part, pa.int32()))
+        return add_hash_part(b, [by], P)
 
     def block(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part"])

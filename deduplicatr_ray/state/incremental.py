@@ -20,13 +20,13 @@ point lookups with read-your-writes ordering. Design:
   that dict IS the state being offered (an in-memory KV), not a transform
   loop; batches pre-collapse duplicate keys with numpy first.
 
-Ordering contract: ``incremental_exact_assign`` feeds blocks in dataset
-order (Ray preserves block order absent a shuffle), so "first arrival" is
-deterministic — the oracle-checkable mode. At ingest scale you would
-instead let map tasks call the shard actors directly (no driver routing,
-arrival order relaxed to completion order): grouping is unchanged, only
-WHICH member is canonical varies; that mode trades the deterministic
-canonical for driver-free throughput.
+Ordering contract: Ray's streaming executor does NOT preserve block order
+by default, so ``ingest(ordered=True)`` (the default) sorts the thin
+(id, digest) stream by id before feeding — "first arrival" = min id,
+deterministic and oracle-checkable, guarded by a monotonicity check. At
+ingest scale use ``ordered=False`` (completion-order feed) or let map
+tasks call the shard actors directly: grouping is unchanged, only WHICH
+member is canonical varies.
 """
 
 from __future__ import annotations
@@ -93,10 +93,10 @@ def incremental_exact_assign(
     an Arrow table ``(doc_id, canonical_id)`` where ``canonical_id`` is the
     id of the FIRST-ARRIVED document with identical text.
 
-    Equivalent to the batch groupby (canonical = min id when input is
-    id-ordered) — the point is the mechanism: state persists in the shard
-    actors, so subsequent calls against the same shards dedup new shards
-    against all prior ingests (see ``tests/test_incremental.py``).
+    Equivalent to the batch groupby (canonical = min id; the ordered feed
+    guarantees it) — the point is the mechanism: state persists in the
+    shard actors, so subsequent calls against the same shards dedup new
+    shards against all prior ingests (see ``tests/test_incremental.py``).
     """
     shards = [DedupIndexShard.remote() for _ in range(num_shards)]
     return ingest(
@@ -111,31 +111,61 @@ def ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_size: int = 4096,
+    ordered: bool = True,
 ) -> pa.Table:
     """One ingest round against an EXISTING shard set (the continuous-crawl
-    entry point: call repeatedly with new shards of data)."""
+    entry point: call repeatedly with new shards of data).
+
+    ``ordered=True`` (the deterministic mode): the thin (id, digest) stream
+    is sorted by id before feeding, so "first arrival" = min id regardless
+    of which read/hash task finishes first. Ray's streaming executor does
+    NOT preserve block order by default (``preserve_order=False``), so
+    iterating the un-sorted stream would make canonicals depend on task
+    completion order; the sort costs one exchange of 24 B/doc rows.
+    ``ordered=False`` is the ingest-scale mode: completion-order feed, same
+    GROUPING, nondeterministic choice of canonical within each group.
+    """
     S = len(shards)
     hashed = _digest_stage(docs, id_col=id_col, text_col=text_col)
+    if ordered:
+        hashed = hashed.sort("doc_id")
     id_parts: list[np.ndarray] = []
     canon_parts: list[np.ndarray] = []
+    last_id = None
     for b in hashed.iter_batches(batch_format="pyarrow", batch_size=batch_size):
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if ordered and len(ids):
+            # the deterministic contract stands on sorted iteration; fail
+            # loudly if the executor ever yields post-sort blocks reordered
+            if last_id is not None and ids[0] < last_id:
+                raise RuntimeError(
+                    "ingest(ordered=True): sorted stream arrived out of order"
+                )
+            last_id = ids[-1]
         digests = b["digest"].to_pylist()
+        # collapse duplicate digests within the batch: each unique key is
+        # probed ONCE; its first occurrence (min id under ordered=True,
+        # since ids arrive ascending) claims the canonical slot
+        packed = np.frombuffer(b"".join(digests), dtype="V16")
+        uniq, first_idx, inverse = np.unique(
+            packed, return_index=True, return_inverse=True
+        )
+        sub_all_ids = ids[first_idx]
         # route by the digest's leading byte range -> shard
-        shard_of = np.frombuffer(
-            b"".join(d[:1] for d in digests), dtype=np.uint8
-        ) % np.uint8(S)
+        lead = uniq.view(np.uint8).reshape(-1, 16)[:, 0]
+        shard_of = lead % np.uint8(S)
         futs = {}
         for s in range(S):
             mask = shard_of == s
             if not mask.any():
                 continue
-            sub_ids = ids[mask]
-            sub_digs = [digests[i] for i in np.flatnonzero(mask)]
+            sub_ids = sub_all_ids[mask]
+            sub_digs = [digests[first_idx[i]] for i in np.flatnonzero(mask)]
             futs[s] = (mask, shards[s].assign.remote(sub_digs, sub_ids))
-        canon = np.empty(len(ids), np.int64)
+        canon_u = np.empty(len(uniq), np.int64)
         for s, (mask, fut) in futs.items():
-            canon[mask] = ray.get(fut)
+            canon_u[mask] = ray.get(fut)
+        canon = canon_u[inverse]
         id_parts.append(ids.astype(np.int64))
         canon_parts.append(canon)
     if not id_parts:
