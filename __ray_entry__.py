@@ -252,6 +252,16 @@ def q_token_doc_freq(sf_dir: str):
     return token_doc_freq(_docs(sf_dir, ["doc_id", "text"]), k=20)
 
 
+def q_doc_tfidf(sf_dir: str):
+    """Per-doc keyword extraction: top-3 tokens by tfidf = tf * ln(N/df).
+    One token-hash shuffle computes df AND the scores (no df join); idf
+    uses libm log per distinct token so the doubles match DuckDB's ``ln``
+    bit for bit."""
+    from deduplicatr_ray.stages.textstats import doc_tfidf_top_terms
+
+    return doc_tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
 def q_approx_distinct_tokens(sf_dir: str):
     """A7 sketch aggregate: HLL distinct-token estimate per lang, expressed
     as a custom commutative AggregateFn (the reference's order-independent
@@ -805,6 +815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
+        "doc_tfidf": q_doc_tfidf,
         "approx_distinct_tokens": q_approx_distinct_tokens,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
@@ -920,6 +931,26 @@ def oracle_sql() -> dict[str, str]:
                      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
               FROM documents)
             GROUP BY tok ORDER BY df DESC, tok LIMIT 20
+        """,
+        "doc_tfidf": """
+            WITH tf AS (
+              SELECT doc_id, tok AS token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+                FROM documents)
+              GROUP BY doc_id, tok
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            ), nd AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, token, tf,
+                   tf * ln(CAST(n AS DOUBLE) / df) AS tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY tf * ln(CAST(n AS DOUBLE) / df) DESC, token
+                   ) AS BIGINT) AS rank
+            FROM tf JOIN df USING (token) CROSS JOIN nd
+            QUALIFY rank <= 3
         """,
         "approx_distinct_tokens": """
             SELECT lang, count(DISTINCT tok) AS approx_distinct_tokens FROM (

@@ -196,6 +196,121 @@ def token_doc_freq(docs, *, k: int = 20):
     )
 
 
+def doc_tfidf_top_terms(
+    docs, *, k: int = 3, n_docs: int | None = None, num_partitions: int | None = None
+):
+    """Per-document keyword extraction: the ``k`` highest-TF-IDF tokens of
+    every document (``tfidf = tf * ln(N / df)``), ties broken by token.
+
+    Training-data staple (topic hints, per-doc fingerprint labels, search
+    features). Scale shape — two all-to-alls, both inherent to tf-idf:
+
+    1. Per-batch ``(doc_id, token, tf)`` term counts (RE2 split + one
+       lexsort; exact, since a doc never spans batches).
+    2. ONE hash shuffle on ``token``: every (doc, token) row for a token
+       lands in the same partition, so ``df`` is a segment length there —
+       no separate df table, no df join. ``idf`` is computed once per
+       DISTINCT token with ``math.log`` (libm — bit-identical to DuckDB's
+       ``ln``, unlike numpy's SIMD log) and broadcast to rows by segment
+       id; the Python loop is vocab/P-sized, not row-sized.
+    3. Per-doc top-k via ``grouped_top_k`` (second shuffle, on doc_id).
+
+    Output: ``doc_id, token, tf, tfidf, rank`` (rank 1..k per doc).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import add_hash_part
+    from .lsh import default_num_partitions
+    from .relational import grouped_top_k
+
+    P = num_partitions or default_num_partitions()
+    if n_docs is None:
+        n_docs = docs.count()
+    N = int(n_docs)
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False),
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+        )
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_ids = doc_ids[nonempty]
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "token": flat})
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("doc_id", "ascending"), ("token", "ascending")]
+            )
+        )
+        tok = t["token"].combine_chunks()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        first = np.empty(n, np.bool_)
+        first[0] = True
+        neq_tok = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first[1:] = neq_tok | (doc[1:] != doc[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, n))
+        idx = pa.array(starts, pa.int64())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "token": tok.take(idx),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def with_part(b: pa.Table) -> pa.Table:
+        return add_hash_part(b, ["token"], P)
+
+    def score_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n == 0:
+            return g.append_column("tfidf", pa.array([], pa.float64()))
+        g = g.take(pc.sort_indices(g, sort_keys=[("token", "ascending")]))
+        tok = g["token"].combine_chunks()
+        neq = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        df = np.diff(np.append(starts, n))  # exact: (doc, token) rows unique
+        idf = np.fromiter(
+            (math.log(N / int(d)) for d in df), np.float64, len(df)
+        )
+        seg = np.zeros(n, np.int64)
+        seg[starts] = 1
+        seg_id = np.cumsum(seg) - 1
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return g.append_column("tfidf", pa.array(tf * idf[seg_id], pa.float64()))
+
+    scored = (
+        docs.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(score_block, batch_format="pyarrow")
+    )
+    return grouped_top_k(
+        scored, by="doc_id", order_by="tfidf", k=k, descending=True, tie_by="token"
+    )
+
+
 def fingerprint_stage(docs, *, w: int = 25, guarantee_len: int = 50):
     """Explode winnowed rolling-hash fingerprints: one row per (doc_id, fp).
 

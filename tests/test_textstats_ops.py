@@ -49,3 +49,64 @@ def test_top_tokens_k_exceeds_vocab_and_punct_only(ray_session):
     out = top_tokens(ds, k=10).to_pandas()
     assert out["token"].tolist() == ["x"]
     assert out["n"].tolist() == [1]
+
+
+def test_doc_tfidf_scores_and_ranks(ray_session):
+    import math
+
+    import ray
+
+    from deduplicatr_ray.stages.textstats import doc_tfidf_top_terms
+
+    # 4 docs; "common" is in all 4 (idf = ln(1) = 0), each doc has one
+    # distinctive token that must outrank it
+    texts = [
+        "common apple apple",
+        "common banana",
+        "common cherry cherry cherry",
+        "common date",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = (
+        doc_tfidf_top_terms(ds, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # every doc: rank 1 = its distinctive token, rank 2 = common (tfidf 0)
+    top1 = out[out["rank"] == 1].set_index("doc_id")["token"]
+    assert top1.to_dict() == {1: "apple", 2: "banana", 3: "cherry", 4: "date"}
+    top2 = out[out["rank"] == 2]
+    assert set(top2["token"]) == {"common"}
+    assert (top2["tfidf"] == 0.0).all()
+    # exact score: tf * ln(N/df), libm log
+    cherry = out[(out["doc_id"] == 3) & (out["token"] == "cherry")].iloc[0]
+    assert cherry["tf"] == 3
+    assert cherry["tfidf"] == 3.0 * math.log(4 / 1)
+
+
+def test_doc_tfidf_k_exceeds_doc_vocab(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import doc_tfidf_top_terms
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["solo", "alpha beta"], pa.string()),
+            }
+        )
+    )
+    out = doc_tfidf_top_terms(ds, k=5).to_pandas()
+    # doc 1 has one token -> one row; doc 2 -> two rows, ties by token asc
+    assert len(out[out["doc_id"] == 1]) == 1
+    d2 = out[out["doc_id"] == 2].sort_values("rank")
+    assert d2["token"].tolist() == ["alpha", "beta"]
