@@ -596,6 +596,43 @@ def q_brand_volume(sf_dir: str):
     )
 
 
+def q_customers_no_urgent_orders(sf_dir: str):
+    """Distributed ANTI join (NOT EXISTS): customers with no URGENT-priority
+    order. Right side is pruned at the Parquet scan (priority predicate +
+    key column only), reduced to distinct keys, then the native
+    hash-shuffle left_outer join + vectorized null-probe filter."""
+    import pyarrow.dataset as pads
+
+    import ray.data as rd
+
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import hash_semi_join
+
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_semi_join(cust, urgent, on="c_custkey", right_on="o_custkey", anti=True)
+
+
+def q_parts_in_lineitem(sf_dir: str):
+    """Distributed SEMI join (EXISTS): parts that appear in lineitem.
+    Same machinery, inner variant — right-side distinct reduction means
+    multiplicity can't inflate the part rows."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import hash_semi_join
+
+    part = read_parquet_auto(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = read_parquet_auto(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return hash_semi_join(part, li, on="p_partkey", right_on="l_partkey")
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -829,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "parts_in_lineitem": q_parts_in_lineitem,
         "pricing_summary": q_pricing_summary,
         "supplier_nation_volume": q_supplier_nation_volume,
         "brand_volume": q_brand_volume,
@@ -1034,6 +1073,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name
+        """,
+        "customers_no_urgent_orders": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "parts_in_lineitem": """
+            SELECT p_partkey, p_brand FROM part p
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,

@@ -203,3 +203,73 @@ def grouped_top_k(
         .groupby("part")
         .map_groups(block, batch_format="pyarrow")
     )
+
+
+def hash_semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int | None = None,
+):
+    """Distributed semi/anti join (SQL ``EXISTS`` / ``NOT EXISTS``): keep
+    the left rows whose key appears (semi) or does not appear (anti) in
+    ``right``. Output columns = the left side's columns, unchanged.
+
+    Scale shape: the right side is first reduced to DISTINCT keys — a
+    per-batch Arrow dedup partial, then a combining groupby — so the
+    exchange carries O(distinct keys per block), and join multiplicity can
+    never inflate the left side. The filter itself is Ray's native
+    hash-shuffle ``Dataset.join`` on the key (inner for semi, left_outer +
+    null-probe for anti). Both sides stream; nothing is broadcast or
+    driver-materialized, so either side may be arbitrarily large — use
+    ``broadcast_join``-style probing instead when the right key set is
+    known small.
+    """
+    from ray.data.aggregate import Count
+
+    from .lsh import default_num_partitions
+
+    rkey = right_on or on
+    if rkey == on:
+        raise ValueError(
+            "left and right key columns must be named differently "
+            f"(both {on!r}); rename one side first"
+        )
+    P = num_partitions or default_num_partitions()
+    out_cols = left.columns()
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        return b.select([rkey]).group_by(rkey).aggregate([])
+
+    def mark(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                rkey: b[rkey],
+                "__in_right": pa.array(np.ones(len(b), np.int8), pa.int8()),
+            }
+        )
+
+    keys = (
+        right.map_batches(
+            distinct_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(rkey)
+        .aggregate(Count(alias_name="__c"))
+        .map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if anti:
+        import pyarrow.compute as pc
+
+        def keep_missing(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_null(b["__in_right"]))
+
+        joined = left.join(keys, "left_outer", P, on=(on,), right_on=(rkey,))
+        joined = joined.map_batches(
+            keep_missing, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        joined = left.join(keys, "inner", P, on=(on,), right_on=(rkey,))
+    return joined.select_columns(out_cols)

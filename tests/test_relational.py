@@ -146,3 +146,66 @@ def test_grouped_top_k_ascending_k_larger_than_group(ray_session):
     )
     assert out["score"].tolist() == [2, 4]
     assert out["rank"].tolist() == [1, 2]
+
+
+def _semi_sides():
+    left = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    # key 2 repeats: multiplicity must not inflate the left side
+    right = pa.table({"rk": pa.array([2, 2, 2, 4, 9], pa.int64())})
+    return left, right
+
+
+def test_hash_semi_join_semi_and_no_inflation(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.relational import hash_semi_join
+
+    left, right = _semi_sides()
+    out = (
+        hash_semi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", right_on="rk",
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].tolist() == [2, 4]
+    assert out["v"].tolist() == ["b", "d"]
+    assert list(out.columns) == ["k", "v"]
+
+
+def test_hash_semi_join_anti(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.relational import hash_semi_join
+
+    left, right = _semi_sides()
+    out = (
+        hash_semi_join(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            on="k", right_on="rk", anti=True,
+        )
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["k"].tolist() == [1, 3]
+    assert list(out.columns) == ["k", "v"]
+
+
+def test_hash_semi_join_rejects_same_key_name(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.relational import hash_semi_join
+
+    left, right = _semi_sides()
+    with pytest.raises(ValueError, match="named differently"):
+        hash_semi_join(
+            ray.data.from_arrow(left),
+            ray.data.from_arrow(left),
+            on="k",
+        )
