@@ -312,6 +312,19 @@ def q_events_hopping(sf_dir: str):
     return hopping_event_agg(ev, window_minutes=60, hop_minutes=15)
 
 
+def q_running_user_totals(sf_dir: str):
+    """Cumulative window aggregate: per event, the user's running count and
+    running value cents (SUM OVER ... ROWS UNBOUNDED PRECEDING)."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.events import running_user_totals
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return running_user_totals(ev)
+
+
 def q_user_sessions(sf_dir: str):
     """Gap sessionization (30-min gap): per-user event + session counts.
     User-partitioned shuffle + one vectorized kernel per partition."""
@@ -858,6 +871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
         "user_sessions": q_user_sessions,
+        "running_user_totals": q_running_user_totals,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "dir_summaries": q_dir_summaries,
@@ -1017,6 +1031,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS off) o
             GROUP BY 1, 2
+        """,
+        "running_user_totals": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS running_n,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS running_value_c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "user_sessions": """
             SELECT user_id, count(*) AS n_events,

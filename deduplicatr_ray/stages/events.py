@@ -197,6 +197,68 @@ def sessionize(events, *, gap_minutes: int = 30, num_partitions: int | None = No
     )
 
 
+def running_user_totals(events, *, num_partitions: int | None = None):
+    """Cumulative window aggregate — SQL's
+    ``SUM(...) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING)``: per event, the running event count and
+    running value total (cents) for its user up to and including it.
+
+    One whole-user shuffle, then a per-partition vectorized kernel:
+    lexsort + one global cumsum with per-user base subtraction (segment-
+    relative cumulative sums) — no per-user or per-row Python. Value is
+    floored to integer cents so the totals are exact and SQL-mirrorable.
+    Output: ``event_id, user_id, running_n, running_value_c``.
+    """
+    import pyarrow.compute as pc
+
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "running_n": pa.array([], pa.int64()),
+                    "running_value_c": pa.array([], pa.int64()),
+                }
+            )
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        val_c = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, val_c = uid[order], eid[order], val_c[order]
+        new_user = np.empty(n, np.bool_)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.flatnonzero(new_user)
+        seg = np.cumsum(new_user.astype(np.int64)) - 1
+        idx = np.arange(n, dtype=np.int64)
+        cum = np.cumsum(val_c)
+        base = cum[starts] - val_c[starts]  # sum strictly before each segment
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "running_n": pa.array(idx - starts[seg] + 1, pa.int64()),
+                "running_value_c": pa.array(cum - base[seg], pa.int64()),
+            }
+        )
+
+    return (
+        _part_by_user(events, P)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+
 def _empty_range() -> pa.Table:
     return pa.table(
         {

@@ -227,3 +227,44 @@ def test_asof_exact_ts_matches(ray_session):
         .to_pandas()
     )
     assert out["matched_event_id"].tolist() == [1]
+
+
+def test_running_user_totals_cumulative(ray_session, stream):
+    import ray
+
+    from deduplicatr_ray.stages.events import running_user_totals
+
+    out = (
+        running_user_totals(ray.data.from_arrow(stream))
+        .to_pandas()
+        .sort_values(["user_id", "running_n"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    u1 = out[out["user_id"] == 1]
+    assert u1["event_id"].tolist() == [1, 2, 3, 4]
+    assert u1["running_n"].tolist() == [1, 2, 3, 4]
+    # cents: 125, 125+250, +9999, +10
+    assert u1["running_value_c"].tolist() == [125, 375, 10374, 10384]
+    u2 = out[out["user_id"] == 2]
+    assert u2["running_value_c"].tolist() == [1000, 1000]
+
+
+def test_running_user_totals_ts_tie_orders_by_event_id(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.events import running_user_totals
+
+    ev = _events(
+        [
+            (9, 1, 0.0, "click", 1.00),
+            (2, 1, 0.0, "click", 2.00),  # same ts, lower id -> counted first
+        ]
+    )
+    out = (
+        running_user_totals(ray.data.from_arrow(ev))
+        .to_pandas()
+        .sort_values("running_n")
+    )
+    assert out["event_id"].tolist() == [2, 9]
+    assert out["running_value_c"].tolist() == [200, 300]
