@@ -72,6 +72,20 @@ def q_lang_source_counts(sf_dir: str):
     )
 
 
+def q_lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): counts + char totals at all three
+    levels; coarser levels derive from the finest RESULT (one corpus scan)."""
+    from deduplicatr_ray.stages.relational import rollup_counts
+
+    return rollup_counts(
+        _docs(sf_dir, ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        sum_col="n_chars",
+        count_alias="n_docs",
+        sum_alias="total_chars",
+    )
+
+
 def q_top_docs_by_chars(sf_dir: str):
     """O1/O3 top-k sort (ties broken by doc_id asc, stable both sides)."""
     import pyarrow as pa
@@ -855,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": q_doc_stats_by_lang,
         "docs_per_source": q_docs_per_source,
         "lang_source_counts": q_lang_source_counts,
+        "lang_source_rollup": q_lang_source_rollup,
         "top_docs_by_chars": q_top_docs_by_chars,
         "exact_dup_assign": q_exact_dup_assign,
         "exact_dup_groups": q_exact_dup_groups,
@@ -931,6 +946,11 @@ def oracle_sql() -> dict[str, str]:
         "lang_source_counts": """
             SELECT lang, source, count(*) AS n_docs
             FROM documents GROUP BY lang, source
+        """,
+        "lang_source_rollup": """
+            SELECT lang, source, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
         """,
         "top_docs_by_chars": """
             SELECT doc_id, n_chars FROM documents

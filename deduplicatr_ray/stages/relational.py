@@ -273,3 +273,77 @@ def hash_semi_join(
     else:
         joined = left.join(keys, "inner", P, on=(on,), right_on=(rkey,))
     return joined.select_columns(out_cols)
+
+
+def rollup_counts(
+    ds,
+    keys: list[str],
+    *,
+    sum_col: str | None = None,
+    count_alias: str = "n",
+    sum_alias: str = "total",
+):
+    """SQL ``GROUP BY ROLLUP(keys...)``: the count (and optional sum) at
+    every prefix level of ``keys``, finest to grand total, with NULL in the
+    rolled-up key columns.
+
+    ONE scan of the input computes the finest groupby; every coarser level
+    re-aggregates the (much smaller) next-finer RESULT, so the extra
+    exchanges carry O(distinct fine groups) — at 100 TB the raw corpus is
+    read once and the rollup tree costs what the fine result costs.
+    Counts roll up as sums of the finer counts (additive by construction).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    key_types = {
+        f.name: f.type for f in ds.schema().base_schema if f.name in keys
+    }
+    out_cols = list(keys) + [count_alias] + ([sum_alias] if sum_col else [])
+
+    def pad_nulls(b: pa.Table, null_keys: tuple) -> pa.Table:
+        for k in null_keys:
+            b = b.append_column(k, pa.nulls(len(b), key_types[k]))
+        return b.select(out_cols)
+
+    aggs = [Count(alias_name=count_alias)]
+    if sum_col:
+        aggs.append(Sum(sum_col, alias_name=sum_alias))
+    fine = ds.groupby(list(keys)).aggregate(*aggs)
+
+    import functools
+
+    out = fine.map_batches(
+        functools.partial(pad_nulls, null_keys=()),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cur = fine
+    for i in range(len(keys) - 1, -1, -1):
+        re_aggs = [Sum(count_alias, alias_name=count_alias)]
+        if sum_col:
+            re_aggs.append(Sum(sum_alias, alias_name=sum_alias))
+        if i == 0:
+
+            def add_all(b: pa.Table) -> pa.Table:
+                return b.append_column(
+                    "__all", pa.array(np.zeros(len(b), np.int8), pa.int8())
+                )
+
+            cur = (
+                cur.map_batches(
+                    add_all, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("__all")
+                .aggregate(*re_aggs)
+                .drop_columns(["__all"])
+            )
+        else:
+            cur = cur.groupby(list(keys[:i])).aggregate(*re_aggs)
+        out = out.union(
+            cur.map_batches(
+                functools.partial(pad_nulls, null_keys=tuple(keys[i:])),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    return out

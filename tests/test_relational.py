@@ -209,3 +209,32 @@ def test_hash_semi_join_rejects_same_key_name(ray_session):
             ray.data.from_arrow(left),
             on="k",
         )
+
+
+def test_rollup_counts_levels(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.relational import rollup_counts
+
+    t = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"], pa.string()),
+            "b": pa.array(["p", "q", "p"], pa.string()),
+            "v": pa.array([1, 2, 4], pa.int64()),
+        }
+    )
+    out = rollup_counts(
+        ray.data.from_arrow(t), ["a", "b"], sum_col="v"
+    ).to_pandas()
+    # fine: (x,p)=1, (x,q)=2, (y,p)=4; level a: x=3, y=4; total: 7
+    assert len(out) == 6
+    rows = {
+        (r["a"], r["b"]): (r["n"], r["total"])
+        for _, r in out.iterrows()
+    }
+    assert rows[("x", "p")] == (1, 1)
+    assert rows[("x", "q")] == (1, 2)
+    assert rows[("y", "p")] == (1, 4)
+    assert rows[("x", None)] == (2, 3)
+    assert rows[("y", None)] == (1, 4)
+    assert rows[(None, None)] == (3, 7)
