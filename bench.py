@@ -286,12 +286,12 @@ def run_phased(sf_dir: str, num_cpus: int, replicas: int) -> dict:
 
     from deduplicatr_ray.config import CANONICAL
     from deduplicatr_ray.pipelines.flagship import default_sig_concurrency
-    from deduplicatr_ray.stages.cluster import assign_clusters_broadcast
+    from deduplicatr_ray.stages.cluster import assign_clusters_corpus_roots
     from deduplicatr_ray.stages.extract import extract_stage
     from deduplicatr_ray.stages.lsh import band_stage, candidate_pairs_stage
     from deduplicatr_ray.stages.signatures import signature_stage
     from deduplicatr_ray.state.unionfind import (
-        components_with_roots,
+        components_hashes,
         forest_reduce_stage,
     )
 
@@ -315,13 +315,15 @@ def run_phased(sf_dir: str, num_cpus: int, replicas: int) -> dict:
     ).materialize()
     t = mark("signatures", t)
     edges = forest_reduce_stage(
-        candidate_pairs_stage(band_stage(sigs, CANONICAL), CANONICAL, emit="forest")
+        candidate_pairs_stage(
+            band_stage(sigs, CANONICAL, keys_only=True), CANONICAL, emit="forest"
+        )
     ).materialize()
     t = mark("band_forest", t)
-    keys, root_h, roots, root_urls, root_sizes = components_with_roots(edges)
+    keys, root_h = components_hashes(edges)
     t = mark("components", t)
-    clusters = assign_clusters_broadcast(
-        extracted.select_columns(["url"]), keys, root_h, roots, root_urls, root_sizes
+    clusters, _n = assign_clusters_corpus_roots(
+        extracted.select_columns(["url"]), keys, root_h
     )
     n_rows = _consume(clusters)
     mark("assign", t)

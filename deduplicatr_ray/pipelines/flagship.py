@@ -68,7 +68,9 @@ def default_sig_concurrency() -> tuple[int, int]:
     cpus = 8
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-    lo, hi = max(2, (3 * cpus) // 4), cpus
+    # clamp to the cluster: at 1-2 CPUs a pool min of 2 would deadlock
+    # against the upstream read/extract tasks
+    lo, hi = min(max(2, (3 * cpus) // 4), max(1, cpus - 1)), cpus
     try:
         from ray.data.context import DataContext, ShuffleStrategy
 
@@ -81,6 +83,8 @@ def default_sig_concurrency() -> tuple[int, int]:
             hi = max(lo, cpus - max(2, cpus // 8))
     except ImportError:  # older ray without ShuffleStrategy
         pass
+    hi = max(1, min(hi, cpus))
+    lo = max(1, min(lo, hi, max(1, cpus - 1)))
     return (lo, hi)
 
 
@@ -231,14 +235,21 @@ def cluster_from_signatures(
     fused broadcast assignment. The A4 distinct pass stays OFF the
     critical path (union-find is idempotent over duplicate edges).
 
+    The clustering band shuffle is KEY-ONLY (``band_stage(keys_only=True)``):
+    url strings never enter the all-to-all — band rows carry the uint64 url
+    hash, pairs come out as ``(ha, hb)`` edges, and canonical min-urls are
+    reduced from the corpus at assignment time
+    (``assign_clusters_corpus_roots``). Cluster membership and canonical
+    urls are identical to the url-bearing reporting path.
+
     ``components`` selects the A6 implementation:
 
-    * ``"driver"`` — numpy min-label propagation + driver min-url groupby
-      (fastest below ~5M forest edges);
-    * ``"hashes"`` — driver pulls ONLY uint64 edge hashes (16 B/edge); the
-      canonical min-url per component is reduced DISTRIBUTEDLY
-      (``assign_clusters_distributed``) so no url strings ever land on the
-      driver — the default beyond ``DRIVER_EDGE_MAX`` edges;
+    * ``"driver"`` / ``"hashes"`` — driver pulls ONLY uint64 edge hashes
+      (16 B/edge) and runs numpy min-label propagation; canonical min-url
+      per component is reduced DISTRIBUTEDLY from the corpus, so no url
+      strings ever land on the driver (the two names are kept for
+      config/test compat — the key-only path made them the same
+      implementation);
     * ``"distributed"`` — NOTHING touches the driver: min-label
       propagation as partition-grouped vectorized rounds
       (``distributed_components``, fixpoint via a distributed Sum) and a
@@ -258,18 +269,14 @@ def cluster_from_signatures(
     """
     from ..state.unionfind import (
         components_hashes,
-        components_with_roots,
         forest_reduce_stage,
     )
-    from ..stages.cluster import (
-        assign_clusters_broadcast,
-        assign_clusters_distributed,
-    )
+    from ..stages.cluster import assign_clusters_corpus_roots
 
     url_ds = (
         url_source if url_source is not None else sigs.select_columns(["url"])
     )
-    bands = band_stage(sigs, cfg)
+    bands = band_stage(sigs, cfg, keys_only=True)
     forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
     # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID rows);
     # the forest reduction dedups near edges repeated across the 32 bands.
@@ -292,24 +299,22 @@ def cluster_from_signatures(
     if mode == "auto":
         mode = "driver" if n_edges <= DRIVER_EDGE_MAX else "hashes"
 
-    if mode == "driver":
-        # one driver pass: numpy components + canonical roots (A6), then ONE
-        # fused broadcast assignment plan (J1)
-        keys, root_h, roots, root_urls, root_sizes = components_with_roots(edge_src)
-        clusters = assign_clusters_broadcast(
-            url_ds, keys, root_h, roots, root_urls, root_sizes
-        )
-        n_clusters = len(root_urls)
-    elif mode == "hashes":
+    if mode in ("driver", "hashes"):
+        # driver holds uint64 arrays only (16 B/edge); min-url per component
+        # is a distributed corpus reduce + ONE fused broadcast assignment (J1)
         keys, root_h = components_hashes(edge_src)
-        clusters, n_clusters = assign_clusters_distributed(
-            url_ds, keys, root_h, edge_src
-        )
+        clusters, n_clusters = assign_clusters_corpus_roots(url_ds, keys, root_h)
     elif mode == "distributed":
         from ..state.unionfind import distributed_components
         from ..stages.cluster import assign_clusters_shuffle
 
-        members = distributed_components(edge_src, full=True).materialize()
+        # the never-on-driver path needs member URLS in its node table, so
+        # it derives edges from the url-bearing band mode (explicit opt-in;
+        # costs the wider shuffle)
+        url_edges = forest_reduce_stage(
+            candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="forest")
+        )
+        members = distributed_components(url_edges, full=True).materialize()
         clusters = assign_clusters_shuffle(url_ds, members)
         n_clusters = members.groupby("cluster_id").count().count()
         docs_in_clusters = members.count()

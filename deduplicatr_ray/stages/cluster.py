@@ -295,6 +295,85 @@ def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
     return clusters, n_clusters
 
 
+def assign_clusters_corpus_roots(url_ds, keys, root_h):
+    """(url Dataset, component hash maps) -> (CLUSTERS Dataset, n_clusters).
+
+    The key-only clustering path's assignment: edges carried NO url strings
+    through the band all-to-all (``band_stage(keys_only=True)``), so the
+    canonical min-url per component is reduced from the CORPUS — one
+    column-pruned pass labels each url with its component root via the
+    broadcast ``(keys, root_h)`` arrays, matched rows feed a distributed
+    ``groupby(root).Min(url)`` (shuffles only clustered docs, bounded by the
+    dup rate), and the resulting small root table is broadcast back into ONE
+    fused assignment pass. Cluster membership and canonical urls are
+    IDENTICAL to the url-bearing path: same components, same min over the
+    same member urls.
+
+    Component sizes come from the driver's label array (distinct member
+    hashes per root) — no extra aggregate.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import hash_columns_u64
+
+    if len(keys) == 0:
+        roots_payload = (np.empty(0, np.uint64), [], np.empty(0, np.int64))
+        ref1 = ray.put((keys, root_h))
+        ref2 = ray.put(roots_payload)
+        clusters = url_ds.map_batches(
+            _assign_fn,
+            fn_kwargs={"maps_ref": ref1, "roots_ref": ref2},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=16384,
+        )
+        return clusters, 0
+
+    ref1 = ray.put((keys, root_h))
+
+    def member_root_urls(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys_, root_ = ray.get(ref1)
+        h = hash_columns_u64(b, ["url"])
+        pos = np.minimum(np.searchsorted(keys_, h), len(keys_) - 1)
+        matched = keys_[pos] == h
+        take = pa.array(np.flatnonzero(matched), pa.int64())
+        return pa.table(
+            {
+                "root_h": pa.array(root_[pos[matched]], pa.uint64()),
+                "url": b["url"].take(take),
+            }
+        )
+
+    roots_tbl = (
+        url_ds.select_columns(["url"])
+        .map_batches(member_root_urls, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("root_h")
+        .aggregate(Min("url", alias_name="cluster_id"))
+        .to_pandas()
+        .sort_values("root_h")
+    )
+    uroots, counts = np.unique(root_h, return_counts=True)
+    sz = counts[np.searchsorted(uroots, roots_tbl["root_h"].to_numpy(np.uint64))]
+    roots_payload = (
+        roots_tbl["root_h"].to_numpy(np.uint64),
+        roots_tbl["cluster_id"].tolist(),
+        sz.astype(np.int64),
+    )
+    ref2 = ray.put(roots_payload)
+    clusters = url_ds.map_batches(
+        _assign_fn,
+        fn_kwargs={"maps_ref": ref1, "roots_ref": ref2},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16384,
+    )
+    return clusters, len(roots_tbl)
+
+
 def assign_clusters_shuffle(url_ds, members, *, num_partitions: int | None = None):
     """Never-on-driver corpus assignment: hash-partitioned shuffle join.
 

@@ -35,12 +35,20 @@ from .signatures import EMPTY_SENTINEL
 _POLY = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _id_col(table: pa.Table) -> str:
+    """Band tables carry the doc identity as either ``url`` (string;
+    reporting semantics) or ``key`` (uint64 url hash; the flagship
+    clustering path — strings never enter the band all-to-all)."""
+    return "key" if "key" in table.column_names else "url"
+
+
 def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Table:
     """SIGNATURES batch -> BAND_KEYS batch (rows only for docs with shingles;
     SimHash block rows only for docs with tokens)."""
+    idc = _id_col(batch)
     n = len(batch)
     if n == 0:
-        return _empty_band_table(cfg)
+        return _empty_band_table(cfg, idc)
     sig8_col = batch["sig8"]
     simhash = batch["simhash"].to_numpy(zero_copy_only=False)
     n_shingles = batch["n_shingles"].to_numpy(zero_copy_only=False)
@@ -101,7 +109,7 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
         row_idx_out.append(np.repeat(idx_sh, cfg.simhash_blocks))
 
     if not row_idx_out:
-        return _empty_band_table(cfg)
+        return _empty_band_table(cfg, idc)
 
     row_idx = np.concatenate(row_idx_out)
     take = pa.array(row_idx, pa.int64())
@@ -109,7 +117,7 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
         {
             "band_id": pa.array(np.concatenate(band_id_out), pa.int32()),
             "band_hash": pa.array(np.concatenate(band_hash_out), pa.uint64()),
-            "url": batch["url"].take(take),
+            idc: batch[idc].take(take),
             "sig8": sig8_col.take(take),
             "simhash": pa.array(simhash[row_idx], pa.uint64()),
             "sha64": pa.array(sha64[row_idx], pa.uint64()),
@@ -136,12 +144,12 @@ def _sha64b_of(sha1_col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
     return buf[start : start + n * 20].reshape(n, 20)[:, 8:16].copy().view(np.uint64).reshape(n)
 
 
-def _empty_band_table(cfg: DedupConfig) -> pa.Table:
+def _empty_band_table(cfg: DedupConfig, idc: str = "url") -> pa.Table:
     return pa.table(
         {
             "band_id": pa.array([], pa.int32()),
             "band_hash": pa.array([], pa.uint64()),
-            "url": pa.array([], pa.string()),
+            idc: pa.array([], pa.uint64() if idc == "key" else pa.string()),
             "sig8": pa.array(
                 [], pa.list_(pa.uint8(), cfg.num_perm)
             ),
@@ -152,17 +160,19 @@ def _empty_band_table(cfg: DedupConfig) -> pa.Table:
 
 
 def _local_sha_dedup(batch: pa.Table) -> pa.Table:
-    """Collapse same-content signature rows within a block to their min-url
+    """Collapse same-content signature rows within a block to their min-id
     representative BEFORE the 33x band explosion (min-of-mins composes with
-    the later collapses, so global output is placement-invariant). Exact
-    duplicates stay connected via the exact-hash path."""
+    the later collapses, so global output is placement-invariant; the
+    representative choice never affects cluster MEMBERSHIP — same-content
+    rows stay connected via the exact-hash path). Exact duplicates stay
+    connected via the exact-hash path."""
     import pyarrow.compute as pc
 
     n = len(batch)
     if n < 2:
         return batch
     order = pc.sort_indices(
-        batch, sort_keys=[("text_sha1", "ascending"), ("url", "ascending")]
+        batch, sort_keys=[("text_sha1", "ascending"), (_id_col(batch), "ascending")]
     )
     batch = batch.take(order)
     sha = batch["text_sha1"].combine_chunks()
@@ -198,11 +208,12 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     # by subkey equality — shipping the 128-B sketch per exact row would
     # add ~128 B/doc of dead shuffle payload
     sig8_type = batch.schema.field("sig8").type
+    idc = _id_col(batch)
     return pa.table(
         {
             "band_id": pa.array(np.full(n, EXACT_BAND_ID, np.int32), pa.int32()),
             "band_hash": pa.array(sha64, pa.uint64()),
-            "url": batch["url"],
+            idc: batch[idc],
             "sig8": pa.nulls(n, sig8_type),
             "simhash": subkey,
             "sha64": pa.array(sha64, pa.uint64()),
@@ -210,13 +221,33 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     )
 
 
-def band_stage(signatures, cfg: DedupConfig = CANONICAL, *, batch_size: int = 2048):
+def band_stage(
+    signatures,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    batch_size: int = 2048,
+    keys_only: bool = False,
+):
     """SIGNATURES Dataset -> BAND_KEYS Dataset (stateless tasks).
 
     Emits 32+4 LSH band rows per locally-deduped content representative
-    PLUS one exact-band row per input row (EXACT_BAND_ID)."""
+    PLUS one exact-band row per input row (EXACT_BAND_ID).
+
+    ``keys_only=True`` replaces the ``url`` string with its uint64 hash
+    (``key`` — the same ``hash_columns_u64`` value the assignment passes
+    probe with), so the band all-to-all ships ~45 fewer bytes per row and
+    every downstream sort is numeric. Pairs then come out as ``(ha, hb)``
+    edge hashes only; canonical min-urls are reduced from the CORPUS at
+    assignment time (``assign_clusters_corpus_roots``). This is the
+    flagship clustering path; the url-bearing mode is the reporting path
+    (PAIRS with ``url_a``/``url_b``)."""
 
     def fn(b: pa.Table) -> pa.Table:
+        if keys_only:
+            from ..functions.hashing import hash_columns_u64
+
+            key = pa.array(hash_columns_u64(b, ["url"]), pa.uint64())
+            b = b.set_column(b.column_names.index("url"), "key", key)
         exact_rows = _exact_band_rows(b, cfg)
         mh_rows = band_explode_batch(_local_sha_dedup(b), cfg)
         return pa.concat_tables([mh_rows, exact_rows]).combine_chunks()
@@ -237,6 +268,17 @@ _EMPTY_PAIRS = pa.table(
         "method": pa.array([], pa.string()),
         "ha": pa.array([], pa.uint64()),
         "hb": pa.array([], pa.uint64()),
+    }
+)
+
+# key-mode pair schema: edge hashes only (the clustering path never ships
+# url strings; see band_stage(keys_only=True))
+_EMPTY_PAIRS_KEYS = pa.table(
+    {
+        "ha": pa.array([], pa.uint64()),
+        "hb": pa.array([], pa.uint64()),
+        "jaccard_est": pa.array([], pa.float32()),
+        "method": pa.array([], pa.string()),
     }
 )
 
@@ -284,15 +326,17 @@ def emit_pairs_block(
     """
     import pyarrow.compute as pc
 
+    idc = _id_col(block)
+    empty = _EMPTY_PAIRS_KEYS if idc == "key" else _EMPTY_PAIRS
     n = len(block)
     if n < 2:
-        return _EMPTY_PAIRS
+        return empty
     order = pc.sort_indices(
         block,
         sort_keys=[
             ("band_id", "ascending"),
             ("band_hash", "ascending"),
-            ("url", "ascending"),
+            (idc, "ascending"),
         ],
     )
     block = block.take(order)
@@ -304,7 +348,7 @@ def emit_pairs_block(
     lens = ends - starts
     multi = np.flatnonzero(lens >= 2)
     if len(multi) == 0:
-        return _EMPTY_PAIRS
+        return empty
 
     # rows are band_id-sorted, so exact-band rows (band_id < 0, NULL sig8)
     # form a prefix; the sketch matrix covers only the LSH rows after it
@@ -401,22 +445,32 @@ def emit_pairs_block(
         mcount_out.append(len(ki))
 
     if not ia_out:
-        return _EMPTY_PAIRS
+        return empty
     ia = pa.array(np.concatenate(ia_out), pa.int64())
     ib = pa.array(np.concatenate(ib_out), pa.int64())
-    urls = block["url"]
+    ids = block[idc]
     methods = np.repeat(np.asarray(method_out, dtype=object), mcount_out)
+    est_col = pa.array(np.concatenate(est_out).astype(np.float32), pa.float32())
+    method_col = pa.array(methods, pa.string())
+    if idc == "key":
+        # clustering semantics: edges ARE the uint64 endpoint hashes
+        return pa.table(
+            {
+                "ha": ids.take(ia),
+                "hb": ids.take(ib),
+                "jaccard_est": est_col,
+                "method": method_col,
+            }
+        )
     from .exact import _append_edge_hashes
 
     return _append_edge_hashes(
         pa.table(
             {
-                "url_a": urls.take(ia),
-                "url_b": urls.take(ib),
-                "jaccard_est": pa.array(
-                    np.concatenate(est_out).astype(np.float32), pa.float32()
-                ),
-                "method": pa.array(methods, pa.string()),
+                "url_a": ids.take(ia),
+                "url_b": ids.take(ib),
+                "jaccard_est": est_col,
+                "method": method_col,
             }
         )
     )
@@ -472,7 +526,7 @@ def candidate_pairs_stage(
                     ("band_id", "ascending"),
                     ("band_hash", "ascending"),
                     ("sha64", "ascending"),
-                    ("url", "ascending"),
+                    (_id_col(b), "ascending"),
                 ],
             )
             b = b.take(idx)

@@ -355,13 +355,21 @@ def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
     P = num_partitions or default_num_partitions()
 
     def with_part(b: pa.Table) -> pa.Table:
-        part = (hash_columns_u64(b, ["url_a"]) % np.uint64(P)).astype(np.int32)
+        if "ha" in b.column_names:  # = hash(url_a); present in both pair modes
+            ha = b["ha"].to_numpy(zero_copy_only=False)
+        else:
+            ha = hash_columns_u64(b, ["url_a"])
+        part = (ha % np.uint64(P)).astype(np.int32)
         return b.append_column("part", pa.array(part, pa.int32()))
 
     def forest_block(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part"])
-        ua = g["url_a"].to_pylist()
-        ub = g["url_b"].to_pylist()
+        if "ha" in g.column_names:  # int endpoints: cheaper dict union-find
+            ua = g["ha"].to_pylist()
+            ub = g["hb"].to_pylist()
+        else:
+            ua = g["url_a"].to_pylist()
+            ub = g["url_b"].to_pylist()
         uf = UnionFind()
         keep: list[int] = []
         find, parent = uf.find, uf.parent

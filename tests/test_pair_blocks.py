@@ -152,6 +152,50 @@ def test_flagship_identical_under_emit_modes(ray_session):
     assert clusters_for("all") == clusters_for("forest")
 
 
+def test_keys_only_bands_match_url_bands(ray_session):
+    """The key-only clustering band path (band_stage(keys_only=True)) must
+    produce the SAME connected components as the url-bearing reporting path
+    (endpoints hashed by hash_columns_u64). The raw pair sets may differ —
+    the representative collapse picks min-KEY vs min-URL reps — but the
+    components, i.e. cluster membership, must be identical: urls can be
+    dropped from the band all-to-all without changing clustering."""
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.hashing import hash_columns_u64
+    from deduplicatr_ray.pipelines.flagship import signatures_from_pages
+    from deduplicatr_ray.sources.synthetic import gen_corpus
+    from deduplicatr_ray.stages.lsh import band_stage, candidate_pairs_stage
+    from deduplicatr_ray.state.unionfind import components_from_pairs
+
+    pages, _ = gen_corpus("mixed")
+    sigs = signatures_from_pages(rd.from_arrow(pages)).materialize()
+
+    url_pairs = candidate_pairs_stage(band_stage(sigs), emit="all").materialize()
+    key_pairs = candidate_pairs_stage(
+        band_stage(sigs, keys_only=True), emit="all"
+    ).materialize()
+
+    def component_sets(ds, key_mode: bool) -> set[frozenset]:
+        edges = []
+        for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            if key_mode:
+                ha = b["ha"].to_pylist()
+                hb = b["hb"].to_pylist()
+            else:
+                ha = hash_columns_u64(b, ["url_a"]).tolist()
+                hb = hash_columns_u64(b, ["url_b"]).tolist()
+            edges.extend(zip(ha, hb))
+        lab = components_from_pairs(edges)
+        groups: dict = {}
+        for node, root in lab.items():
+            groups.setdefault(root, set()).add(node)
+        return {frozenset(g) for g in groups.values()}
+
+    assert component_sets(key_pairs, True) == component_sets(url_pairs, False)
+    # key-mode pairs ship no strings
+    assert "url_a" not in key_pairs.schema().names
+
+
 def test_distributed_components_matches_driver(ray_session):
     """Hash-to-min rounds must produce the same components + min-url labels
     as the exact driver union-find (A6 scale path, SURVEY.md §4.3)."""
