@@ -14,6 +14,7 @@ import pyarrow as pa
 from .config import CANONICAL
 
 NUM_PERM = CANONICAL.num_perm
+SKETCH_WIDTH = CANONICAL.sketch_width  # packed b-bit verify sketch bytes
 
 # Input table (binding input_hint, BASELINE.json:15).
 PAGES = pa.schema(
@@ -47,7 +48,7 @@ SIGNATURES = pa.schema(
         pa.field("url", pa.string()),
         pa.field("text_sha1", pa.binary(20)),
         pa.field("band_hashes", pa.list_(pa.uint64(), CANONICAL.bands)),
-        pa.field("sig8", pa.list_(pa.uint8(), NUM_PERM)),  # b-bit verify sketch
+        pa.field("sig8", pa.list_(pa.uint8(), SKETCH_WIDTH)),  # b-bit verify sketch
         pa.field("simhash", pa.uint64()),
         pa.field("n_shingles", pa.int64()),
     ]
@@ -65,7 +66,7 @@ BAND_KEYS = pa.schema(
         pa.field("band_id", pa.int32()),
         pa.field("band_hash", pa.uint64()),
         pa.field("url", pa.string()),
-        pa.field("sig8", pa.list_(pa.uint8(), NUM_PERM)),
+        pa.field("sig8", pa.list_(pa.uint8(), SKETCH_WIDTH)),
         pa.field("simhash", pa.uint64()),
     ]
 )

@@ -30,7 +30,7 @@ import pyarrow as pa
 
 from ..config import CANONICAL, DedupConfig
 from ..functions.hashing import splitmix64
-from .signatures import EMPTY_SENTINEL
+from .signatures import EMPTY_SENTINEL, sketch_eq_mean
 
 _POLY = np.uint64(0x9E3779B97F4A7C15)
 
@@ -151,7 +151,7 @@ def _empty_band_table(cfg: DedupConfig, idc: str = "url") -> pa.Table:
             "band_hash": pa.array([], pa.uint64()),
             idc: pa.array([], pa.uint64() if idc == "key" else pa.string()),
             "sig8": pa.array(
-                [], pa.list_(pa.uint8(), cfg.num_perm)
+                [], pa.list_(pa.uint8(), cfg.sketch_width)
             ),
             "simhash": pa.array([], pa.uint64()),
             "sha64": pa.array([], pa.uint64()),
@@ -360,9 +360,9 @@ def emit_pairs_block(
             .combine_chunks()
             .flatten()
             .to_numpy(zero_copy_only=False)
-        ).reshape(n - n_exact, cfg.num_perm)
+        ).reshape(n - n_exact, cfg.sketch_width)
     else:
-        sig8 = np.empty((0, cfg.num_perm), np.uint8)
+        sig8 = np.empty((0, cfg.sketch_width), np.uint8)
     simhash = block["simhash"].to_numpy(zero_copy_only=False)
     if "sha64" in block.column_names:
         sha64 = block["sha64"].to_numpy(zero_copy_only=False)
@@ -405,7 +405,7 @@ def emit_pairs_block(
         iu, ju = reps[iu0] - s, reps[ju0] - s
         # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
         seg8 = sig8[s - n_exact : e - n_exact]
-        eq = (seg8[iu] == seg8[ju]).mean(axis=1)
+        eq = sketch_eq_mean(seg8[iu], seg8[ju], cfg)
         est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
         if bid[s] < cfg.bands:
             keep = est >= tau

@@ -43,6 +43,30 @@ def band_hashes_from_minhash(minhash: np.ndarray, cfg: DedupConfig) -> np.ndarra
         return splitmix64(acc)
 
 
+def pack_sketch(minhash: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """(n, num_perm) minhash -> (n, sketch_width) packed b-bit verification
+    sketch (Li & Koenig, "b-bit minwise hashing", WWW 2010): the low
+    ``bbit_bits`` of each lane; at b=4 two lanes share a byte (low nibble =
+    even lane, high nibble = odd lane)."""
+    if cfg.bbit_bits == 8:
+        return (minhash & np.uint64(0xFF)).astype(np.uint8)
+    if cfg.bbit_bits != 4:
+        raise ValueError(f"bbit_bits must be 4 or 8, got {cfg.bbit_bits}")
+    lanes = (minhash & np.uint64(0xF)).astype(np.uint8)
+    return lanes[:, 0::2] | (lanes[:, 1::2] << 4)
+
+
+def sketch_eq_mean(a: np.ndarray, b: np.ndarray, cfg: DedupConfig) -> np.ndarray:
+    """Mean per-lane agreement between packed sketch row-pairs
+    ((m, sketch_width) uint8 each) — the raw b-bit match rate the
+    bias-corrected Jaccard estimate is derived from."""
+    if cfg.bbit_bits == 8:
+        return (a == b).mean(axis=1)
+    lo = ((a & 0xF) == (b & 0xF)).sum(axis=1)
+    hi = ((a >> 4) == (b >> 4)).sum(axis=1)
+    return (lo + hi) / cfg.num_perm
+
+
 class SignatureActor:
     """Callable class for ``map_batches(..., concurrency=N)`` actor pools.
 
@@ -142,7 +166,7 @@ class SignatureActor:
                 ).sum(axis=1, dtype=np.uint64)
                 d0 = d1
 
-        sig8 = (minhash & np.uint64(0xFF)).astype(np.uint8)
+        sig8 = pack_sketch(minhash, cfg)
         cols: dict = {"url": batch["url"], "text_sha1": batch["text_sha1"]}
         if self.keep_minhash:
             cols["minhash"] = pa.FixedSizeListArray.from_arrays(
@@ -153,7 +177,7 @@ class SignatureActor:
             pa.array(bh.reshape(-1), pa.uint64()), cfg.bands
         )
         cols["sig8"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(sig8.reshape(-1), pa.uint8()), cfg.num_perm
+            pa.array(sig8.reshape(-1), pa.uint8()), cfg.sketch_width
         )
         cols["simhash"] = pa.array(simhash, pa.uint64())
         cols["n_shingles"] = pa.array(n_shingles, pa.int64())

@@ -64,7 +64,7 @@ def test_emit_pairs_cap_routes_giant_groups():
             "band_hash": pa.array([1] * m, pa.uint64()),
             "url": pa.array([f"u/{i:04d}" for i in range(m)]),
             "sig8": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.zeros(m * cfg.num_perm, np.uint8)), cfg.num_perm
+                pa.array(np.zeros(m * cfg.sketch_width, np.uint8)), cfg.sketch_width
             ),
             "simhash": pa.array(np.zeros(m, np.uint64)),
         }
@@ -75,17 +75,23 @@ def test_emit_pairs_cap_routes_giant_groups():
 
 def test_emit_pairs_jaccard_filter():
     cfg = CANONICAL
+    from deduplicatr_ray.stages.signatures import pack_sketch
+
     rng = np.random.Generator(np.random.PCG64(5))
-    s1 = rng.integers(0, 256, cfg.num_perm).astype(np.uint8)
-    s2 = s1.copy()
-    s2[: cfg.num_perm // 2] = rng.integers(0, 256, cfg.num_perm // 2)  # ~50% agree
+    lanes1 = rng.integers(0, 1 << 16, cfg.num_perm).astype(np.uint64)
+    lanes2 = lanes1.copy()
+    lanes2[: cfg.num_perm // 2] = rng.integers(
+        0, 1 << 16, cfg.num_perm // 2
+    ).astype(np.uint64)  # ~50% of lanes agree
+    s1 = pack_sketch(lanes1[None, :], cfg)[0]
+    s2 = pack_sketch(lanes2[None, :], cfg)[0]
     group = pa.table(
         {
             "band_id": pa.array([0, 0], pa.int32()),
             "band_hash": pa.array([1, 1], pa.uint64()),
             "url": pa.array(["u/a", "u/b"]),
             "sig8": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate([s1, s2])), cfg.num_perm
+                pa.array(np.concatenate([s1, s2])), cfg.sketch_width
             ),
             "simhash": pa.array(np.zeros(2, np.uint64)),
         }
@@ -97,7 +103,7 @@ def test_emit_pairs_jaccard_filter():
             "band_hash": pa.array([1, 1], pa.uint64()),
             "url": pa.array(["u/a", "u/b"]),
             "sig8": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate([s1, s1])), cfg.num_perm
+                pa.array(np.concatenate([s1, s1])), cfg.sketch_width
             ),
             "simhash": pa.array(np.zeros(2, np.uint64)),
         }
@@ -126,3 +132,30 @@ def test_unionfind_find_idempotent():
     uf.union("p", "q")
     assert uf.find("p") == uf.find("q")
     assert uf.find("solo") == "solo"
+
+
+def test_pack_sketch_roundtrip_and_eq():
+    """b=4 packing stores two lanes per byte and sketch_eq_mean recovers the
+    exact per-lane agreement rate of the unpacked lanes."""
+    from deduplicatr_ray.config import DedupConfig
+    from deduplicatr_ray.stages.signatures import pack_sketch, sketch_eq_mean
+
+    cfg4 = DedupConfig(bbit_bits=4)
+    rng = np.random.Generator(np.random.PCG64(11))
+    lanes = rng.integers(0, 1 << 32, (6, cfg4.num_perm)).astype(np.uint64)
+    packed = pack_sketch(lanes, cfg4)
+    assert packed.shape == (6, cfg4.num_perm // 2)
+    lo = packed & 0xF
+    hi = packed >> 4
+    assert (lo == (lanes[:, 0::2] & 0xF)).all()
+    assert (hi == (lanes[:, 1::2] & 0xF)).all()
+
+    a, b = lanes[:3], lanes[3:]
+    want = ((a & 0xF) == (b & 0xF)).mean(axis=1)
+    got = sketch_eq_mean(pack_sketch(a, cfg4), pack_sketch(b, cfg4), cfg4)
+    assert np.allclose(got, want)
+
+    cfg8 = DedupConfig(bbit_bits=8)
+    got8 = sketch_eq_mean(pack_sketch(a, cfg8), pack_sketch(b, cfg8), cfg8)
+    want8 = ((a & 0xFF) == (b & 0xFF)).mean(axis=1)
+    assert np.allclose(got8, want8)

@@ -13,6 +13,7 @@ from deduplicatr_ray.stages.lsh import distinct_pairs_block, emit_pairs_block
 
 
 def _band_group(urls: list[str], sig8_rows: list[np.ndarray], shas: list[int]):
+    """sig8_rows are PACKED sketch rows (cfg.sketch_width bytes each)."""
     cfg = CANONICAL
     m = len(urls)
     return pa.table(
@@ -21,7 +22,8 @@ def _band_group(urls: list[str], sig8_rows: list[np.ndarray], shas: list[int]):
             "band_hash": pa.array([1] * m, pa.uint64()),
             "url": pa.array(urls),
             "sig8": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.concatenate(sig8_rows).astype(np.uint8)), cfg.num_perm
+                pa.array(np.concatenate(sig8_rows).astype(np.uint8)),
+                cfg.sketch_width,
             ),
             "simhash": pa.array(np.zeros(m, np.uint64)),
             "sha64": pa.array(np.array(shas, np.uint64)),
@@ -31,7 +33,7 @@ def _band_group(urls: list[str], sig8_rows: list[np.ndarray], shas: list[int]):
 
 def test_forest_mode_emits_spanning_tree_not_clique():
     cfg = CANONICAL
-    s = np.zeros(cfg.num_perm, np.uint8)
+    s = np.zeros(cfg.sketch_width, np.uint8)
     g = _band_group(
         [f"u/{i}" for i in range(5)], [s] * 5, list(range(100, 105))
     )
@@ -43,7 +45,7 @@ def test_forest_mode_emits_spanning_tree_not_clique():
 
 def test_rep_collapse_same_sha_no_pairs():
     cfg = CANONICAL
-    s = np.zeros(cfg.num_perm, np.uint8)
+    s = np.zeros(cfg.sketch_width, np.uint8)
     # five rows, all the same content hash -> one representative -> no pairs
     g = _band_group([f"u/{i}" for i in range(5)], [s] * 5, [7] * 5)
     assert len(emit_pairs_block(g, emit="all")) == 0
