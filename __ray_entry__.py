@@ -660,6 +660,51 @@ def q_parts_in_lineitem(sf_dir: str):
     return hash_semi_join(part, li, on="p_partkey", right_on="l_partkey")
 
 
+def q_parts_in_lineitem_bloom(sf_dir: str):
+    """Bloom-prefiltered SEMI join: identical rows to ``parts_in_lineitem``
+    (shared oracle), but left rows missing the broadcast Bloom filter of
+    lineitem part keys never enter the join shuffle — the at-scale EXISTS
+    pattern; the false-positive sliver is removed by the exact join."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import bloom_semi_join
+
+    part = read_parquet_auto(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    li = read_parquet_auto(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return bloom_semi_join(
+        part, li, on="p_partkey", right_on="l_partkey", n_bits=1 << 20
+    )
+
+
+def q_heavy_tokens(sf_dir: str):
+    """Misra-Gries heavy hitters over the token stream (bounded-state
+    analog of top_tokens: per-block summaries capped at `capacity`
+    counters). No trim fires at verification scale, so the output equals
+    the exact top-20 and shares its oracle; the trim path is unit-tested
+    with a tiny capacity."""
+    from deduplicatr_ray.stages.textstats import heavy_tokens
+
+    return heavy_tokens(_docs(sf_dir, ["text"]), k=20)
+
+
+def q_latest_event_per_user(sf_dir: str):
+    """Snapshot dedup analog (keep the newest version per key, as a
+    CC-crawl pipeline keeps the newest capture per url): each user's most
+    recent event, ties broken by event_id."""
+    from deduplicatr_ray.sources.pages import read_parquet_auto
+    from deduplicatr_ray.stages.relational import grouped_top_k
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+    out = grouped_top_k(
+        ev, by="user_id", order_by="ts", k=1, descending=True, tie_by="event_id"
+    )
+    return out.select_columns(["user_id", "event_id", "ts", "event_type"])
+
+
 def q_events_range_join(sf_dir: str):
     """Range join: per purchase, count of same-user clicks in the preceding
     hour (t-1h, t]. Ray Data lacks a range join; user-partitioned
@@ -897,6 +942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
         "parts_in_lineitem": q_parts_in_lineitem,
+        "parts_in_lineitem_bloom": q_parts_in_lineitem_bloom,
+        "heavy_tokens": q_heavy_tokens,
+        "latest_event_per_user": q_latest_event_per_user,
         "pricing_summary": q_pricing_summary,
         "supplier_nation_volume": q_supplier_nation_volume,
         "brand_volume": q_brand_volume,
@@ -1128,6 +1176,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey, p_brand FROM part p
             WHERE EXISTS (
               SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        """,
+        "parts_in_lineitem_bloom": """
+            SELECT p_partkey, p_brand FROM part p
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+        """,
+        "heavy_tokens": """
+            SELECT tok AS token, count(*) AS n FROM (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents)
+            GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM events
+            QUALIFY row_number() OVER (
+              PARTITION BY user_id ORDER BY ts DESC, event_id) = 1
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,

@@ -9,10 +9,11 @@ explicitly:
   the cap is near-certainly an exact-dup cluster (boilerplate / mirrored
   pages) that the exact-hash path (A2/D1) already catches; its O(m^2)
   pairing is skipped and the event is counted in the emitted metrics.
-* **b-bit verification sketch**: band rows carry the low 8 bits of each
-  minhash (128 B/doc) instead of the full 1 KiB signature, so per-group
-  verification happens in-block with no second join while the band shuffle
-  payload stays small (Li & Koenig, "b-bit minwise hashing", WWW 2010).
+* **b-bit verification sketch**: band rows carry the low ``bbit_bits`` of
+  each minhash (64 B/row packed at the default b=4) instead of the full
+  1 KiB signature, so per-group verification happens in-block with no
+  second join while the band shuffle payload stays small (Li & Koenig,
+  "b-bit minwise hashing", WWW 2010).
 
 Band-key layout: minhash bands use band_id 0..bands-1 with a polynomial mix
 of the band's ``rows_per_band`` signature values; SimHash blocking (Manku et
@@ -206,7 +207,7 @@ def _exact_band_rows(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
         subkey = batch["simhash"]
     # sig8 is NULL here: exact groups are keyed by content hash and verified
     # by subkey equality — shipping the 128-B sketch per exact row would
-    # add ~128 B/doc of dead shuffle payload
+    # add sketch_width dead bytes per doc of shuffle payload
     sig8_type = batch.schema.field("sig8").type
     idc = _id_col(batch)
     return pa.table(

@@ -275,6 +275,101 @@ def hash_semi_join(
     return joined.select_columns(out_cols)
 
 
+_BLOOM_SEEDS = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+
+
+def _bloom_positions(h: np.ndarray, i: int, n_bits: int) -> np.ndarray:
+    """i-th probe position for each key hash (splitmix64 re-mix per probe;
+    identical on the build and probe sides by construction)."""
+    from ..functions.hashing import splitmix64
+
+    with np.errstate(over="ignore"):
+        return (splitmix64(h ^ _BLOOM_SEEDS[i]) % np.uint64(n_bits)).astype(np.int64)
+
+
+def bloom_semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    n_bits: int = 1 << 23,
+    k_hashes: int = 3,
+    num_partitions: int | None = None,
+):
+    """Bloom-prefiltered semi/anti join — EXACT results, shuffle reduced.
+
+    The at-scale EXISTS pattern: a Bloom filter of the right side's keys is
+    built distributedly (one fixed-size bitmap per block, OR-folded — the
+    fold payload is ``n_bits/8`` bytes per block regardless of row count)
+    and broadcast once via ``ray.put``. Left rows that MISS the filter are
+    definitely not in ``right``: for semi they are dropped before the join
+    shuffle; for anti they are emitted immediately. Only the bloom HITS —
+    true matches plus the ~(1-e^(-kn/m))^k false-positive sliver — enter
+    the exact ``hash_semi_join``, so results are identical to the exact
+    join while the all-to-all carries only the matching fraction of the
+    left side. Wins whenever the left side is much larger than its
+    matching subset (selective EXISTS over a fact table).
+
+    Size ``n_bits`` ~ 10x the expected distinct right keys for ~1% FP at
+    ``k_hashes=3``. The driver OR-fold is O(blocks * n_bits/8) — for
+    10^5+-block runs swap in a tree reduce.
+    """
+    import ray
+
+    from ..functions.hashing import hash_columns_u64
+
+    rkey = right_on or on
+
+    def block_bloom(b: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bits >> 3, np.uint8)
+        if len(b):
+            h = hash_columns_u64(b, [rkey])
+            for i in range(k_hashes):
+                pos = _bloom_positions(h, i, n_bits)
+                np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bitmap = np.zeros(n_bits >> 3, np.uint8)
+    for b in right.map_batches(
+        block_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1, batch_format="pyarrow"):
+        for buf in b["bloom"].to_pylist():
+            bitmap |= np.frombuffer(buf, np.uint8)
+    ref = ray.put(bitmap)
+
+    def bloom_mask(b: pa.Table) -> np.ndarray:
+        bm = ray.get(ref)
+        h = hash_columns_u64(b, [on])
+        hit = np.ones(len(b), bool)
+        for i in range(k_hashes):
+            pos = _bloom_positions(h, i, n_bits)
+            bit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+            hit &= bit.astype(bool)
+        return hit
+
+    def keep_hits(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(bloom_mask(b))) if len(b) else b
+
+    def keep_misses(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(~bloom_mask(b))) if len(b) else b
+
+    hits = left.map_batches(keep_hits, batch_format="pyarrow", zero_copy_batch=True)
+    verified = hash_semi_join(
+        hits, right, on=on, right_on=rkey, anti=anti, num_partitions=num_partitions
+    )
+    if anti:
+        misses = left.map_batches(
+            keep_misses, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return misses.union(verified)
+    return verified
+
+
 def rollup_counts(
     ds,
     keys: list[str],

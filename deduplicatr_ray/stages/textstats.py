@@ -123,6 +123,72 @@ def top_tokens(docs, *, k: int = 20):
     )
 
 
+def mg_trim(tokens: pa.Array, counts: np.ndarray, capacity: int) -> pa.Table:
+    """Misra–Gries trim of a (token, count) summary to ``capacity`` counters
+    (mergeable-summaries formulation, Agarwal et al. PODS 2012): subtract
+    the (capacity+1)-th largest count from every counter and drop the
+    non-positive ones. Surviving counts are lower bounds with per-summary
+    error <= n_block/(capacity+1)."""
+    if len(counts) <= capacity:
+        return pa.table(
+            {"token": tokens, "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+    thresh = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1
+    ]
+    kept = counts - thresh
+    keep = kept > 0
+    return pa.table(
+        {
+            "token": tokens.filter(pa.array(keep)),
+            "cnt": pa.array(kept[keep].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def heavy_tokens(docs, *, k: int = 20, capacity: int = 1 << 16):
+    """Approximate heavy hitters over the token stream: Misra–Gries
+    summaries of at most ``capacity`` counters per block, merged by a
+    combining ``groupby(token).Sum``. Counts are exact lower bounds with
+    total undercount <= corpus_tokens/(capacity+1) per contributing block
+    trim; any token with true frequency above that bound is guaranteed to
+    surface (the property exact ``top_tokens`` can't give with bounded
+    state — at web scale the vocabulary is unbounded, an MG summary is
+    not). With ``capacity`` >= per-block distinct tokens no trim occurs
+    and the result equals the exact top-k (the verification-scale oracle
+    setting).
+
+    Output: ``token, n`` descending, ties broken by token ascending.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = pc.value_counts(flat)
+        if len(vc) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        return mg_trim(
+            vc.field("values"),
+            vc.field("counts").to_numpy(zero_copy_only=False),
+            capacity,
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def token_doc_freq(docs, *, k: int = 20):
     """Document frequency head: the ``k`` tokens present in the most
     documents (the IDF building block), ties broken by token ascending.

@@ -238,3 +238,39 @@ def test_rollup_counts_levels(ray_session):
     assert rows[("x", None)] == (2, 3)
     assert rows[("y", None)] == (1, 4)
     assert rows[(None, None)] == (3, 7)
+
+
+def test_bloom_semi_join_matches_exact(ray_session):
+    """Bloom prefilter must be results-invariant: semi and anti outputs
+    equal the exact hash_semi_join on the same inputs (FP sliver removed
+    by the verify join; definite misses short-circuit)."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import bloom_semi_join, hash_semi_join
+
+    left = pa.table(
+        {
+            "k": pa.array(list(range(200)), pa.int64()),
+            "v": pa.array([f"v{i}" for i in range(200)], pa.string()),
+        }
+    )
+    # right hits only multiples of 7, with duplicates
+    right = pa.table({"rk": pa.array([7 * i for i in range(29)] * 3, pa.int64())})
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    for anti in (False, True):
+        want = (
+            hash_semi_join(lds, rds, on="k", right_on="rk", anti=anti)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        got = (
+            bloom_semi_join(
+                lds, rds, on="k", right_on="rk", anti=anti, n_bits=1 << 12
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), f"anti={anti}"

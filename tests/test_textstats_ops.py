@@ -110,3 +110,46 @@ def test_doc_tfidf_k_exceeds_doc_vocab(ray_session):
     assert len(out[out["doc_id"] == 1]) == 1
     d2 = out[out["doc_id"] == 2].sort_values("rank")
     assert d2["token"].tolist() == ["alpha", "beta"]
+
+
+def test_mg_trim_lower_bounds_and_survival():
+    """Misra-Gries trim: counts drop by exactly the (capacity+1)-th largest,
+    survivors are the heavy counters, every kept count is a lower bound."""
+    import numpy as np
+
+    from deduplicatr_ray.stages.textstats import mg_trim
+
+    toks = pa.array(["a", "b", "c", "d"])
+    counts = np.array([5, 3, 1, 1], np.int64)
+    out = mg_trim(toks, counts, capacity=2)
+    got = dict(zip(out["token"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == {"a": 4, "b": 2}  # threshold = 3rd largest = 1
+    # no trim when within capacity
+    out2 = mg_trim(toks, counts, capacity=4)
+    assert dict(zip(out2["token"].to_pylist(), out2["cnt"].to_pylist())) == {
+        "a": 5, "b": 3, "c": 1, "d": 1
+    }
+
+
+def test_heavy_tokens_exact_when_capacity_suffices(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import heavy_tokens, top_tokens
+
+    docs = pa.table(
+        {
+            "text": pa.array(
+                ["apple apple banana", "apple cherry", "banana apple date"] * 10,
+                pa.string(),
+            )
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    exact = top_tokens(ds, k=4).to_pandas()
+    approx = heavy_tokens(ds, k=4).to_pandas().rename(columns={})
+    assert approx["token"].tolist() == exact["token"].tolist()
+    assert approx["n"].tolist() == exact["n"].tolist()
+    # tiny capacity: the dominant token still surfaces with a lower-bound count
+    tiny = heavy_tokens(ds, k=1, capacity=1).to_pandas()
+    assert tiny["token"].tolist() == ["apple"]
+    assert 0 < tiny["n"].iloc[0] <= exact.set_index("token")["n"]["apple"]
