@@ -590,6 +590,19 @@ def q_incremental_exact(sf_dir: str):
     )
 
 
+def q_incremental_near(sf_dir: str):
+    """ST-family: streaming-ingest NEAR-dup assignment against sharded
+    band-index actors (probe 32 LSH band keys + exact key, verify with the
+    packed b-bit sketch, first arrival claims). Online assignment — not
+    SQL-expressible (state across arrival order), so rows-only; the recall
+    and cross-ingest-persistence invariants live in pytest."""
+    from deduplicatr_ray.state.incremental import incremental_near_assign
+
+    return incremental_near_assign(
+        _docs(sf_dir, ["doc_id", "text"]), num_shards=8
+    )
+
+
 def q_brand_volume(sf_dir: str):
     """lineitem ⋈ part (broadcast dim): item counts + quantity cents per
     brand — completes coverage of every testdata table."""
@@ -949,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_volume": q_supplier_nation_volume,
         "brand_volume": q_brand_volume,
         "incremental_exact": q_incremental_exact,
+        "incremental_near": q_incremental_near,
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "dedup_clusters": q_dedup_clusters,

@@ -104,6 +104,254 @@ def incremental_exact_assign(
     )
 
 
+@ray.remote
+class NearIndexShard:
+    """One band-key range of the incremental NEAR-dup index:
+    key (uint64 band-or-exact hash) -> (canonical doc id, packed b-bit
+    sketch). First write wins. The sketch is stored inline per key so a
+    probe is ONE round trip; at 10^9+ canonicals normalize it into a
+    doc-id-sharded sketch layer instead (second hop, 36x less memory) —
+    documented trade, same protocol."""
+
+    def __init__(self) -> None:
+        self._idx: dict[int, tuple[int, bytes]] = {}
+
+    def probe(self, keys: list[int]) -> list:
+        """(canonical id, sketch bytes) per key, or None if unseen."""
+        idx = self._idx
+        return [idx.get(k) for k in keys]
+
+    def claim(self, keys: list[int], ids: list[int], sketches: list[bytes]) -> None:
+        """Register canonical claims; existing entries win (first arrival)."""
+        idx = self._idx
+        for k, i, s in zip(keys, ids, sketches):
+            if k not in idx:
+                idx[k] = (i, s)
+
+    def size(self) -> int:
+        return len(self._idx)
+
+
+_NEAR_POLY = np.uint64(0x9E3779B97F4A7C15)
+_EXACT_MIX = np.uint64(0xD6E8FEB86659FD93)
+
+
+def _doc_keys(band_hashes: np.ndarray, sha64: np.ndarray, n_shingles: np.ndarray):
+    """Per-doc uint64 probe keys: one per LSH band (band_id mixed in, so
+    equal hashes in different bands never collide) for docs with shingles,
+    plus one exact content key for every doc."""
+    from ..functions.hashing import splitmix64
+
+    n, bands = band_hashes.shape
+    with np.errstate(over="ignore"):
+        bmix = splitmix64(
+            band_hashes ^ (np.arange(bands, dtype=np.uint64)[None, :] * _NEAR_POLY)
+        )
+        ekey = splitmix64(sha64 ^ _EXACT_MIX)
+    return bmix, ekey
+
+
+def incremental_near_assign(
+    docs,
+    *,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_shards: int = 8,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Fresh shard set + one ingest round (see ``ingest_near``)."""
+    shards = [NearIndexShard.remote() for _ in range(num_shards)]
+    return ingest_near(
+        docs,
+        shards,
+        cfg=cfg,
+        id_col=id_col,
+        text_col=text_col,
+        batch_size=batch_size,
+    )
+
+
+def ingest_near(
+    docs,
+    shards: list,
+    *,
+    cfg=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Streaming-ingest NEAR-dup assignment against a persistent sharded
+    band index (the online analog of the flagship's batch clustering).
+
+    Every arriving doc probes its 32 LSH band keys + exact content key
+    against the index; candidates are verified LOCALLY with the packed
+    b-bit sketch (bias-corrected Jaccard >= tau - margin, exactly the
+    flagship's verifier); a verified doc is ASSIGNED to the minimum
+    verified canonical id, otherwise it becomes a new canonical and claims
+    its keys (first arrival wins — continuous-crawl drop-if-dup
+    semantics). This is assignment, NOT re-clustering: earlier canonicals
+    are never merged retroactively; the batch flagship is the offline
+    full-clustering pass. SimHash blocking is intentionally absent here
+    (its 16-bit key alphabet floods a persistent index; MinHash + exact
+    are the online signals).
+
+    The HEAVY work (signatures) stays a distributed ``map_batches`` actor
+    stage; only the thin (id, 32 keys, 64 B sketch) stream routes through
+    the index actors. Docs are fed in id order (same contract and
+    monotonicity guard as exact ``ingest(ordered=True)``), so assignment
+    is deterministic; in-batch dups are resolved against a batch-local
+    claims dict BEFORE remote claiming, so two near-dups arriving in one
+    batch still co-cluster.
+    """
+    from ..config import CANONICAL
+    from ..stages.signatures import sketch_eq_mean, signature_stage
+    from ..stages.lsh import _sha64_of
+
+    cfg = cfg or CANONICAL
+    S = len(shards)
+    tau = cfg.jaccard_threshold - cfg.verify_margin
+    c = 1.0 / (1 << cfg.bbit_bits)
+    W = cfg.sketch_width
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = [t if t is not None else "" for t in b[text_col].to_pylist()]
+        return pa.table(
+            {
+                # zero-padded so the url sort IS numeric id order
+                "url": pa.array(
+                    [f"{i:020d}" for i in b[id_col].to_pylist()], pa.string()
+                ),
+                "text": pa.array(texts, pa.large_string()),
+                "text_sha1": pa.array(
+                    [hashlib.sha1(t.encode()).digest() for t in texts],
+                    pa.binary(20),
+                ),
+            }
+        )
+
+    sigs = signature_stage(
+        docs.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True),
+        cfg,
+        batch_size=256,
+        concurrency=(1, 4),
+        keep_minhash=False,
+    ).sort("url")  # id order; url is str(doc_id) — re-sorted numerically below
+
+    def est_of(a: np.ndarray, b: np.ndarray) -> float:
+        eq = sketch_eq_mean(a[None, :], b[None, :], cfg)[0]
+        return max(0.0, min(1.0, (eq - c) / (1.0 - c)))
+
+    id_parts: list[np.ndarray] = []
+    canon_parts: list[np.ndarray] = []
+    last_id = None
+    for b in sigs.iter_batches(batch_format="pyarrow", batch_size=batch_size):
+        n = len(b)
+        if n == 0:
+            continue
+        ids = np.array([int(u) for u in b["url"].to_pylist()], np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        if last_id is not None and ids[0] < last_id:
+            raise RuntimeError("ingest_near: stream arrived out of id order")
+        last_id = ids[-1]
+        take = pa.array(order, pa.int64())
+        bh = (
+            b["band_hashes"].take(take).combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(n, cfg.bands)
+        )
+        sk = (
+            b["sig8"].take(take).combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).reshape(n, W)
+        )
+        nsh = b["n_shingles"].take(take).to_numpy(zero_copy_only=False)
+        sha64 = _sha64_of(b["text_sha1"].take(take).combine_chunks(), n)
+        bkeys, ekeys = _doc_keys(bh, sha64, nsh)
+
+        # ---- phase A: one probe round trip over all unique keys ----
+        all_keys = np.concatenate([ekeys, bkeys[nsh > 0].reshape(-1)])
+        uniq = np.unique(all_keys)
+        found: dict[int, tuple[int, bytes]] = {}
+        futs = []
+        for s in range(S):
+            ks = uniq[uniq % np.uint64(S) == s].tolist()
+            if ks:
+                futs.append((ks, shards[s].probe.remote(ks)))
+        for ks, fut in futs:
+            for k, hit in zip(ks, ray.get(fut)):
+                if hit is not None:
+                    found[k] = hit
+        # ---- local pass in id order: exact > minhash verify > new ----
+        local: dict[int, tuple[int, bytes]] = {}
+        canon = np.empty(n, np.int64)
+        claim_keys: list[int] = []
+        claim_ids: list[int] = []
+        claim_sk: list[bytes] = []
+        for i in range(n):
+            ek = int(ekeys[i])
+            hit = found.get(ek) or local.get(ek)
+            if hit is not None:
+                canon[i] = hit[0]
+                continue
+            best = None
+            if nsh[i] > 0:
+                my = sk[i]
+                for k in bkeys[i].tolist():
+                    cand = found.get(k) or local.get(k)
+                    if cand is None or (best is not None and cand[0] >= best):
+                        continue
+                    if est_of(my, np.frombuffer(cand[1], np.uint8)) >= tau:
+                        best = cand[0]
+            if best is not None:
+                canon[i] = best
+                continue
+            # new canonical: claim exact + band keys (batch-locally first)
+            canon[i] = ids[i]
+            payload = (int(ids[i]), sk[i].tobytes())
+            new_keys = [ek]
+            local.setdefault(ek, payload)
+            if nsh[i] > 0:
+                for k in bkeys[i].tolist():
+                    local.setdefault(k, payload)
+                    new_keys.append(k)
+            claim_keys.extend(new_keys)
+            claim_ids.extend([payload[0]] * len(new_keys))
+            claim_sk.extend([payload[1]] * len(new_keys))
+        # ---- phase B: register new canonicals (first write wins) ----
+        ck = np.asarray(claim_keys, np.uint64)
+        done = []
+        for s in range(S):
+            mask = ck % np.uint64(S) == s
+            if mask.any():
+                idxs = np.flatnonzero(mask)
+                done.append(
+                    shards[s].claim.remote(
+                        [claim_keys[j] for j in idxs],
+                        [claim_ids[j] for j in idxs],
+                        [claim_sk[j] for j in idxs],
+                    )
+                )
+        ray.get(done)
+        id_parts.append(ids)
+        canon_parts.append(canon)
+
+    if not id_parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "canonical_id": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(id_parts), pa.int64()),
+            "canonical_id": pa.array(np.concatenate(canon_parts), pa.int64()),
+        }
+    )
+
+
 def ingest(
     docs,
     shards: list,

@@ -63,3 +63,72 @@ def test_small_batches_preserve_order(ray_session):
     # canonical of text "t{k}" = first doc id with that text: t1->1, t2->2, t0->3
     expect = [{1: 1, 2: 2, 0: 3}[i % 3] for i in range(1, 31)]
     assert out["canonical_id"].tolist() == expect
+
+
+def _near_docs():
+    import ray.data as rd
+
+    from deduplicatr_ray.sources.synthetic import gen_corpus
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    pages, truth = gen_corpus("near")
+    ext = extract_stage(rd.from_arrow(pages)).to_pandas().sort_values("url")
+    uid = {u: i for i, u in enumerate(ext["url"])}
+    docs = pa.table(
+        {
+            "doc_id": pa.array([uid[u] for u in ext["url"]], pa.int64()),
+            "text": pa.array(ext["text"].tolist(), pa.string()),
+        }
+    )
+    want = {
+        (min(uid[a], uid[b]), max(uid[a], uid[b]))
+        for a, b in zip(truth["url_a"].to_pylist(), truth["url_b"].to_pylist())
+    }
+    return docs, want
+
+
+def _implied(out) -> set:
+    from itertools import combinations
+
+    got = set()
+    for mem in out.groupby("canonical_id")["doc_id"].apply(list):
+        got.update(combinations(sorted(mem), 2))
+    return got
+
+
+def test_incremental_near_recall(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.state.incremental import incremental_near_assign
+
+    docs, want = _near_docs()
+    out = incremental_near_assign(rd.from_arrow(docs), num_shards=4).to_pandas()
+    got = _implied(out)
+    assert len(got & want) / len(want) >= 0.99
+    # online assignment never invents pairs the batch verifier wouldn't
+    assert not (got - want)
+
+
+def test_incremental_near_two_ingests_match_one(ray_session):
+    """Cross-ingest persistence: deduping the corpus in two arrival waves
+    against the SAME shard set assigns exactly what one ingest assigns."""
+    import ray.data as rd
+
+    from deduplicatr_ray.state.incremental import NearIndexShard, ingest_near
+
+    docs, _ = _near_docs()
+    n = len(docs)
+    one = ingest_near(
+        rd.from_arrow(docs),
+        [NearIndexShard.remote() for _ in range(4)],
+    ).to_pandas()
+
+    shards = [NearIndexShard.remote() for _ in range(4)]
+    first = ingest_near(rd.from_arrow(docs.slice(0, n // 2)), shards).to_pandas()
+    second = ingest_near(rd.from_arrow(docs.slice(n // 2)), shards).to_pandas()
+    import pandas as pd
+
+    two = pd.concat([first, second], ignore_index=True)
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    two = two.sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(two)
