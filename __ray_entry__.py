@@ -429,6 +429,21 @@ def q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def q_doc_len_quantiles_sketch(sf_dir: str):
+    """Mergeable quantile SUMMARY (bounded per-block state — the
+    billion-row-group path): exact at this scale (every block's per-lang
+    slice fits the summary), so it shares the quantile_disc oracle; the
+    trimmed path is tolerance-tested in pytest."""
+    from deduplicatr_ray.stages.relational import grouped_quantile_sketch
+
+    return grouped_quantile_sketch(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        by="lang",
+        value_col="n_chars",
+        qs={"p50": 0.5, "p90": 0.9, "p99": 0.99},
+    )
+
+
 def q_orders_by_region(sf_dir: str):
     """Broadcast dimension-join chain: orders → customer → nation → region
     (fact table streams; dims ship once via ray.put), grouped per region."""
@@ -951,6 +966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dir_dup_groups": q_dir_dup_groups,
         "top_docs_per_lang": q_top_docs_per_lang,
         "doc_len_quantiles": q_doc_len_quantiles,
+        "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
         "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -1155,6 +1171,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents QUALIFY "rank" <= 3
         """,
         "doc_len_quantiles": """
+            SELECT lang, count(*) AS n,
+                   quantile_disc(n_chars, 0.5) AS p50,
+                   quantile_disc(n_chars, 0.9) AS p90,
+                   quantile_disc(n_chars, 0.99) AS p99
+            FROM documents GROUP BY lang
+        """,
+        "doc_len_quantiles_sketch": """
             SELECT lang, count(*) AS n,
                    quantile_disc(n_chars, 0.5) AS p50,
                    quantile_disc(n_chars, 0.9) AS p90,

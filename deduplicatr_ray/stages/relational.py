@@ -149,6 +149,134 @@ def grouped_quantiles(
     )
 
 
+def grouped_quantile_sketch(
+    ds,
+    *,
+    by: str,
+    value_col: str,
+    qs: dict[str, float],
+    summary_size: int = 4096,
+    num_partitions: int | None = None,
+):
+    """Mergeable per-group quantile SUMMARY (bounded-state analog of
+    ``grouped_quantiles``): each block reduces every group it holds to at
+    most ``summary_size`` weighted points (equi-depth segments, segment
+    median as representative), and one groupby merges the weighted points
+    into discrete quantiles. State per (block, group) is O(summary_size)
+    regardless of rows — the path for billion-row groups where the exact
+    operator's whole-group-in-one-partition assumption breaks.
+
+    Rank error is bounded by ceil(n_block/summary_size)/2 per contributing
+    block (one merge level, so errors add across blocks, not compound).
+    Blocks whose group fits ``summary_size`` contribute EXACT points with
+    weight 1 — when that holds everywhere (verification scale) the output
+    equals ``grouped_quantiles`` row-for-row and shares its SQL oracle;
+    the trimmed path is unit-tested with a tolerance instead.
+
+    Output: one row per group — ``by``, ``n`` (total weight = true row
+    count), one column per ``qs`` entry.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import add_hash_part
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    S = int(summary_size)
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = len(b)
+        vt = b[value_col].type
+        if n == 0:
+            return pa.table(
+                {
+                    by: b[by],
+                    "v": pa.array([], vt),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        b = b.take(
+            pc.sort_indices(
+                b, sort_keys=[(by, "ascending"), (value_col, "ascending")]
+            )
+        )
+        grp = b[by].combine_chunks()
+        neq = pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        ends = np.append(starts[1:], n)
+        take_idx: list[np.ndarray] = []
+        weights: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m <= S:
+                take_idx.append(np.arange(s, e))
+                weights.append(np.ones(m, np.int64))
+            else:
+                bounds = np.round(np.linspace(0, m, S + 1)).astype(np.int64)
+                seg_w = np.diff(bounds)
+                keep = seg_w > 0
+                reps = s + (bounds[:-1] + bounds[1:] - 1) // 2
+                take_idx.append(reps[keep])
+                weights.append(seg_w[keep])
+        idx = np.concatenate(take_idx)
+        return pa.table(
+            {
+                by: grp.take(pa.array(idx, pa.int64())),
+                "v": b[value_col].take(pa.array(idx, pa.int64())),
+                "w": pa.array(np.concatenate(weights), pa.int64()),
+            }
+        )
+
+    def with_part(b: pa.Table) -> pa.Table:
+        return add_hash_part(b, [by], P)
+
+    def block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        vt = g["v"].type
+        if n == 0:
+            cols = {by: g[by], "n": pa.array([], pa.int64())}
+            for name in qs:
+                cols[name] = pa.array([], vt)
+            return pa.table(cols)
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[(by, "ascending"), ("v", "ascending")])
+        )
+        grp = g[by].combine_chunks()
+        neq = pc.not_equal(grp.slice(1), grp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        starts = np.concatenate(([0], np.flatnonzero(neq) + 1))
+        ends = np.append(starts[1:], n)
+        w = g["w"].to_numpy(zero_copy_only=False)
+        cumw = np.cumsum(w)
+        base = np.concatenate(([0], cumw[ends[:-1] - 1]))
+        totals = cumw[ends - 1] - base
+        cols = {
+            by: grp.take(pa.array(starts, pa.int64())),
+            "n": pa.array(totals.astype(np.int64), pa.int64()),
+        }
+        vals = g["v"]
+        for name, q in qs.items():
+            idx = np.empty(len(starts), np.int64)
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                target = max(1, int(np.ceil(np.float64(q) * totals[gi])))
+                idx[gi] = s + np.searchsorted(
+                    cumw[s:e] - base[gi], target, side="left"
+                )
+            cols[name] = vals.take(pa.array(idx, pa.int64()))
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(block, batch_format="pyarrow")
+    )
+
+
 def grouped_top_k(
     ds,
     *,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -274,3 +275,54 @@ def test_bloom_semi_join_matches_exact(ray_session):
             .reset_index(drop=True)
         )
         assert got.equals(want), f"anti={anti}"
+
+
+def test_quantile_sketch_exact_when_blocks_fit(ray_session):
+    """With every per-block group slice within summary_size, the sketch
+    output equals the exact grouped_quantiles row-for-row."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import (
+        grouped_quantile_sketch,
+        grouped_quantiles,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["a", "b", "c"], 3000).tolist(), pa.string()),
+            "v": pa.array(rng.integers(0, 10_000, 3000), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    exact = (
+        grouped_quantiles(ds, by="g", value_col="v", qs=qs)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    sk = (
+        grouped_quantile_sketch(ds, by="g", value_col="v", qs=qs)
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    assert sk.equals(exact)
+
+
+def test_quantile_sketch_bounded_error_when_trimmed(ray_session):
+    """Trimmed path: rank error bounded by sum of per-block segment
+    half-widths (values = ranks, so value error == rank error)."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import grouped_quantile_sketch
+
+    n, blocks, S = 8000, 4, 64
+    rng = np.random.Generator(np.random.PCG64(9))
+    vals = rng.permutation(n).astype(np.int64)
+    t = pa.table({"g": pa.array(["x"] * n, pa.string()), "v": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(blocks)
+    out = grouped_quantile_sketch(
+        ds, by="g", value_col="v", qs={"p50": 0.5, "p90": 0.9}, summary_size=S
+    ).to_pandas()
+    assert out["n"].iloc[0] == n
+    bound = blocks * (int(np.ceil(n / blocks / S)) // 2 + 1)
+    assert abs(out["p50"].iloc[0] - (n // 2 - 1)) <= bound
+    assert abs(out["p90"].iloc[0] - (int(np.ceil(0.9 * n)) - 1)) <= bound
