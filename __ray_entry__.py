@@ -901,16 +901,19 @@ def q_ann_ivf_knn(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media -> feature extraction actor pool
-    (decode stubbed; Ray-side schema/batching real)."""
+    """Multimodal: synthetic media -> feature extraction actor pool with
+    REAL stdlib decoding (WAV via `wave`, binary PPM via numpy) for the
+    image/audio rows; video byte blobs take the deterministic fallback
+    (the one format with no stdlib codec — PIL/ffmpeg seam)."""
     from deduplicatr_ray.stages.multimodal import gen_fake_media, media_feature_stage
 
-    return media_feature_stage(gen_fake_media(200))
+    return media_feature_stage(gen_fake_media(200), decode="real", fallback=True)
 
 
 def q_media_frame_pipeline(sf_dir: str):
-    """Multimodal chain: resize -> frame-sample -> feature extraction
-    (decode stubbed; schemas/batching/actor plumbing real)."""
+    """Multimodal chain: resize -> frame-sample -> feature extraction.
+    PPM images get a REAL nearest-neighbor resample + pixel features;
+    WAV rows real sample features; video stays the documented fallback."""
     from deduplicatr_ray.stages.multimodal import (
         frame_sample_stage,
         gen_fake_media,
@@ -919,10 +922,10 @@ def q_media_frame_pipeline(sf_dir: str):
     )
 
     media = gen_fake_media(150)
-    sampled = frame_sample_stage(media_resize_stage(media)).drop_columns(
-        ["frame_idx"]
-    )
-    return media_feature_stage(sampled)
+    sampled = frame_sample_stage(
+        media_resize_stage(media, decode="real", fallback=True)
+    ).drop_columns(["frame_idx"])
+    return media_feature_stage(sampled, decode="real", fallback=True)
 
 
 # ---------------------------------------------------------------------------

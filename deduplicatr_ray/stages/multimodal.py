@@ -1,16 +1,20 @@
-"""Multimodal column plumbing (task-brief operator family).
+"""Multimodal column plumbing + stdlib-real decoders (task-brief family).
 
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 (SURVEY.md data-model convention for wide binary rows). The Ray-side
 plumbing — schemas, actor-pool signatures, small batch sizes for large
-payloads, output layout — is real and tested; the actual codec work is
-STUBBED because no image/audio libraries exist in this container:
+payloads, output layout — is real and tested. Decode modes:
 
-* ``decode=\"fake\"`` (default) runs a deterministic, dependency-free stand-in
-  (byte-histogram features, size/shape parsing from the sidecar metadata)
-  so pipelines exercise the full data path.
-* ``decode=\"real\"`` raises ``NotImplementedError`` at actor construction —
-  the clearly-marked seam where PIL/ffmpeg-backed decoders plug in.
+* ``decode=\"real\"``: REAL decoding for the container-decodable formats —
+  WAV/PCM audio (stdlib ``wave``) and binary PPM/PGM images (numpy header
+  parse) — producing real sample/pixel-derived features and real
+  nearest-neighbor resizes. Codec formats (JPEG/PNG/MP4...) raise
+  ``NotImplementedError`` naming the needed library (``fallback=True``
+  routes them to the deterministic stand-in instead, so mixed tables keep
+  flowing); video containers remain the one fully-stubbed seam.
+* ``decode=\"fake\"``: deterministic, dependency-free stand-in
+  (byte-histogram features, metadata-derived shapes) exercising the full
+  data path.
 """
 
 from __future__ import annotations
@@ -20,6 +24,110 @@ import json
 
 import numpy as np
 import pyarrow as pa
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/PCM bytes -> (mono float32 samples in [-1, 1], sample rate).
+    Stdlib ``wave`` + numpy only — real decoding, no codec libraries."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) bytes -> (h, w, c) uint8 pixels.
+    Pure-numpy header parse — real decoding, no image libraries."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise NotImplementedError("not a binary PGM/PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    # (with '#' comments), then ONE whitespace byte, then raw pixel data
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    c = 3 if payload[:2] == b"P6" else 1
+    pix = np.frombuffer(payload, np.uint8, count=h * w * c, offset=i)
+    return pix.reshape(h, w, c)
+
+
+def encode_pnm(pixels: np.ndarray) -> bytes:
+    """(h, w, c) uint8 -> binary PPM/PGM bytes (inverse of decode_pnm)."""
+    h, w, c = pixels.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + pixels.tobytes()
+
+
+def wav_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim audio feature: [rms, zero-crossing rate, log-duration,
+    log-rate, 28 log-energy FFT bands] from decoded PCM samples."""
+    x, rate = decode_wav(payload)
+    if len(x) == 0:
+        return np.zeros(32, np.float32)
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    spec = np.abs(np.fft.rfft(x))
+    bands = np.array_split(spec, 28)
+    e = np.array([np.log1p(b.sum()) for b in bands], np.float32)
+    e = e / (e.sum() + 1e-9)
+    head = np.array(
+        [rms, zcr, np.log1p(len(x) / rate), np.log1p(rate) / 16.0], np.float32
+    )
+    return np.concatenate([head, e]).astype(np.float32)
+
+
+def pnm_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature: 16 grayscale 4x4 block means, 8-bin
+    histogram, per-channel mean+std (grayscale duplicated), h/w scale."""
+    pix = decode_pnm(payload).astype(np.float32)
+    h, w, c = pix.shape
+    gray = pix.mean(axis=2)
+    yb = np.round(np.linspace(0, h, 5)).astype(int)
+    xb = np.round(np.linspace(0, w, 5)).astype(int)
+    blocks = np.zeros(16, np.float32)
+    for by in range(4):
+        for bx in range(4):
+            seg = gray[yb[by] : max(yb[by + 1], yb[by] + 1),
+                       xb[bx] : max(xb[bx + 1], xb[bx] + 1)]
+            blocks[by * 4 + bx] = seg.mean() / 255.0
+    hist = np.histogram(gray, bins=8, range=(0, 256))[0].astype(np.float32)
+    hist = hist / (hist.sum() + 1e-9)
+    ch_mean = pix.mean(axis=(0, 1)) / 255.0
+    ch_std = pix.std(axis=(0, 1)) / 255.0
+    if c == 1:
+        ch_mean = np.repeat(ch_mean, 3)
+        ch_std = np.repeat(ch_std, 3)
+    tail = np.array([h / 4096.0, w / 4096.0], np.float32)
+    return np.concatenate([blocks, hist, ch_mean, ch_std, tail]).astype(np.float32)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -47,17 +155,20 @@ class MediaFeatureActor:
     Batch sizes MUST stay small for large binary payloads (the caller sets
     ``batch_size``; see ``media_feature_stage``). One decoder instance per
     actor, built in ``__init__``.
+
+    ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``) and binary
+    PPM/PGM (``P6``/``P5``) are REALLY decoded (stdlib wave / numpy) into
+    sample- and pixel-derived features; any other format raises
+    ``NotImplementedError`` naming the missing library unless
+    ``fallback=True`` routes it to the deterministic stand-in (for mixed
+    tables whose video rows have no stdlib codec).
     """
 
-    def __init__(self, decode: str = "fake") -> None:
-        if decode == "real":
-            raise NotImplementedError(
-                "real media decoding needs PIL/torchaudio/ffmpeg — not available "
-                "in this container; plug the decoder in here"
-            )
-        if decode != "fake":
+    def __init__(self, decode: str = "fake", fallback: bool = False) -> None:
+        if decode not in ("fake", "real"):
             raise ValueError(f"unknown decode mode {decode!r}")
         self.decode = decode
+        self.fallback = fallback
 
     def _fake_feature(self, payload: bytes) -> np.ndarray:
         """Deterministic 32-dim stand-in: normalized 32-bin byte histogram."""
@@ -67,9 +178,23 @@ class MediaFeatureActor:
         hist = np.bincount(arr >> 3, minlength=32).astype(np.float32)
         return hist / hist.sum()
 
+    def _feature(self, payload: bytes) -> np.ndarray:
+        if self.decode == "fake":
+            return self._fake_feature(payload)
+        if payload[:4] == b"RIFF":
+            return wav_feature(payload)
+        if payload[:2] in (b"P5", b"P6"):
+            return pnm_feature(payload)
+        if self.fallback:
+            return self._fake_feature(payload)
+        raise NotImplementedError(
+            "codec-format payload (JPEG/PNG/MP4...) needs PIL/ffmpeg — not in "
+            "this container; stdlib-real formats are WAV and binary PPM/PGM"
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._fake_feature(p or b"") for p in payloads])
+        feats = np.stack([self._feature(p or b"") for p in payloads])
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -92,13 +217,14 @@ def media_feature_stage(
     media,
     *,
     decode: str = "fake",
+    fallback: bool = False,
     batch_size: int = 64,  # small: rows carry whole encoded payloads
     concurrency: int | tuple[int, int] = (1, 4),
 ):
     """MEDIA_SCHEMA Dataset -> FEATURES_SCHEMA Dataset (actor pool)."""
     return media.map_batches(
         MediaFeatureActor,
-        fn_constructor_kwargs={"decode": decode},
+        fn_constructor_kwargs={"decode": decode, "fallback": fallback},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -107,31 +233,67 @@ def media_feature_stage(
     )
 
 
+def resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a binary PPM/PGM payload (pure
+    numpy index mapping), re-encoded in the same format."""
+    pix = decode_pnm(payload)
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return encode_pnm(np.ascontiguousarray(pix[ys][:, xs]))
+
+
 class MediaResizeActor:
     """Actor-pool stage: resize image payloads to (target_w, target_h).
 
-    Real resampling needs PIL (``decode="real"`` seam, as in
-    ``MediaFeatureActor``); the deterministic stand-in re-encodes the
-    payload to a size proportional to the target area and rewrites the
-    metadata — exercising the real Ray-side contract: binary in/out, small
-    batches, meta passthrough."""
+    ``decode="real"``: binary PPM/PGM payloads get a REAL nearest-neighbor
+    resample (``resize_pnm``); codec formats raise ``NotImplementedError``
+    (PIL seam) unless ``fallback=True`` routes them to the stand-in. The
+    stand-in re-encodes the payload to a size proportional to the target
+    area and rewrites the metadata — exercising the Ray-side contract:
+    binary in/out, small batches, meta passthrough."""
 
-    def __init__(self, target_w: int, target_h: int, decode: str = "fake") -> None:
-        if decode == "real":
-            raise NotImplementedError("plug PIL-based resize in here")
+    def __init__(
+        self,
+        target_w: int,
+        target_h: int,
+        decode: str = "fake",
+        fallback: bool = False,
+    ) -> None:
+        if decode not in ("fake", "real"):
+            raise ValueError(f"unknown decode mode {decode!r}")
+        self.decode = decode
+        self.fallback = fallback
         self.target_w, self.target_h = target_w, target_h
+
+    def _resize(self, p: bytes) -> bytes:
+        if self.decode == "real" and p[:2] in (b"P5", b"P6"):
+            return resize_pnm(p, self.target_w, self.target_h)
+        if self.decode == "real" and not self.fallback:
+            raise NotImplementedError(
+                "codec-format resize needs PIL — stdlib-real formats are "
+                "binary PPM/PGM"
+            )
+        n_out = max(16, (self.target_w * self.target_h) // 64)
+        seed_digest = hashlib.sha1(p).digest()
+        reps = (n_out + 19) // 20
+        return (seed_digest * reps)[:n_out]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs, metas = [], []
-        for p, m in zip(batch["payload"].to_pylist(), batch["meta"].to_pylist()):
+        for kind, p, m in zip(
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
             p = p or b""
+            if kind != "image":  # resize transforms images; others pass through
+                outs.append(p)
+                metas.append(m)
+                continue
             meta = json.loads(m or "{}")
             meta["width"], meta["height"] = self.target_w, self.target_h
-            # stand-in: deterministic byte stream of area-proportional length
-            n_out = max(16, (self.target_w * self.target_h) // 64)
-            seed_digest = hashlib.sha1(p).digest()
-            reps = (n_out + 19) // 20
-            outs.append((seed_digest * reps)[:n_out])
+            outs.append(self._resize(p))
             metas.append(json.dumps(meta, sort_keys=True))
         return pa.table(
             {
@@ -143,10 +305,19 @@ class MediaResizeActor:
         )
 
 
-def media_resize_stage(media, *, width: int = 224, height: int = 224, batch_size: int = 64):
+def media_resize_stage(
+    media,
+    *,
+    width: int = 224,
+    height: int = 224,
+    batch_size: int = 64,
+    decode: str = "fake",
+    fallback: bool = False,
+):
     return media.map_batches(
         MediaResizeActor,
         fn_constructor_args=(width, height),
+        fn_constructor_kwargs={"decode": decode, "fallback": fallback},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -207,18 +378,71 @@ def frame_sample_stage(media, *, every_n: int = 1, max_frames: int = 8, batch_si
     )
 
 
+def _gen_wav(rng, min_s: float = 0.05, max_s: float = 0.25) -> bytes:
+    """Deterministic REAL 16-bit mono WAV: sine + noise via stdlib wave."""
+    import io
+    import wave
+
+    rate = 8000
+    dur = float(rng.uniform(min_s, max_s))
+    freq = float(rng.uniform(80, 2000))
+    t = np.arange(int(rate * dur)) / rate
+    x = 0.7 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _gen_ppm(rng) -> bytes:
+    """Deterministic REAL binary PPM: smooth gradient + noise."""
+    h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 255 // max(1, h - 1))[..., None] * np.array([1, 0, 0.5])
+    noise = rng.integers(0, 64, (h, w, 3))
+    pix = np.clip(base + noise, 0, 255).astype(np.uint8)
+    return encode_pnm(pix)
+
+
 def gen_fake_media(n: int, seed: int = 42):
-    """Deterministic synthetic media table (no external data)."""
+    """Deterministic synthetic media table (no external data): REAL WAV
+    audio rows, REAL binary PPM image rows, opaque byte blobs for video
+    (the one format with no stdlib codec)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
+    payloads: list[bytes] = []
+    metas: list[str] = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        if kind == "image":
+            p = _gen_ppm(rng)
+            pix = decode_pnm(p)
+            metas.append(
+                json.dumps({"width": pix.shape[1], "height": pix.shape[0]})
+            )
+        elif kind == "audio":
+            p = _gen_wav(rng)
+            metas.append(json.dumps({"rate": 8000, "channels": 1}))
+        else:
+            p = rng.bytes(int(rng.integers(128, 4096)))
+            metas.append(
+                json.dumps(
+                    {
+                        "width": int(rng.integers(16, 512)),
+                        "height": int(rng.integers(16, 512)),
+                    }
+                )
+            )
+        payloads.append(p)
     rows = {
         "media_id": [f"media://{i:06d}" for i in range(n)],
         "kind": [kinds[i % 3] for i in range(n)],
-        "payload": [rng.bytes(int(rng.integers(128, 4096))) for i in range(n)],
-        "meta": [
-            json.dumps({"width": int(rng.integers(16, 512)), "height": int(rng.integers(16, 512))})
-            for _ in range(n)
-        ],
+        "payload": payloads,
+        "meta": metas,
     }
     import ray.data as rd
 
