@@ -211,9 +211,11 @@ def dedup_pipeline_partitioned(
     )
 
 
-# Above this many forest edges the driver no longer pulls url STRINGS:
-# components run over uint64 hashes only (16 B/edge) and the canonical
-# min-url reduce happens distributedly (assign_clusters_distributed).
+# Historical knob: before the key-only band shuffle, "driver" mode pulled
+# url strings and this threshold switched it off. The driver now NEVER
+# sees url strings (components always run over 16 B/edge uint64 hashes),
+# so driver/hashes are the same implementation; the env var is kept as a
+# no-op compat knob for existing configs.
 DRIVER_EDGE_MAX = int(__import__("os").environ.get("GRAFT_DRIVER_EDGE_MAX", 5_000_000))
 
 
