@@ -429,6 +429,47 @@ def q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def q_charlm_quality(sf_dir: str):
+    """Perplexity-filter scoring (CCNet pattern): a 27-symbol char-trigram
+    LM is trained distributedly on a deterministic quarter-sample of the
+    corpus (dense 27^3 bincount per batch, driver fold, one broadcast) and
+    every doc is scored in bits/char. Float LM scores are not
+    SQL-expressible — rows-only; ordering invariants live in pytest
+    (gibberish scores strictly worse than in-distribution text)."""
+    from deduplicatr_ray.stages.textstats import charlm_quality
+
+    return charlm_quality(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _pii_oracle_sql() -> str:
+    """Oracle built from the SAME RE2 patterns the Ray stage compiles —
+    one source of truth, so pattern drift is impossible."""
+    from deduplicatr_ray.stages.textstats import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat in PII_PATTERNS.values()
+    )
+    return f"""
+            SELECT doc_id,
+                   {counts},
+                   ({total}) > 0 AS has_pii
+            FROM documents
+        """
+
+
+def q_pii_stats(sf_dir: str):
+    """Per-doc PII indicator counts (emails / phones / IPv4) + has_pii
+    flag — the pre-publication scrub pass. RE2 on both sides (pyarrow
+    count kernel / DuckDB regexp_extract_all), so exact oracle parity."""
+    from deduplicatr_ray.stages.textstats import pii_stats
+
+    return pii_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_len_quantiles_sketch(sf_dir: str):
     """Mergeable quantile SUMMARY (bounded per-block state — the
     billion-row-group path): exact at this scale (every block's per-lang
@@ -970,6 +1011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
+        "pii_stats": q_pii_stats,
+        "charlm_quality": q_charlm_quality,
         "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -1180,6 +1223,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.99) AS p99
             FROM documents GROUP BY lang
         """,
+        "pii_stats": _pii_oracle_sql(),
         "doc_len_quantiles_sketch": """
             SELECT lang, count(*) AS n,
                    quantile_disc(n_chars, 0.5) AS p50,

@@ -81,6 +81,41 @@ def token_count_stage(docs):
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# PII patterns (training-data scrub staple). RE2 syntax — identical match
+# semantics in pyarrow's count_substring_regex and DuckDB's regexp_* (both
+# RE2-backed), which is what makes pii_stats SQL-oracle-checkable.
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_phones": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "n_ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_stats(docs):
+    """Per-doc PII indicator counts (emails / phone-shaped / IPv4-shaped
+    matches) + a ``has_pii`` flag — the scrub/filter pass every
+    training-data pipeline runs before publication. Fully vectorized:
+    one RE2 count kernel per pattern per batch, no per-row Python.
+
+    Heuristic by design (regex PII detection always is); the point is the
+    exact, oracle-checkable counting so downstream redaction/filter rates
+    are reproducible.
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols: dict = {"doc_id": batch["doc_id"]}
+        total = None
+        for name, pat in PII_PATTERNS.items():
+            c = pc.cast(pc.count_substring_regex(batch["text"], pat), pa.int64())
+            cols[name] = c
+            total = c if total is None else pc.add(total, c)
+        cols["has_pii"] = pc.greater(total, 0)
+        return pa.table(cols)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def top_tokens(docs, *, k: int = 20):
     """Corpus vocabulary head: the ``k`` most frequent tokens under the
     canonical tokenizer, ties broken by token ascending (deterministic).
@@ -121,6 +156,123 @@ def top_tokens(docs, *, k: int = 20):
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+# --- char-trigram LM quality scoring (perplexity filtering, the CCNet /
+# C4 pattern: score each doc by a small LM trained on in-domain text and
+# filter the tail; Wenzek et al., "CCNet", LREC 2020 — public method) ---
+
+_ALPHA_CLASSES = 27  # a-z + space/other
+_BYTE_CLASS = np.zeros(256, np.int64)
+for _c in range(ord("a"), ord("z") + 1):
+    _BYTE_CLASS[_c] = _c - ord("a") + 1
+_TRI_BINS = _ALPHA_CLASSES**3
+
+
+def _class_codes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """texts -> (flat class codes, per-text lengths). Lowercase a-z map to
+    1..26, everything else to 0 — a 27-symbol alphabet keeps the trigram
+    table at 27^3 = 19,683 cells (broadcastable anywhere)."""
+    bs = "\x00".join(t.lower() if t else "" for t in texts).encode(
+        "utf-8", "replace"
+    )
+    arr = np.frombuffer(bs, np.uint8)
+    lens = np.array([len((t.lower() if t else "").encode("utf-8", "replace"))
+                     for t in texts], np.int64)
+    return _BYTE_CLASS[arr], lens
+
+
+def _trigram_codes(codes: np.ndarray) -> np.ndarray:
+    return (
+        codes[:-2] * (_ALPHA_CLASSES * _ALPHA_CLASSES)
+        + codes[1:-1] * _ALPHA_CLASSES
+        + codes[2:]
+    )
+
+
+def charlm_train(docs, *, sample_mod: int = 4, text_col: str = "text",
+                 id_col: str = "doc_id"):
+    """Distributed trigram-count pass over a deterministic doc sample
+    (``hash = doc_id % sample_mod == 0``): each batch emits one DENSE
+    bincount vector row (27^3 cells, ~157 KB — constant per batch), the
+    driver folds them. Returns (logp, ctx_logden) float32 arrays for
+    ``charlm_score_stage`` (add-one smoothed conditional trigram model)."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keep = ids % sample_mod == 0
+        texts = [
+            t for t, k in zip(b[text_col].to_pylist(), keep.tolist()) if k
+        ]
+        counts = np.zeros(_TRI_BINS, np.int64)
+        if texts:
+            codes, lens = _class_codes(texts)
+            if len(codes) >= 3:
+                tri = _trigram_codes(codes)
+                # drop trigrams spanning the \x00 separators (class 0 is
+                # legal; the separator also maps to 0 — acceptable blur at
+                # text boundaries, deterministic)
+                counts = np.bincount(tri, minlength=_TRI_BINS)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.large_binary())})
+
+    total = np.zeros(_TRI_BINS, np.int64)
+    for b in docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1, batch_format="pyarrow"):
+        for buf in b["counts"].to_pylist():
+            total += np.frombuffer(buf, np.int64)
+    ctx = total.reshape(_ALPHA_CLASSES * _ALPHA_CLASSES, _ALPHA_CLASSES).sum(
+        axis=1
+    )
+    logp = np.log(total + 1.0) .astype(np.float32)
+    ctx_logden = np.log(
+        ctx + float(_ALPHA_CLASSES)
+    ).astype(np.float32)  # add-one smoothing denominator per 2-char context
+    return logp, ctx_logden
+
+
+def charlm_score_stage(docs, logp: np.ndarray, ctx_logden: np.ndarray, *,
+                       text_col: str = "text", id_col: str = "doc_id"):
+    """Score each doc by mean negative log2 P(c3 | c1 c2) — bits per char
+    under the broadcast trigram model (lower = more in-distribution).
+    Docs with < 3 usable chars get null. One broadcast, vectorized
+    bincount-style gathers per batch."""
+    import ray
+
+    ref = ray.put((logp, ctx_logden))
+
+    def fn(b: pa.Table) -> pa.Table:
+        lp, cd = ray.get(ref)
+        texts = b[text_col].to_pylist()
+        n = len(texts)
+        out = np.full(n, np.nan, np.float64)
+        codes, lens = _class_codes(texts)
+        # per-text spans inside the concatenated code array (+1 separators)
+        starts = np.zeros(n, np.int64)
+        if n > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        for i in range(n):
+            seg = codes[starts[i] : starts[i] + lens[i]]
+            if len(seg) < 3:
+                continue
+            tri = _trigram_codes(seg)
+            bits = (cd[tri // _ALPHA_CLASSES] - lp[tri]) / np.log(2.0)
+            out[i] = float(bits.mean())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "bits_per_char": pa.array(out, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def charlm_quality(docs, *, sample_mod: int = 4):
+    """Train-then-score in one call: (doc_id, bits_per_char)."""
+    logp, ctx_logden = charlm_train(docs, sample_mod=sample_mod)
+    return charlm_score_stage(docs, logp, ctx_logden)
 
 
 def mg_trim(tokens: pa.Array, counts: np.ndarray, capacity: int) -> pa.Table:

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from deduplicatr_ray.stages.textstats import token_doc_freq, top_tokens
@@ -153,3 +154,85 @@ def test_heavy_tokens_exact_when_capacity_suffices(ray_session):
     tiny = heavy_tokens(ds, k=1, capacity=1).to_pandas()
     assert tiny["token"].tolist() == ["apple"]
     assert 0 < tiny["n"].iloc[0] <= exact.set_index("token")["n"]["apple"]
+
+
+def test_pii_stats_counts_and_duckdb_parity(ray_session):
+    """Crafted strings with REAL matches: counts are exact and identical
+    under pyarrow's RE2 kernel and DuckDB's regexp_extract_all (the
+    corpus oracle only exercises the all-zeros case)."""
+    import duckdb
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.textstats import PII_PATTERNS, pii_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a@b.co and c.d@e.org, call +1 (555) 123 4567",
+                    "server at 10.0.0.1 and 192.168.1.254",
+                    "no pii here at all",
+                    "x@y.io x@y.io x@y.io",
+                ]
+            ),
+        }
+    )
+    got = pii_stats(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert got["n_emails"].tolist() == [2, 0, 0, 3]
+    assert got["n_phones"].tolist() == [1, 0, 0, 0]
+    assert got["n_ipv4"].tolist() == [0, 2, 0, 0]
+    assert got["has_pii"].tolist() == [True, True, False, True]
+
+    con = duckdb.connect()
+    con.register("docs", t.to_pandas())
+    for name, pat in PII_PATTERNS.items():
+        want = con.execute(
+            f"SELECT len(regexp_extract_all(text, '{pat}')) FROM docs ORDER BY doc_id"
+        ).df().iloc[:, 0].tolist()
+        assert got[name].tolist() == want, name
+
+
+def test_charlm_orders_gibberish_after_real_text(ray_session):
+    """The trigram LM must score in-distribution text strictly better
+    (fewer bits/char) than character gibberish, deterministically; docs
+    with < 3 usable chars get null."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.textstats import (
+        charlm_quality,
+        charlm_score_stage,
+        charlm_train,
+    )
+
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dogs"]
+    rng = np.random.Generator(np.random.PCG64(21))
+    corpus = [
+        " ".join(rng.choice(words, 40).tolist()) for _ in range(64)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(64)), pa.int64()),
+            "text": pa.array(corpus),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    lp, cd = charlm_train(ds, sample_mod=1)
+    probe = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over lazy dogs", "zqxvj wkpf zzj qqv xjz", "ab"]
+            ),
+        }
+    )
+    out = (
+        charlm_score_stage(rd.from_arrow(probe), lp, cd)
+        .to_pandas().sort_values("doc_id")
+    )
+    assert out.bits_per_char.iloc[0] < out.bits_per_char.iloc[1]
+    assert np.isnan(out.bits_per_char.iloc[2])
+    # determinism across runs
+    again = charlm_quality(ds, sample_mod=1).to_pandas().sort_values("doc_id")
+    once = charlm_quality(ds, sample_mod=1).to_pandas().sort_values("doc_id")
+    assert np.allclose(again.bits_per_char, once.bits_per_char)
