@@ -429,6 +429,21 @@ def q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sampling (language re-balancing knob):
+    keep every 2nd en doc, every 8th doc otherwise — id-mod per stratum,
+    content-stable across re-runs/resumes."""
+    from deduplicatr_ray.stages.relational import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]),
+        by="lang",
+        id_col="doc_id",
+        rates={"en": 2},
+        default_mod=8,
+    )
+
+
 def q_charlm_quality(sf_dir: str):
     """Perplexity-filter scoring (CCNet pattern): a 27-symbol char-trigram
     LM is trained distributedly on a deterministic quarter-sample of the
@@ -1013,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
         "pii_stats": q_pii_stats,
         "charlm_quality": q_charlm_quality,
+        "stratified_sample": q_stratified_sample,
         "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "customers_no_urgent_orders": q_customers_no_urgent_orders,
@@ -1224,6 +1240,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "pii_stats": _pii_oracle_sql(),
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 8 END) = 0
+        """,
         "doc_len_quantiles_sketch": """
             SELECT lang, count(*) AS n,
                    quantile_disc(n_chars, 0.5) AS p50,

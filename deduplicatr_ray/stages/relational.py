@@ -149,6 +149,25 @@ def grouped_quantiles(
     )
 
 
+def stratified_sample(ds, *, by: str, id_col: str, rates: dict, default_mod: int = 8):
+    """Deterministic per-stratum sampling: keep rows where
+    ``id % rates[stratum]`` == 0 (``default_mod`` for unlisted strata).
+    Content-stable (re-runs and resumes pick identical rows — the property
+    random sampling breaks for checkpointed pipelines) and fully
+    streaming: a vectorized modulo filter per batch, no shuffle, no state.
+    Up-/down-weighting per stratum is the standard training-data mixture
+    knob (e.g. re-balancing languages)."""
+    import pyarrow.compute as pc
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        keys = b[by].to_pylist()
+        mods = np.array([int(rates.get(k, default_mod)) for k in keys], np.int64)
+        return b.filter(pa.array(ids % mods == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def grouped_quantile_sketch(
     ds,
     *,
