@@ -909,6 +909,25 @@ def q_suffix_array_dups(sf_dir: str):
     return suffix_array_pairs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_substring_pairs_exact(sf_dir: str):
+    """D5 at the winnowing guarantee length, as an EXACT oracle-checkable
+    pair set: every unordered doc pair sharing a common substring of
+    >= 50 chars. At ``min_len == guarantee_len`` the suffix-array pass has
+    recall 1 (routing guarantee) and precision 1 (real SA over real texts,
+    no hash verification), so the pair set is partition-count invariant and
+    hash-matches a DuckDB 50-gram self-join. ``group_cap`` is lifted here
+    because the oracle admits no skew policy; the production entry points
+    (``suffix_dups``/``suffix_array_dups``) keep the cap."""
+    from deduplicatr_ray.stages.textstats import suffix_array_pairs
+
+    return suffix_array_pairs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        min_len=50,
+        guarantee_len=50,
+        group_cap=1_000_000,
+    ).drop_columns(["lcs_len"])
+
+
 def q_fingerprint_counts(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -926,6 +945,24 @@ def q_text_quality(sf_dir: str):
     from deduplicatr_ray.stages.textstats import textstats_stage
 
     return textstats_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_word_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition quality stats (dup-token /
+    top-token / top-bigram fractions) — the standard web-scale
+    repetition filter features."""
+    from deduplicatr_ray.stages.textstats import word_repetition_stage
+
+    return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs sharing a word 13-gram
+    with the held-out eval slice (max source value), via a broadcast
+    eval-gram set — no shuffle."""
+    from deduplicatr_ray.stages.textstats import decontaminate
+
+    return decontaminate(_docs(sf_dir, ["doc_id", "source", "text"]))
 
 
 def q_cluster_summary(sf_dir: str):
@@ -1050,8 +1087,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_all": q_ngram_jaccard_all,
         "suffix_dups": q_suffix_dups,
         "suffix_array_dups": q_suffix_array_dups,
+        "substring_pairs_exact": q_substring_pairs_exact,
         "fingerprint_counts": q_fingerprint_counts,
         "text_quality": q_text_quality,
+        "word_repetition": q_word_repetition,
+        "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
         "ann_ivf_knn": q_ann_ivf_knn,
@@ -1447,6 +1487,81 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE 2 * c >= sa.n + sb.n - c
             ORDER BY id_a, id_b
+        """,
+        # q_substring_pairs_exact: two suffixes have LCP >= 50 iff their
+        # first-50-char grams are equal, so the pair set "docs sharing a
+        # >= 50-char substring" is exactly a distinct 50-gram self-join
+        "substring_pairs_exact": """
+            WITH pos AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, length(text) - 49)) AS i
+              FROM documents
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id, substring(text, i, 50) AS g FROM pos
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            ORDER BY id_a, id_b
+        """,
+        # q_word_repetition: same tokenizer as text_quality; float columns
+        # use single-division expression trees identical to the numpy ones
+        "word_repetition": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            counts AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2),
+            stats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     max(c) AS max_c
+              FROM counts GROUP BY 1
+            ),
+            bi AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+              FROM toks, UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+            ),
+            bic AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+            bistats AS (SELECT doc_id, max(c) AS max_bi FROM bic GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(s.n_tokens, 0) AS n_tokens,
+                   COALESCE(s.n_distinct, 0) AS n_distinct,
+                   CASE WHEN s.n_tokens > 0
+                        THEN 1.0 - (s.n_distinct / CAST(s.n_tokens AS DOUBLE))
+                        ELSE 0.0 END AS dup_token_frac,
+                   CASE WHEN s.n_tokens > 0
+                        THEN s.max_c / CAST(s.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS top_token_frac,
+                   CASE WHEN s.n_tokens > 1
+                        THEN b.max_bi / (CAST(s.n_tokens AS DOUBLE) - 1.0)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN bistats b USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # q_decontaminate: 13-gram overlap vs the max-source eval slice,
+        # exact string grams on both sides
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            ev AS (SELECT max(source) AS s FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, source, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 12, 0))) AS gg(i)
+            ),
+            evg AS (SELECT DISTINCT g FROM sh, ev WHERE sh.source = ev.s)
+            SELECT sh.doc_id, count(*) AS n_hits
+            FROM sh JOIN evg USING (g), ev
+            WHERE sh.source <> ev.s
+            GROUP BY 1 ORDER BY doc_id
         """,
         # mirrors functions/textstats.py exactly: same regexes (corpus is
         # ASCII, so Python-re and RE2 \\w/\\s agree), same float expression

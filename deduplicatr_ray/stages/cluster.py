@@ -256,9 +256,15 @@ def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
             keys_, root_ = ray.get(ref1)
             ra = root_[np.searchsorted(keys_, b["ha"].to_numpy(zero_copy_only=False))]
             rb = root_[np.searchsorted(keys_, b["hb"].to_numpy(zero_copy_only=False))]
+            # int64 bit-pattern view: Ray's aggregate builds partial outputs
+            # as Python ints, and uint64 values > 2^63 would overflow the
+            # int64 conversion and silently fall back to PICKLED object
+            # blocks (same trick as distributed_components)
             return pa.table(
                 {
-                    "root_h": pa.array(np.concatenate([ra, rb]), pa.uint64()),
+                    "root_h": pa.array(
+                        np.concatenate([ra, rb]).view(np.int64), pa.int64()
+                    ),
                     "url": pa.chunked_array(
                         [b["url_a"], b["url_b"]]
                     ).combine_chunks(),
@@ -272,13 +278,15 @@ def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
             .groupby("root_h")
             .aggregate(Min("url", alias_name="cluster_id"))
             .to_pandas()
-            .sort_values("root_h")
         )
+        rh = roots_tbl["root_h"].to_numpy(np.int64).view(np.uint64)
+        order = np.argsort(rh, kind="stable")  # _assign_fn needs uint64 order
+        rh = rh[order]
         uroots, counts = np.unique(root_h, return_counts=True)
-        sz = counts[np.searchsorted(uroots, roots_tbl["root_h"].to_numpy(np.uint64))]
+        sz = counts[np.searchsorted(uroots, rh)]
         roots_payload = (
-            roots_tbl["root_h"].to_numpy(np.uint64),
-            roots_tbl["cluster_id"].tolist(),
+            rh,
+            roots_tbl["cluster_id"].to_numpy()[order].tolist(),
             sz.astype(np.int64),
         )
         n_clusters = len(roots_tbl)
@@ -341,9 +349,14 @@ def assign_clusters_corpus_roots(url_ds, keys, root_h):
         pos = np.minimum(np.searchsorted(keys_, h), len(keys_) - 1)
         matched = keys_[pos] == h
         take = pa.array(np.flatnonzero(matched), pa.int64())
+        # int64 bit-pattern view — keeps Ray's groupby partials off the
+        # pickled-object fallback for uint64 keys > 2^63 (see
+        # edge_root_urls / distributed_components)
         return pa.table(
             {
-                "root_h": pa.array(root_[pos[matched]], pa.uint64()),
+                "root_h": pa.array(
+                    root_[pos[matched]].view(np.int64), pa.int64()
+                ),
                 "url": b["url"].take(take),
             }
         )
@@ -354,13 +367,15 @@ def assign_clusters_corpus_roots(url_ds, keys, root_h):
         .groupby("root_h")
         .aggregate(Min("url", alias_name="cluster_id"))
         .to_pandas()
-        .sort_values("root_h")
     )
+    rh = roots_tbl["root_h"].to_numpy(np.int64).view(np.uint64)
+    order = np.argsort(rh, kind="stable")  # _assign_fn needs uint64 order
+    rh = rh[order]
     uroots, counts = np.unique(root_h, return_counts=True)
-    sz = counts[np.searchsorted(uroots, roots_tbl["root_h"].to_numpy(np.uint64))]
+    sz = counts[np.searchsorted(uroots, rh)]
     roots_payload = (
-        roots_tbl["root_h"].to_numpy(np.uint64),
-        roots_tbl["cluster_id"].tolist(),
+        rh,
+        roots_tbl["cluster_id"].to_numpy()[order].tolist(),
         sz.astype(np.int64),
     )
     ref2 = ray.put(roots_payload)

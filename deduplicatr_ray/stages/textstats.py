@@ -771,3 +771,248 @@ def suffix_array_pairs(
         .aggregate(Max("lcs_len", alias_name="lcs_len"))
         .sort(["id_a", "id_b"])
     )
+
+
+def word_repetition_stage(docs):
+    """Gopher-style per-doc repetition quality stats (Rae et al. 2021,
+    appendix A1.1 repetition filters): duplicate-token fraction,
+    most-common-token fraction, most-common-bigram fraction. Documents with
+    excessive repetition are low-quality boilerplate/spam; these three
+    fractions are the standard filter features at web scale.
+
+    One Python invocation per batch, fully vectorized: tokenize with the
+    same ``[a-z0-9]+`` lexer as ``textstats_stage`` (Arrow regex kernel),
+    then ONE lexsort of (doc, token) + run-length scans for distinct and
+    max-count, and the same for (doc, bigram) built with an Arrow
+    element-wise join of adjacent tokens. No shuffle: every stat is
+    row-local, so the stage streams.
+
+    Output per doc: ``n_tokens``, ``n_distinct`` (int64) and
+    ``dup_token_frac`` (1 - distinct/total), ``top_token_frac``
+    (max token count / total), ``top_bigram_frac`` (max bigram count /
+    (n_tokens - 1)) as float64; all 0.0 for empty docs. Expression trees
+    mirror ``oracle_sql()['word_repetition']`` so doubles are bit-identical.
+    """
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        doc_idx = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+        def _run_stats(d: np.ndarray, vals: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+            """(doc ids, value column) -> per-doc (n_distinct, max_count)
+            via one lexsort + adjacent-equality run scan."""
+            nd = np.zeros(n, np.int64)
+            mx = np.zeros(n, np.int64)
+            m = len(d)
+            if m == 0:
+                return nd, mx
+            t = pa.table({"d": pa.array(d, pa.int64()), "v": vals})
+            order = pc.sort_indices(
+                t, sort_keys=[("d", "ascending"), ("v", "ascending")]
+            )
+            oi = order.to_numpy(zero_copy_only=False)
+            ds = d[oi]
+            vs = vals.take(order)
+            if m > 1:
+                same = (
+                    pc.equal(vs.slice(1), vs.slice(0, m - 1))
+                    .to_numpy(zero_copy_only=False)
+                    & (ds[1:] == ds[:-1])
+                )
+                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+            else:
+                starts = np.array([0], np.int64)
+            run_len = np.diff(np.concatenate([starts, [m]]))
+            run_doc = ds[starts]
+            np.add.at(nd, run_doc, 1)
+            np.maximum.at(mx, run_doc, run_len)
+            return nd, mx
+
+        n_distinct, max_tok = _run_stats(doc_idx, flat)
+
+        # bigrams: adjacent tokens of the same doc, joined with ' '
+        m = len(flat)
+        max_bi = np.zeros(n, np.int64)
+        if m > 1:
+            adj = doc_idx[1:] == doc_idx[:-1]
+            if adj.any():
+                bg = pc.binary_join_element_wise(
+                    flat.slice(0, m - 1), flat.slice(1), " "
+                ).filter(pa.array(adj))
+                _, max_bi = _run_stats(doc_idx[:-1][adj], bg)
+
+        nt_f = n_tokens.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dup_frac = np.where(n_tokens > 0, 1.0 - n_distinct / nt_f, 0.0)
+            top_frac = np.where(n_tokens > 0, max_tok / nt_f, 0.0)
+            top_bi = np.where(n_tokens > 1, max_bi / (nt_f - 1.0), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "dup_token_frac": pa.array(dup_frac, pa.float64()),
+                "top_token_frac": pa.array(top_frac, pa.float64()),
+                "top_bigram_frac": pa.array(top_bi, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ngram_strings(batch: pa.Table, n_gram: int) -> tuple[np.ndarray, pa.Array]:
+    """(doc_idx, gram) for every word ``n_gram``-gram of every doc in the
+    batch, as SPACE-JOINED STRINGS (exact string identity — no hashes, so
+    membership tests match a SQL string join bit-for-bit). Vectorized:
+    one Arrow regex split + one element-wise n-way join of shifted slices."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+    ).combine_chunks()
+    flat = toks.flatten()
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64),
+        np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_idx = doc_idx[keep]
+    m = len(flat)
+    if m < n_gram:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    k = m - n_gram + 1
+    # all n_gram positions must belong to the same doc
+    same = doc_idx[: k] == doc_idx[n_gram - 1 :]
+    parts = [flat.slice(i, k) for i in range(n_gram)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_idx[:k][same], grams.filter(pa.array(same))
+
+
+def decontaminate(docs, *, eval_source: str | None = None, n_gram: int = 13):
+    """Benchmark decontamination: find TRAINING docs sharing any word
+    ``n_gram``-gram with the held-out EVAL slice (``source ==
+    eval_source``; default = max source value). The standard 13-gram
+    overlap check used before LLM training (cf. GPT-3 appendix C /
+    Dodge et al. 2021 C4 analysis).
+
+    Broadcast pattern, no shuffle: the eval slice's distinct gram set
+    (small side) is collected once and shipped via ``ray.put``; every
+    training batch filters its grams with one Arrow ``is_in`` hash probe.
+    Exact string grams (not hashes) so the result hash-matches the DuckDB
+    string-join oracle. At 100 TB the eval side is benchmarks (MBs) while
+    the corpus streams — exactly this shape.
+
+    Output: ``(doc_id, n_hits)`` — distinct contaminated grams per
+    training doc, docs with >= 1 hit, ordered by doc_id.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    if eval_source is None:
+        vals: set[str] = set()
+        for b in docs.select_columns(["source"]).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"
+        ):
+            vals.update(pc.unique(b["source"].combine_chunks()).to_pylist())
+        eval_source = max(vals)
+
+    # --- small side: distinct eval grams, collected + broadcast ---
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["source"], eval_source))
+        _, grams = _ngram_strings(batch, n_gram)
+        return pa.table({"g": pc.unique(grams)})
+
+    gram_parts: list[pa.Array] = []
+    for b in docs.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+        gram_parts.append(b["g"].combine_chunks())
+    if gram_parts:
+        eval_set = pc.unique(pa.concat_arrays(gram_parts))
+    else:
+        eval_set = pa.array([], pa.string())
+    eval_ref = ray.put(eval_set)
+
+    class HitCounter:
+        """Per-batch: training grams -> is_in probe -> per-doc distinct
+        hit count. Eval set deserialized once per actor."""
+
+        def __init__(self, ref) -> None:
+            self.eval_set = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.not_equal(batch["source"], eval_source)
+            )
+            d, grams = _ngram_strings(batch, n_gram)
+            if len(d) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_hits": pa.array([], pa.int64()),
+                    }
+                )
+            hit = pc.is_in(grams, value_set=self.eval_set).to_numpy(
+                zero_copy_only=False
+            )
+            d = d[hit]
+            grams = grams.filter(pa.array(hit))
+            if len(d) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_hits": pa.array([], pa.int64()),
+                    }
+                )
+            # distinct (doc, gram): one lexsort + run scan
+            t = pa.table({"d": pa.array(d, pa.int64()), "g": grams})
+            order = pc.sort_indices(
+                t, sort_keys=[("d", "ascending"), ("g", "ascending")]
+            )
+            oi = order.to_numpy(zero_copy_only=False)
+            ds = d[oi]
+            gs = grams.take(order)
+            m = len(ds)
+            if m > 1:
+                same = (
+                    pc.equal(gs.slice(1), gs.slice(0, m - 1)).to_numpy(
+                        zero_copy_only=False
+                    )
+                    & (ds[1:] == ds[:-1])
+                )
+                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+            else:
+                starts = np.array([0], np.int64)
+            run_doc = ds[starts]
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            uniq, cnt = np.unique(run_doc, return_counts=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[uniq], pa.int64()),
+                    "n_hits": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        HitCounter,
+        fn_constructor_args=(eval_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    ).sort("doc_id")

@@ -236,3 +236,88 @@ def test_charlm_orders_gibberish_after_real_text(ray_session):
     again = charlm_quality(ds, sample_mod=1).to_pandas().sort_values("doc_id")
     once = charlm_quality(ds, sample_mod=1).to_pandas().sort_values("doc_id")
     assert np.allclose(again.bits_per_char, once.bits_per_char)
+
+
+def test_word_repetition_hand_computed(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import word_repetition_stage
+
+    # doc1: 6 tokens, 3 distinct (a x3, b x2, c x1); top bigram "a a" x2
+    # doc2: 1 token; doc3: empty
+    ds = ray.data.from_arrow(
+        _docs_ids(["a a a b b c", "solo", "!!!"])
+    )
+    out = (
+        word_repetition_stage(ds)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [6, 1, 0]
+    assert out["n_distinct"].tolist() == [3, 1, 0]
+    assert out["dup_token_frac"].tolist() == [1.0 - 3 / 6, 0.0, 0.0]
+    assert out["top_token_frac"].tolist() == [3 / 6, 1.0, 0.0]
+    # bigrams of doc1: "a a","a a","a b","b b","b c" -> max 2 of 5
+    assert out["top_bigram_frac"].tolist() == [2 / 5, 0.0, 0.0]
+
+
+def test_decontaminate_seeded_13gram_overlap(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import decontaminate
+
+    run = " ".join(f"w{i}" for i in range(13))  # the shared 13-gram
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["train", "train", "train", "zeval"], pa.string()),
+            "text": pa.array(
+                [
+                    f"prefix {run} suffix",       # 1 hit? shifted grams differ
+                    "totally unrelated words here " * 5,
+                    f"{run} and {run}",           # same gram twice -> 1 distinct
+                    f"eval doc contains {run} once",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = decontaminate(
+        ray.data.from_arrow(docs), eval_source="zeval"
+    ).to_pandas()
+    # docs 1 and 3 share the exact 13-gram with the eval doc; doc 2 clean.
+    # grams overlapping the prefix/suffix boundaries differ, so only the
+    # pure run matches; doc3's two copies dedupe to one distinct hit
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_hits"].tolist() == [1, 1]
+
+
+def test_substring_pairs_exact_known_50char_overlap(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import suffix_array_pairs
+
+    shared = "x" * 21 + "the quick brown fox jumps over the lazy dog again"  # 70 chars
+    assert len(shared) == 70
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(
+                [
+                    "A" * 30 + shared + "B" * 30,
+                    "C" * 11 + shared[:55] + "D" * 44,  # 55-char overlap with doc10
+                    "no overlap with anything else at all, short and unique",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = suffix_array_pairs(
+        ray.data.from_arrow(docs),
+        min_len=50,
+        guarantee_len=50,
+        group_cap=1_000_000,
+    ).to_pandas()
+    assert out[["id_a", "id_b"]].values.tolist() == [[10, 20]]
+    assert int(out["lcs_len"][0]) >= 50
