@@ -956,6 +956,14 @@ def q_word_repetition(sf_dir: str):
     return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_quality_filter(sf_dir: str):
+    """Composed C4/Gopher-style keep/drop chain: first-failing-rule
+    reason per doc (too_short | repetitive | top_heavy | ok)."""
+    from deduplicatr_ray.stages.textstats import quality_filter_stage
+
+    return quality_filter_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs sharing a word 13-gram
     with the held-out eval slice (max source value), via a broadcast
@@ -1091,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_counts": q_fingerprint_counts,
         "text_quality": q_text_quality,
         "word_repetition": q_word_repetition,
+        "quality_filter": q_quality_filter,
         "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
@@ -1542,6 +1551,43 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN stats s USING (doc_id)
             LEFT JOIN bistats b USING (doc_id)
             ORDER BY doc_id
+        """,
+        # q_quality_filter: same stats CTE as word_repetition, CASE chain
+        # in the same rule order, identical float expression trees
+        "quality_filter": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            counts AS (SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY 1, 2),
+            stats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     max(c) AS max_c
+              FROM counts GROUP BY 1
+            ),
+            r AS (
+              SELECT d.doc_id,
+                     COALESCE(s.n_tokens, 0) AS n_tokens,
+                     CASE WHEN s.n_tokens > 0
+                          THEN 1.0 - (s.n_distinct / CAST(s.n_tokens AS DOUBLE))
+                          ELSE 0.0 END AS dup_frac,
+                     CASE WHEN s.n_tokens > 0
+                          THEN s.max_c / CAST(s.n_tokens AS DOUBLE)
+                          ELSE 0.0 END AS top_frac
+              FROM documents d LEFT JOIN stats s USING (doc_id)
+            ),
+            labeled AS (
+              SELECT doc_id, n_tokens,
+                     CASE WHEN n_tokens < 20 THEN 'too_short'
+                          WHEN dup_frac > 0.6 THEN 'repetitive'
+                          WHEN top_frac > 0.15 THEN 'top_heavy'
+                          ELSE 'ok' END AS reason
+              FROM r
+            )
+            SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason
+            FROM labeled ORDER BY doc_id
         """,
         # q_decontaminate: 13-gram overlap vs the max-source eval slice,
         # exact string grams on both sides

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "dir_dup_groups",        # reference headline: duplicate directories
     "events_asof",           # as-of join (user-partitioned merge)
     "doc_len_quantiles",     # exact grouped quantiles
+    "word_repetition",       # Gopher repetition filter features
+    "decontaminate",         # 13-gram eval-overlap check (broadcast)
 ]
 
 FLAGSHIP = "dedup_clusters"

@@ -793,84 +793,89 @@ def word_repetition_stage(docs):
     (n_tokens - 1)) as float64; all 0.0 for empty docs. Expression trees
     mirror ``oracle_sql()['word_repetition']`` so doubles are bit-identical.
     """
+    return docs.map_batches(
+        _repetition_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _repetition_table(batch: pa.Table) -> pa.Table:
+    """Batch kernel shared by ``word_repetition_stage`` and
+    ``quality_filter_stage`` — see the former's docstring for semantics."""
     import pyarrow.compute as pc
 
-    def fn(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
-        ).combine_chunks()
-        flat = toks.flatten()
-        doc_idx = np.repeat(
-            np.arange(n, dtype=np.int64),
-            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
-        )
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        doc_idx = doc_idx[keep]
+    n = len(batch)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+    ).combine_chunks()
+    flat = toks.flatten()
+    doc_idx = np.repeat(
+        np.arange(n, dtype=np.int64),
+        np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+    )
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_idx = doc_idx[keep]
 
-        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
 
-        def _run_stats(d: np.ndarray, vals: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-            """(doc ids, value column) -> per-doc (n_distinct, max_count)
-            via one lexsort + adjacent-equality run scan."""
-            nd = np.zeros(n, np.int64)
-            mx = np.zeros(n, np.int64)
-            m = len(d)
-            if m == 0:
-                return nd, mx
-            t = pa.table({"d": pa.array(d, pa.int64()), "v": vals})
-            order = pc.sort_indices(
-                t, sort_keys=[("d", "ascending"), ("v", "ascending")]
-            )
-            oi = order.to_numpy(zero_copy_only=False)
-            ds = d[oi]
-            vs = vals.take(order)
-            if m > 1:
-                same = (
-                    pc.equal(vs.slice(1), vs.slice(0, m - 1))
-                    .to_numpy(zero_copy_only=False)
-                    & (ds[1:] == ds[:-1])
-                )
-                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
-            else:
-                starts = np.array([0], np.int64)
-            run_len = np.diff(np.concatenate([starts, [m]]))
-            run_doc = ds[starts]
-            np.add.at(nd, run_doc, 1)
-            np.maximum.at(mx, run_doc, run_len)
+    def _run_stats(d: np.ndarray, vals: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(doc ids, value column) -> per-doc (n_distinct, max_count)
+        via one lexsort + adjacent-equality run scan."""
+        nd = np.zeros(n, np.int64)
+        mx = np.zeros(n, np.int64)
+        m = len(d)
+        if m == 0:
             return nd, mx
-
-        n_distinct, max_tok = _run_stats(doc_idx, flat)
-
-        # bigrams: adjacent tokens of the same doc, joined with ' '
-        m = len(flat)
-        max_bi = np.zeros(n, np.int64)
-        if m > 1:
-            adj = doc_idx[1:] == doc_idx[:-1]
-            if adj.any():
-                bg = pc.binary_join_element_wise(
-                    flat.slice(0, m - 1), flat.slice(1), " "
-                ).filter(pa.array(adj))
-                _, max_bi = _run_stats(doc_idx[:-1][adj], bg)
-
-        nt_f = n_tokens.astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            dup_frac = np.where(n_tokens > 0, 1.0 - n_distinct / nt_f, 0.0)
-            top_frac = np.where(n_tokens > 0, max_tok / nt_f, 0.0)
-            top_bi = np.where(n_tokens > 1, max_bi / (nt_f - 1.0), 0.0)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_tokens": pa.array(n_tokens, pa.int64()),
-                "n_distinct": pa.array(n_distinct, pa.int64()),
-                "dup_token_frac": pa.array(dup_frac, pa.float64()),
-                "top_token_frac": pa.array(top_frac, pa.float64()),
-                "top_bigram_frac": pa.array(top_bi, pa.float64()),
-            }
+        t = pa.table({"d": pa.array(d, pa.int64()), "v": vals})
+        order = pc.sort_indices(
+            t, sort_keys=[("d", "ascending"), ("v", "ascending")]
         )
+        oi = order.to_numpy(zero_copy_only=False)
+        ds = d[oi]
+        vs = vals.take(order)
+        if m > 1:
+            same = (
+                pc.equal(vs.slice(1), vs.slice(0, m - 1))
+                .to_numpy(zero_copy_only=False)
+                & (ds[1:] == ds[:-1])
+            )
+            starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+        else:
+            starts = np.array([0], np.int64)
+        run_len = np.diff(np.concatenate([starts, [m]]))
+        run_doc = ds[starts]
+        np.add.at(nd, run_doc, 1)
+        np.maximum.at(mx, run_doc, run_len)
+        return nd, mx
 
-    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    n_distinct, max_tok = _run_stats(doc_idx, flat)
+
+    # bigrams: adjacent tokens of the same doc, joined with ' '
+    m = len(flat)
+    max_bi = np.zeros(n, np.int64)
+    if m > 1:
+        adj = doc_idx[1:] == doc_idx[:-1]
+        if adj.any():
+            bg = pc.binary_join_element_wise(
+                flat.slice(0, m - 1), flat.slice(1), " "
+            ).filter(pa.array(adj))
+            _, max_bi = _run_stats(doc_idx[:-1][adj], bg)
+
+    nt_f = n_tokens.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup_frac = np.where(n_tokens > 0, 1.0 - n_distinct / nt_f, 0.0)
+        top_frac = np.where(n_tokens > 0, max_tok / nt_f, 0.0)
+        top_bi = np.where(n_tokens > 1, max_bi / (nt_f - 1.0), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_token_frac": pa.array(dup_frac, pa.float64()),
+            "top_token_frac": pa.array(top_frac, pa.float64()),
+            "top_bigram_frac": pa.array(top_bi, pa.float64()),
+        }
+    )
 
 
 def _ngram_strings(batch: pa.Table, n_gram: int) -> tuple[np.ndarray, pa.Array]:
@@ -1016,3 +1021,52 @@ def decontaminate(docs, *, eval_source: str | None = None, n_gram: int = 13):
         concurrency=(1, 8),
         num_cpus=1,
     ).sort("doc_id")
+
+
+def quality_filter_stage(
+    docs,
+    *,
+    min_tokens: int = 20,
+    max_dup_token_frac: float = 0.6,
+    max_top_token_frac: float = 0.15,
+):
+    """Composed C4/Gopher-style quality filter chain: one streaming pass
+    labels every doc keep/drop with the FIRST failing rule as ``reason``
+    (rule order is part of the contract — a doc failing several rules
+    reports the earliest, like the C4 pipeline's ordered filters):
+
+    1. ``too_short``  — fewer than ``min_tokens`` word tokens
+    2. ``repetitive`` — duplicate-token fraction above ``max_dup_token_frac``
+    3. ``top_heavy``  — most-common-token fraction above ``max_top_token_frac``
+    4. ``ok``         — keeps the doc
+
+    Reuses the vectorized ``_repetition_table`` kernel (one lexsort per
+    batch) plus an ``np.select`` cascade; row-local, so no shuffle —
+    at 100 TB this runs at read throughput. Output:
+    ``(doc_id, n_tokens, keep bool, reason string)`` per doc.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rep = _repetition_table(batch)
+        n_tokens = rep["n_tokens"].to_numpy(zero_copy_only=False)
+        dup_frac = rep["dup_token_frac"].to_numpy(zero_copy_only=False)
+        top_frac = rep["top_token_frac"].to_numpy(zero_copy_only=False)
+        reason = np.select(
+            [
+                n_tokens < min_tokens,
+                dup_frac > max_dup_token_frac,
+                top_frac > max_top_token_frac,
+            ],
+            ["too_short", "repetitive", "top_heavy"],
+            default="ok",
+        )
+        return pa.table(
+            {
+                "doc_id": rep["doc_id"],
+                "n_tokens": rep["n_tokens"],
+                "keep": pa.array(reason == "ok", pa.bool_()),
+                "reason": pa.array(reason, pa.string()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -321,3 +321,34 @@ def test_substring_pairs_exact_known_50char_overlap(ray_session):
     ).to_pandas()
     assert out[["id_a", "id_b"]].values.tolist() == [[10, 20]]
     assert int(out["lcs_len"][0]) >= 50
+
+
+def test_quality_filter_first_failing_rule(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import quality_filter_stage
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "short doc",                              # too_short (2 toks)
+                    "rep rep rep rep rep " * 5,               # 25 toks, all dup ->
+                    # dup_frac 24/25=0.96 AND top_frac 1.0; first rule wins
+                    " ".join(f"u{i}" for i in range(30)),     # 30 distinct -> ok
+                    " ".join(["hot"] * 6 + [f"v{i}" for i in range(24)]),
+                    # 30 toks, dup=(30-25)/30=0.167<0.6, top=6/30=0.2>0.15
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        quality_filter_stage(ray.data.from_arrow(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["reason"].tolist() == ["too_short", "repetitive", "ok", "top_heavy"]
+    assert out["keep"].tolist() == [False, False, True, False]
