@@ -956,6 +956,15 @@ def q_word_repetition(sf_dir: str):
     return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_token_chunks(sf_dir: str):
+    """Sequence packing (concat-and-chunk): every doc's global token
+    offset + 512-token training-chunk span, via a distributed two-level
+    prefix scan (``stages/pack.py``)."""
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    return token_chunk_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_quality_filter(sf_dir: str):
     """Composed C4/Gopher-style keep/drop chain: first-failing-rule
     reason per doc (too_short | repetitive | top_heavy | ok)."""
@@ -1100,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "word_repetition": q_word_repetition,
         "quality_filter": q_quality_filter,
+        "token_chunks": q_token_chunks,
         "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
@@ -1551,6 +1561,30 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN stats s USING (doc_id)
             LEFT JOIN bistats b USING (doc_id)
             ORDER BY doc_id
+        """,
+        # q_token_chunks: the distributed prefix scan must equal a window
+        # cumsum over doc_id order
+        "token_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS first_chunk,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 512
+                        ELSE start_offset // 512 END AS last_chunk
+            FROM c ORDER BY doc_id
         """,
         # q_quality_filter: same stats CTE as word_repetition, CASE chain
         # in the same rule order, identical float expression trees

@@ -1,0 +1,121 @@
+"""Sequence packing for training export: concat-and-chunk token layout.
+
+LLM training consumes documents as one concatenated token stream cut into
+fixed-size chunks (e.g. 512/2048/8192 tokens); the pipeline must tell every
+doc WHERE it lands — its global token ``start_offset`` and the chunk range
+it spans — so shard writers and attention-mask builders can work
+independently. Computing that is a global ORDERED PREFIX SUM over the
+corpus, which Ray Data has no primitive for; this stage implements the
+classic two-level scan:
+
+1. **count** — one vectorized pass computes per-doc token counts, tagged
+   with a coarse ``bucket = doc_id // id_bucket``;
+2. **bucket totals** — a tiny shuffle sums tokens per bucket
+   (``n_buckets = max_doc_id / id_bucket`` rows reach the driver, ~16 B
+   each — at 10^12 docs and the default bucket width that is ~2 GB spread
+   over a groupby, and the driver pull can be raised to a second scan
+   level long before it matters);
+3. **driver prefix** — an exclusive cumsum over the sorted bucket totals
+   (numpy, O(n_buckets)) is broadcast once via ``ray.put``;
+4. **in-bucket scan** — ``groupby(bucket).map_groups`` sorts each bucket
+   by doc_id and adds its local exclusive cumsum to the broadcast bucket
+   base. One Python call per bucket, vectorized inside.
+
+Offsets are invariant to partitioning/parallelism: the order is defined by
+``doc_id``, not by block placement.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def token_chunk_stage(
+    docs,
+    *,
+    chunk_tokens: int = 512,
+    id_bucket: int = 1 << 12,
+):
+    """docs (doc_id, text) -> one row per doc:
+
+    ``doc_id, n_tokens, start_offset, first_chunk, last_chunk`` where
+    ``start_offset`` is the doc's position in the doc_id-ordered
+    concatenated token stream and ``first_chunk``/``last_chunk`` are the
+    ``chunk_tokens``-sized training chunks the doc touches (empty docs
+    occupy zero tokens: ``last_chunk == first_chunk``).
+
+    Tokenizer is the corpus-standard ``[a-z0-9]+`` lexer (Arrow regex
+    kernel), matching ``oracle_sql()['token_chunks']``.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+        ).combine_chunks()
+        flat = toks.flatten()
+        n = len(batch)
+        doc_idx = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tokens = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "bucket": pa.array(ids // id_bucket, pa.int64()),
+            }
+        )
+
+    counts = docs.map_batches(
+        count_fn, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed twice: bucket totals + in-bucket scan
+
+    # bucket totals -> exclusive prefix on the driver (tiny: one row per
+    # id_bucket-wide doc_id range)
+    bt = (
+        counts.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="tot"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    buckets = bt["bucket"].to_numpy(np.int64)
+    base = np.concatenate([[0], np.cumsum(bt["tot"].to_numpy(np.int64))[:-1]])
+    base_ref = ray.put((buckets, base))
+
+    def scan_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bks, bas = ray.get(base_ref)
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        nt = g["n_tokens"].to_numpy(zero_copy_only=False)
+        b = int(g["bucket"][0].as_py())
+        start = bas[np.searchsorted(bks, b)] + np.concatenate(
+            [[0], np.cumsum(nt)[:-1]]
+        )
+        first = start // chunk_tokens
+        last = np.where(
+            nt > 0, (start + nt - 1) // chunk_tokens, first
+        )
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "start_offset": pa.array(start, pa.int64()),
+                "first_chunk": pa.array(first, pa.int64()),
+                "last_chunk": pa.array(last, pa.int64()),
+            }
+        )
+
+    return (
+        counts.groupby("bucket")
+        .map_groups(scan_bucket, batch_format="pyarrow")
+        .sort("doc_id")
+    )

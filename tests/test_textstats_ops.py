@@ -352,3 +352,45 @@ def test_quality_filter_first_failing_rule(ray_session):
     )
     assert out["reason"].tolist() == ["too_short", "repetitive", "ok", "top_heavy"]
     assert out["keep"].tolist() == [False, False, True, False]
+
+
+def test_token_chunk_layout_and_bucket_invariance(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    # chunk size 8: doc1 has 5 toks [0,5), doc2 has 6 toks [5,11) spanning
+    # chunks 0-1, doc3 empty at offset 11, doc4 has 7 toks [11,18) chunks 1-2
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e",
+                    "f g h i j k",
+                    "!!!",
+                    "l m n o p q r",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3, 4]
+    assert out["n_tokens"].tolist() == [5, 6, 0, 7]
+    assert out["start_offset"].tolist() == [0, 5, 11, 11]
+    assert out["first_chunk"].tolist() == [0, 0, 1, 1]
+    assert out["last_chunk"].tolist() == [0, 1, 1, 2]
+
+    # a 1-wide id bucket forces the multi-bucket scan path; offsets are
+    # defined by doc_id order, so the layout must be identical
+    out2 = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8, id_bucket=1)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
