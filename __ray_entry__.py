@@ -956,6 +956,20 @@ def q_word_repetition(sf_dir: str):
     return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup: k-means-bucketed embedding near-dup pairs (the
+    sub-quadratic semantic-dedup path; within-cluster exact cosine).
+    Threshold 0.4 matches ``embedding_dups`` (this testdata's similarity
+    range tops out ~0.51); production would use ~0.9+. Output is a strict
+    subset of ``embedding_dups``; on THIS testdata the embeddings are
+    near-uniform (no semantic clusters), so cross-cell recall is low by
+    construction — ``test_semdedup_*`` measures recall >= 0.8 on a
+    clustered fixture, which is the regime SemDeDup is for."""
+    from deduplicatr_ray.stages.similarity import semdedup_pairs
+
+    return semdedup_pairs(_embeddings(sf_dir), threshold=0.4)
+
+
 def q_token_chunks(sf_dir: str):
     """Sequence packing (concat-and-chunk): every doc's global token
     offset + 512-token training-chunk span, via a distributed two-level
@@ -1110,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition": q_word_repetition,
         "quality_filter": q_quality_filter,
         "token_chunks": q_token_chunks,
+        "semdedup_pairs": q_semdedup_pairs,
         "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,

@@ -484,3 +484,88 @@ def ann_lsh_pairs(
         .groupby("part")
         .map_groups(dfirst, batch_format="pyarrow")
     )
+
+
+def semdedup_pairs(
+    embeddings,
+    threshold: float = 0.95,
+    *,
+    ncells: int = 16,
+    seed: int = 42,
+    train_sample: int = 4096,
+    group_cap: int = 1 << 16,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-bucketed semantic
+    near-dup pairs — the third embedding-dedup path beside the exact
+    blocked all-pairs (``embedding_dup_pairs``) and hyperplane LSH
+    (``ann_lsh_pairs``).
+
+    Train: spherical k-means over a bounded deterministic sample (driver,
+    same quantizer as IVF). Assign: centroids broadcast ONCE via
+    ``ray.put``; each batch task buckets its vectors with one matmul.
+    Pair: ``groupby(cell)`` co-locates each semantic cluster and a
+    vectorized upper-triangle cosine pass (chunked matmul, bounded
+    transient) emits ``(id_a, id_b)`` with cos >= ``threshold``.
+
+    Sub-quadratic by construction: only within-cluster pairs are examined
+    (cross-cluster near-dups are the documented SemDeDup approximation;
+    with ``ncells=1`` nothing is pruned and the output equals the exact
+    path — tested). Clusters above ``group_cap`` are skipped (skew policy,
+    same as LSH banding). Per-cluster cost is O(m^2) in cluster size, so
+    ``ncells`` should scale with corpus size to keep m bounded
+    (SemDeDup's own prescription).
+    """
+    import ray
+
+    sample_tbl = embeddings.limit(train_sample).to_pandas()
+    sample = _normalize(
+        np.stack(
+            [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"]]
+        )
+    )
+    centroids = _spherical_kmeans(sample, ncells, seed)
+    ref = ray.put(centroids)
+
+    class CellAssign:
+        def __init__(self, ref) -> None:
+            self.centroids = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_emb_matrix(batch))
+            cells = (
+                np.argmax(vm @ self.centroids.T, axis=1)
+                if len(vm)
+                else np.empty(0, np.int64)
+            )
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "embedding": batch["embedding"],
+                    "cell": pa.array(cells.astype(np.int64), pa.int64()),
+                }
+            )
+
+    def cell_pairs(g: pa.Table) -> pa.Table:
+        if len(g) < 2 or len(g) > group_cap:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_emb_matrix(g))
+        return _block_pair_sims((ids, m), (ids, m), threshold, same=True)
+
+    return (
+        embeddings.map_batches(
+            CellAssign,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=4096,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+        .sort(["id_a", "id_b"])
+    )

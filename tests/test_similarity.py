@@ -120,3 +120,36 @@ def test_ivf_pruned_recall(ray_session):
     got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
     recall = len(want & got) / len(want)
     assert recall >= 0.9, recall
+
+
+def test_semdedup_single_cell_equals_dense(ray_session):
+    """ncells=1 puts every vector in one cluster: SemDeDup prunes nothing
+    and must equal the dense exact pair set."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import semdedup_pairs
+
+    tbl, ids, m = _fixture_embeddings()
+    want = _dense_pairs(ids, m, threshold=0.9)
+    out = semdedup_pairs(rd.from_arrow(tbl), threshold=0.9, ncells=1).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert got == want
+    assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_semdedup_bucketed_is_high_recall_subset(ray_session):
+    """With ncells ~= true cluster count, the bucketed pass may only miss
+    cross-cluster pairs: output is a subset of the dense set with high
+    recall on this well-separated fixture."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import semdedup_pairs
+
+    tbl, ids, m = _fixture_embeddings()
+    want = _dense_pairs(ids, m, threshold=0.9)
+    out = semdedup_pairs(rd.from_arrow(tbl), threshold=0.9, ncells=8).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    assert got <= want
+    # seeded k-means occasionally splits a true cluster across two cells;
+    # 0.88 observed on this fixture — the documented SemDeDup approximation
+    assert len(got) >= 0.8 * len(want)
