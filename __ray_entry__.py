@@ -956,6 +956,14 @@ def q_word_repetition(sf_dir: str):
     return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_training_export(sf_dir: str):
+    """End-to-end training export: quality chain -> dedup canonical ->
+    decontamination -> sequence packing; chunk layout for kept docs."""
+    from deduplicatr_ray.pipelines.training import training_export
+
+    return training_export(sf_dir)
+
+
 def q_semdedup_pairs(sf_dir: str):
     """SemDeDup: k-means-bucketed embedding near-dup pairs (the
     sub-quadratic semantic-dedup path; within-cluster exact cosine).
@@ -993,7 +1001,9 @@ def q_decontaminate(sf_dir: str):
     eval-gram set — no shuffle."""
     from deduplicatr_ray.stages.textstats import decontaminate
 
-    return decontaminate(_docs(sf_dir, ["doc_id", "source", "text"]))
+    return decontaminate(_docs(sf_dir, ["doc_id", "source", "text"])).sort(
+        "doc_id"
+    )
 
 
 def q_cluster_summary(sf_dir: str):
@@ -1125,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": q_quality_filter,
         "token_chunks": q_token_chunks,
         "semdedup_pairs": q_semdedup_pairs,
+        "training_export": q_training_export,
         "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,

@@ -1,0 +1,158 @@
+"""End-to-end training-data export: the pipeline a user actually runs
+before LLM training, composed from the engine's own stages —
+
+    quality filter  ->  dedup (canonical per cluster)  ->
+    benchmark decontamination  ->  sequence packing  ->  sharded Parquet
+
+Every step is the corresponding production operator (not a re-derivation):
+``quality_filter_stage`` (row-local C4/Gopher chain), the flagship
+``dedup_pipeline`` (one all-to-all carrying near+exact evidence),
+``decontaminate`` (broadcast 13-gram probe), ``hash_semi_join`` (streaming
+big-big key filters — nothing corpus-sized is ever broadcast or pulled to
+the driver), and ``token_chunk_stage`` (distributed prefix scan).
+
+Scale shape: two row-local passes, the flagship's single all-to-all, two
+hash semi-joins on ``doc_id`` (exchange carries 8 B keys + the text column
+of surviving rows only), the packer's tiny bucket shuffle. Output is
+written partitioned by ``chunk_shard`` so a failed export resumes
+per-shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _canonical_doc_ids(clusters):
+    """CLUSTERS Dataset (url doc://{id}, is_canonical) -> (doc_id) Dataset
+    of canonical rows, vectorized url parse."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["is_canonical"], True))
+        ids = pc.cast(
+            pc.utf8_slice_codeunits(keep["url"], 6, 1 << 30), pa.int64()
+        )
+        # named canon_id: Ray's hash join requires differently-named
+        # key columns on the two sides
+        return pa.table({"canon_id": ids})
+
+    return clusters.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def training_export(
+    sf_dir: str,
+    *,
+    chunk_tokens: int = 512,
+    shard_chunks: int = 64,
+    out_dir: str | None = None,
+):
+    """-> Dataset of kept docs with their training-chunk layout:
+
+    ``doc_id, n_tokens, start_offset, first_chunk, last_chunk,
+    chunk_shard`` — only docs that (a) pass the quality chain, (b) are
+    their dedup cluster's canonical representative, and (c) share no
+    13-gram with the held-out eval slice (which is itself excluded as
+    non-training data). Offsets are doc_id-ordered over exactly the kept
+    set, so the stream is densely packed after filtering.
+
+    With ``out_dir`` set the layout is also written as Parquet partitioned
+    by ``chunk_shard`` (= first_chunk // ``shard_chunks``): one directory
+    per contiguous chunk range, the resumable-output unit.
+    """
+    import pyarrow.compute as pc
+
+    from ..sources.pages import docs_as_pages, read_parquet_auto
+    from ..stages.pack import token_chunk_stage
+    from ..stages.relational import hash_semi_join
+    from ..stages.textstats import decontaminate, quality_filter_stage
+    from .flagship import dedup_pipeline
+
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    # (a) quality chain -> surviving doc_ids (row-local pass).
+    # id-only intermediates are materialized (8 B/doc, spill-safe at any
+    # scale) so each phase's actor pool — the flagship's signature pool,
+    # the join's shuffle aggregators — executes alone; fusing them into one
+    # plan can deadlock a small session on actor-minimum CPU reservations.
+    qf_ids = quality_filter_stage(docs).map_batches(
+        lambda b: b.filter(b["keep"]).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    # (b) dedup canonicals (flagship pipeline over the pages adapter)
+    canon_ids = _canonical_doc_ids(
+        dedup_pipeline(docs_as_pages(sf_dir)).clusters
+    ).materialize()
+
+    # (c) contaminated + eval doc_ids, excluded. decontaminate() flags
+    # training docs overlapping the eval slice; the eval slice itself is
+    # held out by definition (its rows are not training data).
+    sources: set[str] = set()
+    for b in docs.select_columns(["source"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        sources.update(pc.unique(b["source"].combine_chunks()).to_pylist())
+    eval_source = max(sources)
+    # the contaminated set is small by construction (benchmark-overlap
+    # docs), so the anti-filter is a broadcast probe, not a shuffle join
+    cont_parts: list[np.ndarray] = []
+    for b in decontaminate(docs, eval_source=eval_source).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        cont_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+    cont_ids = np.sort(
+        np.concatenate(cont_parts) if cont_parts else np.empty(0, np.int64)
+    )
+    import ray
+
+    cont_ref = ray.put(cont_ids)
+
+    kept_ids = hash_semi_join(qf_ids, canon_ids, on="doc_id", right_on="canon_id")
+
+    def drop_contaminated(b: pa.Table) -> pa.Table:
+        cids = ray.get(cont_ref)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        if len(cids) == 0:
+            return b
+        pos = np.searchsorted(cids, ids)
+        pos = np.minimum(pos, len(cids) - 1)
+        return b.filter(pa.array(cids[pos] != ids))
+
+    kept_ids = kept_ids.map_batches(
+        drop_contaminated, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    kept_docs = hash_semi_join(
+        docs.map_batches(
+            lambda b: b.filter(pc.not_equal(b["source"], eval_source)).select(
+                ["doc_id", "text"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        kept_ids.map_batches(
+            lambda b: pa.table({"keep_id": b["doc_id"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on="doc_id",
+        right_on="keep_id",
+    )
+
+    layout = token_chunk_stage(kept_docs, chunk_tokens=chunk_tokens)
+
+    def with_shard(b: pa.Table) -> pa.Table:
+        shard = b["first_chunk"].to_numpy(zero_copy_only=False) // shard_chunks
+        return b.append_column("chunk_shard", pa.array(shard, pa.int64()))
+
+    layout = layout.map_batches(
+        with_shard, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if out_dir is not None:
+        layout.write_parquet(out_dir, partition_cols=["chunk_shard"])
+    return layout

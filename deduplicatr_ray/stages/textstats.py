@@ -1013,6 +1013,9 @@ def decontaminate(docs, *, eval_source: str | None = None, n_gram: int = 13):
                 }
             )
 
+    # NOTE deliberately unsorted: Ray's sort emits zero-column empty blocks
+    # that break a downstream Dataset.join (pyarrow can't find the key
+    # field in a schema-less block) — terminal queries sort for display
     return docs.map_batches(
         HitCounter,
         fn_constructor_args=(eval_ref,),
@@ -1020,7 +1023,7 @@ def decontaminate(docs, *, eval_source: str | None = None, n_gram: int = 13):
         zero_copy_batch=True,
         concurrency=(1, 8),
         num_cpus=1,
-    ).sort("doc_id")
+    )
 
 
 def quality_filter_stage(
