@@ -956,6 +956,33 @@ def q_word_repetition(sf_dir: str):
     return word_repetition_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_scrub_spans(sf_dir: str):
+    """Span-level duplicate removal (Lee et al. ExactSubstr): cut >=50-byte
+    spans duplicating earlier (doc_id, offset) content, keep first
+    occurrence; per-doc scrub stats."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    def stats(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_spans": b["n_spans"],
+                "n_bytes_removed": b["n_bytes_removed"],
+                "n_chars_after": pc.utf8_length(b["text"]).cast(pa.int64()),
+            }
+        )
+
+    return (
+        scrub_spans(_docs(sf_dir, ["doc_id", "text"]))
+        .map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
 def q_training_export(sf_dir: str):
     """End-to-end training export: quality chain -> dedup canonical ->
     decontamination -> sequence packing; chunk layout for kept docs."""
@@ -1136,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": q_token_chunks,
         "semdedup_pairs": q_semdedup_pairs,
         "training_export": q_training_export,
+        "scrub_spans": q_scrub_spans,
         "decontaminate": q_decontaminate,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,

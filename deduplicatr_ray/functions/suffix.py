@@ -153,3 +153,77 @@ def sa_doc_pairs(
     a, b = ids[keys[:, 0]], ids[keys[:, 1]]
     lo, hi = np.minimum(a, b), np.maximum(a, b)  # canonical id order
     return lo, hi, lens
+
+
+def sa_duplicate_spans(
+    texts: list[str], doc_ids: np.ndarray, min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Byte spans duplicating EARLIER content, for span-level dedup
+    (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL 2022 — the ExactSubstr removal pass).
+
+    Returns (doc_id, start, end) byte spans: within every maximal run of
+    adjacent suffixes sharing >= ``min_len`` bytes, the occurrence with the
+    smallest (doc_id, offset) key is the canonical "first" and keeps its
+    text; every other member suffix is marked duplicated for the run-min
+    length. A long duplicate region is recovered as the UNION of the
+    per-suffix marks of its successive positions (suffix p+k of the copy
+    lands in a >= min_len run for every k up to region_len - min_len), so
+    interval-merging the output reconstructs spans longer than min_len.
+    Spans are byte offsets into the utf-8 encoding (exact for ASCII; a
+    byte-level match may start mid-codepoint otherwise).
+    """
+    enc_parts: list[np.ndarray] = []
+    doc_of_parts: list[np.ndarray] = []
+    off_parts: list[np.ndarray] = []
+    for i, t in enumerate(texts):
+        bs = np.frombuffer(t.encode("utf-8", "surrogatepass"), np.uint8)
+        enc = np.empty(len(bs) + 1, np.int32)
+        enc[: len(bs)] = bs
+        enc[len(bs)] = 256 + i
+        enc_parts.append(enc)
+        doc_of_parts.append(np.full(len(enc), i, np.int32))
+        off_parts.append(np.arange(len(enc), dtype=np.int64))
+    if not enc_parts:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    s = np.concatenate(enc_parts)
+    doc_of = np.concatenate(doc_of_parts)
+    local_off = np.concatenate(off_parts)
+    ids = np.asarray(doc_ids, np.int64)
+
+    sa, snaps = suffix_array(s)
+    lcp = lcp_adjacent(sa, snaps)
+    docs_sa = doc_of[sa]
+    offs_sa = local_off[sa]
+    ids_sa = ids[docs_sa]
+
+    hit = lcp >= min_len
+    if not hit.any():
+        z = np.empty(0, np.int64)
+        return z, z, z
+
+    out_doc: list[np.ndarray] = []
+    out_start: list[np.ndarray] = []
+    out_end: list[np.ndarray] = []
+    d = np.diff(np.concatenate([[0], hit.astype(np.int8), [0]]))
+    run_starts = np.flatnonzero(d == 1)
+    run_ends = np.flatnonzero(d == -1)  # exclusive in lcp-index space
+    for s0, e0 in zip(run_starts.tolist(), run_ends.tolist()):
+        lo, hi = s0, e0 + 1  # suffix-index range of the run (inclusive hi-1)
+        run_min = int(lcp[s0:e0].min())
+        rid = ids_sa[lo:hi]
+        roff = offs_sa[lo:hi]
+        # canonical = smallest (doc_id, offset); numpy lexsort keys are
+        # (last primary)
+        keep = np.lexsort((roff, rid))[0]
+        mask = np.ones(hi - lo, bool)
+        mask[keep] = False
+        out_doc.append(rid[mask])
+        out_start.append(roff[mask])
+        out_end.append(roff[mask] + run_min)
+    return (
+        np.concatenate(out_doc),
+        np.concatenate(out_start),
+        np.concatenate(out_end),
+    )

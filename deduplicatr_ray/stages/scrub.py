@@ -1,0 +1,282 @@
+"""Span-level duplicate-text removal (Lee et al. ACL 2022 ExactSubstr):
+instead of dropping whole near-dup documents, cut the duplicated BYTE
+SPANS out of every doc that repeats earlier content, keeping the first
+occurrence.
+
+Plan shape (all engine-standard patterns):
+
+1. **route** — winnowing-fingerprint routing (same contract as
+   ``suffix_array_pairs``): any two texts sharing >= ``guarantee_len``
+   bytes co-locate in at least one partition;
+2. **mark** — per partition, a concatenated suffix array emits
+   ``(doc_id, start, end)`` spans duplicating smaller-(doc_id, offset)
+   content (``functions/suffix.py sa_duplicate_spans``);
+3. **merge** — spans are hash-partitioned by doc_id and interval-merged
+   with one lexsort + vectorized sweep per partition (a doc's spans from
+   different routing partitions meet here);
+4. **cut** — docs and merged spans are co-partitioned by the same doc_id
+   hash (union-tag idiom, cf. ``stages/verify.py``) and each partition
+   rebuilds the scrubbed text; rows without spans pass through untouched,
+   so the per-row byte assembly only runs on the duplicated sliver.
+
+Spans are utf-8 byte offsets (exact for this ASCII corpus; byte-level
+matches may split codepoints otherwise — documented in the kernel).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SPAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("start", pa.int64()), ("end", pa.int64())]
+)
+_EMPTY_SPANS = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64()),
+        "end": pa.array([], pa.int64()),
+    }
+)
+
+# doc texts are << 2^32 bytes, so (doc ordinal << 32 | coord) linearizes
+# per-doc coordinates for one global accumulate-based interval merge
+_COORD = np.int64(1) << 32
+
+
+def merge_intervals_block(g: pa.Table) -> pa.Table:
+    """(doc_id, start, end) rows -> per-doc unioned intervals, vectorized:
+    one lexsort, one running max, one reduceat."""
+    import pyarrow.compute as pc
+
+    n = len(g)
+    if n == 0:
+        return _EMPTY_SPANS
+    order = pc.sort_indices(
+        g, sort_keys=[("doc_id", "ascending"), ("start", "ascending")]
+    )
+    g = g.take(order)
+    did = g["doc_id"].to_numpy(zero_copy_only=False)
+    st = g["start"].to_numpy(zero_copy_only=False)
+    en = g["end"].to_numpy(zero_copy_only=False)
+    # per-doc ordinal (docs are contiguous after the sort)
+    new_doc = np.concatenate([[True], did[1:] != did[:-1]])
+    ordinal = np.cumsum(new_doc) - 1
+    gs = ordinal * _COORD + st
+    ge = ordinal * _COORD + en
+    run_max = np.maximum.accumulate(ge)
+    new_run = np.concatenate([[True], gs[1:] > run_max[:-1]])
+    starts = np.flatnonzero(new_run)
+    m_end = np.maximum.reduceat(ge, starts)
+    return pa.table(
+        {
+            "doc_id": pa.array(did[starts], pa.int64()),
+            "start": pa.array(gs[starts] - ordinal[starts] * _COORD, pa.int64()),
+            "end": pa.array(m_end - ordinal[starts] * _COORD, pa.int64()),
+        }
+    )
+
+
+def duplicate_spans(
+    docs,
+    *,
+    w: int = 25,
+    guarantee_len: int = 50,
+    min_len: int = 50,
+    num_partitions: int | None = None,
+):
+    """docs (doc_id, text) -> merged (doc_id, start, end) byte spans of
+    content duplicating an earlier (doc_id, offset) occurrence."""
+    from ..functions.suffix import sa_duplicate_spans
+    from ..functions.textstats import fingerprint_doc
+    from .lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+
+    def route(batch: pa.Table) -> pa.Table:
+        parts: list[int] = []
+        ids: list[int] = []
+        texts: list[str] = []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
+            if not len(f):
+                continue
+            for p in np.unique(f % np.uint64(P)).tolist():
+                parts.append(int(p))
+                ids.append(d)
+                texts.append(t)
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def mark(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(ids, return_index=True)
+        first = np.sort(first)
+        texts = [g["text"][int(i)].as_py() for i in first]
+        d, s, e = sa_duplicate_spans(texts, ids[first], min_len=min_len)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, pa.int64()),
+                "start": pa.array(s, pa.int64()),
+                "end": pa.array(e, pa.int64()),
+            }
+        )
+
+    def with_part(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+
+        h = splitmix64(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return b.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
+        )
+
+    spans = (
+        docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(mark, batch_format="pyarrow")
+    )
+    return (
+        spans.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda g: merge_intervals_block(g.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def scrub_spans(
+    docs,
+    *,
+    w: int = 25,
+    guarantee_len: int = 50,
+    min_len: int = 50,
+    num_partitions: int | None = None,
+):
+    """docs (doc_id, text) -> (doc_id, n_spans, n_bytes_removed, text)
+    with duplicated spans cut out (first occurrence kept). Every doc of
+    the input appears exactly once in the output."""
+    from ..functions.hashing import splitmix64
+    from .lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+
+    spans = duplicate_spans(
+        docs,
+        w=w,
+        guarantee_len=guarantee_len,
+        min_len=min_len,
+        num_partitions=num_partitions,
+    )
+
+    # union-tag co-partition: span rows carry (start, end); doc rows carry
+    # text with start = -1 as the discriminator
+    def tag_docs(b: pa.Table) -> pa.Table:
+        h = splitmix64(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "start": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "end": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "text": b["text"],
+            }
+        )
+
+    def tag_spans(b: pa.Table) -> pa.Table:
+        h = splitmix64(
+            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "start": b["start"],
+                "end": b["end"],
+                "text": pa.nulls(len(b), pa.string()),
+            }
+        )
+
+    def cut(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_doc = (
+            g["start"].to_numpy(zero_copy_only=False) < 0
+        )
+        gd = g.filter(pa.array(is_doc))
+        gsp = g.filter(pa.array(~is_doc))
+        n = len(gd)
+        ids = gd["doc_id"].to_numpy(zero_copy_only=False)
+        n_spans = np.zeros(n, np.int64)
+        removed = np.zeros(n, np.int64)
+        if len(gsp) == 0:
+            return pa.table(
+                {
+                    "doc_id": gd["doc_id"],
+                    "n_spans": pa.array(n_spans, pa.int64()),
+                    "n_bytes_removed": pa.array(removed, pa.int64()),
+                    "text": gd["text"],
+                }
+            )
+        order = np.argsort(ids, kind="stable")
+        sids = ids[order]
+        sp_id = gsp["doc_id"].to_numpy(zero_copy_only=False)
+        sp_st = gsp["start"].to_numpy(zero_copy_only=False)
+        sp_en = gsp["end"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sids, sp_id)
+        row = order[np.minimum(pos, n - 1)]
+        ok = ids[row] == sp_id  # spans whose doc is in this block (always)
+        texts = gd["text"].to_pylist()
+        out_texts = list(texts)
+        # per-row assembly only for docs that actually have spans
+        by_doc: dict[int, list[tuple[int, int]]] = {}
+        for r, s0, e0 in zip(
+            row[ok].tolist(), sp_st[ok].tolist(), sp_en[ok].tolist()
+        ):
+            by_doc.setdefault(r, []).append((s0, e0))
+        for r, ivs in by_doc.items():
+            bs = texts[r].encode("utf-8", "surrogatepass")
+            ivs.sort()
+            kept: list[bytes] = []
+            cur = 0
+            cut_bytes = 0
+            for s0, e0 in ivs:
+                e0 = min(e0, len(bs))
+                kept.append(bs[cur:s0])
+                cut_bytes += max(0, e0 - s0)
+                cur = max(cur, e0)
+            kept.append(bs[cur:])
+            out_texts[r] = b"".join(kept).decode("utf-8", "surrogatepass")
+            n_spans[r] = len(ivs)
+            removed[r] = cut_bytes
+        return pa.table(
+            {
+                "doc_id": gd["doc_id"],
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "n_bytes_removed": pa.array(removed, pa.int64()),
+                "text": pa.array(out_texts, pa.string()),
+            }
+        )
+
+    return (
+        docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            spans.map_batches(
+                tag_spans, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("part")
+        .map_groups(
+            lambda g: cut(g.drop_columns(["part"])), batch_format="pyarrow"
+        )
+    )

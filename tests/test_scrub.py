@@ -1,0 +1,98 @@
+"""Span-level duplicate removal (stages/scrub.py): keep-first semantics,
+long-span reconstruction, within-doc repeats, idempotence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _run(ds_tbl, **kw):
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    out = (
+        scrub_spans(ray.data.from_arrow(ds_tbl), **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _mk(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+SHARED = "x" * 21 + "the quick brown fox jumps over the lazy dog again"  # 70 B
+UNIQ1 = "A" * 40
+UNIQ2 = "B" * 40
+UNIQ3 = "every word here is entirely unique and never repeated at all"
+
+
+def test_scrub_keeps_first_occurrence(ray_session):
+    out = _run(_mk([UNIQ1 + SHARED + UNIQ2, UNIQ2 + SHARED + UNIQ1, UNIQ3]))
+    # doc 1 is the earlier occurrence: untouched
+    assert out.loc[0, "n_spans"] == 0
+    assert out.loc[0, "text"] == UNIQ1 + SHARED + UNIQ2
+    # doc 2 loses (at least the guarantee-covered core of) the shared run
+    assert out.loc[1, "n_spans"] >= 1
+    assert out.loc[1, "n_bytes_removed"] >= 50
+    assert SHARED not in out.loc[1, "text"]
+    # untouched unique doc
+    assert out.loc[2, "text"] == UNIQ3
+    assert out.loc[2, "n_spans"] == 0
+
+
+def test_scrub_long_span_reconstructed(ray_session):
+    """A 200-byte duplicate region is recovered (within min_len slack at
+    the edges) by merging per-suffix run marks."""
+    # 200+ bytes with NO internal repeats (distinct numbered words)
+    long_shared = " ".join(f"tok{i:03d}word{i*7%97:02d}" for i in range(18))
+    assert len(long_shared) >= 200
+    out = _run(_mk([long_shared + UNIQ1, UNIQ2 + long_shared]))
+    assert out.loc[0, "n_bytes_removed"] == 0
+    assert out.loc[1, "n_bytes_removed"] >= len(long_shared) - 50
+    assert long_shared not in out.loc[1, "text"]
+
+
+def test_scrub_within_doc_repeat(ray_session):
+    """The second occurrence INSIDE one doc is scrubbed, the first kept."""
+    doc = SHARED + UNIQ1 + SHARED
+    out = _run(_mk([doc, UNIQ3]))
+    t = out.loc[0, "text"]
+    assert t.startswith(SHARED)  # first occurrence intact
+    assert t.count(SHARED) == 1
+    assert out.loc[0, "n_bytes_removed"] >= 50
+
+
+def test_scrub_idempotent(ray_session):
+    """Scrubbing an already-scrubbed corpus changes nothing."""
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    first = _run(_mk([UNIQ1 + SHARED + UNIQ2, UNIQ2 + SHARED + UNIQ1, UNIQ3]))
+    again = (
+        scrub_spans(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(first["doc_id"], pa.int64()),
+                        "text": pa.array(first["text"], pa.string()),
+                    }
+                )
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (again["n_spans"] == 0).all()
+    assert again["text"].tolist() == first["text"].tolist()
