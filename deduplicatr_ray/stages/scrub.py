@@ -84,9 +84,13 @@ def duplicate_spans(
     guarantee_len: int = 50,
     min_len: int = 50,
     num_partitions: int | None = None,
+    merged: bool = True,
 ):
-    """docs (doc_id, text) -> merged (doc_id, start, end) byte spans of
-    content duplicating an earlier (doc_id, offset) occurrence."""
+    """docs (doc_id, text) -> (doc_id, start, end) byte spans of content
+    duplicating an earlier (doc_id, offset) occurrence; per-doc interval
+    union applied when ``merged`` (the standalone API default).
+    ``scrub_spans`` passes ``merged=False`` and folds the union into its
+    own doc_id co-partition — one less all-to-all."""
     from ..functions.suffix import sa_duplicate_spans
     from ..functions.textstats import fingerprint_doc
     from .lsh import default_num_partitions
@@ -142,6 +146,8 @@ def duplicate_spans(
         .groupby("part")
         .map_groups(mark, batch_format="pyarrow")
     )
+    if not merged:
+        return spans
     return (
         spans.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
@@ -174,6 +180,7 @@ def scrub_spans(
         guarantee_len=guarantee_len,
         min_len=min_len,
         num_partitions=num_partitions,
+        merged=False,  # the cut co-partition below does the interval union
     )
 
     # union-tag co-partition: span rows carry (start, end); doc rows carry
@@ -247,17 +254,24 @@ def scrub_spans(
         for r, ivs in by_doc.items():
             bs = texts[r].encode("utf-8", "surrogatepass")
             ivs.sort()
+            # interval union (spans arrive unmerged; see duplicate_spans)
+            merged_ivs: list[list[int]] = []
+            for s0, e0 in ivs:
+                e0 = min(e0, len(bs))
+                if merged_ivs and s0 <= merged_ivs[-1][1]:
+                    merged_ivs[-1][1] = max(merged_ivs[-1][1], e0)
+                else:
+                    merged_ivs.append([s0, e0])
             kept: list[bytes] = []
             cur = 0
             cut_bytes = 0
-            for s0, e0 in ivs:
-                e0 = min(e0, len(bs))
+            for s0, e0 in merged_ivs:
                 kept.append(bs[cur:s0])
-                cut_bytes += max(0, e0 - s0)
-                cur = max(cur, e0)
+                cut_bytes += e0 - s0
+                cur = e0
             kept.append(bs[cur:])
             out_texts[r] = b"".join(kept).decode("utf-8", "surrogatepass")
-            n_spans[r] = len(ivs)
+            n_spans[r] = len(merged_ivs)
             removed[r] = cut_bytes
         return pa.table(
             {
