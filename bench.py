@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "doc_len_quantiles",     # exact grouped quantiles
     "word_repetition",       # Gopher repetition filter features
     "decontaminate",         # 13-gram eval-overlap check (broadcast)
+    "quality_filter",        # composed C4-style keep/drop chain
+    "token_chunks",          # sequence packing (distributed prefix scan)
+    "scrub_spans",           # ExactSubstr span-level duplicate removal
 ]
 
 FLAGSHIP = "dedup_clusters"

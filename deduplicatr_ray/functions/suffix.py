@@ -203,27 +203,37 @@ def sa_duplicate_spans(
         z = np.empty(0, np.int64)
         return z, z, z
 
-    out_doc: list[np.ndarray] = []
-    out_start: list[np.ndarray] = []
-    out_end: list[np.ndarray] = []
+    # fully vectorized run processing (a Python loop per run dominated at
+    # scale: exact-dup clusters produce one run per shared position)
     d = np.diff(np.concatenate([[0], hit.astype(np.int8), [0]]))
-    run_starts = np.flatnonzero(d == 1)
-    run_ends = np.flatnonzero(d == -1)  # exclusive in lcp-index space
-    for s0, e0 in zip(run_starts.tolist(), run_ends.tolist()):
-        lo, hi = s0, e0 + 1  # suffix-index range of the run (inclusive hi-1)
-        run_min = int(lcp[s0:e0].min())
-        rid = ids_sa[lo:hi]
-        roff = offs_sa[lo:hi]
-        # canonical = smallest (doc_id, offset); numpy lexsort keys are
-        # (last primary)
-        keep = np.lexsort((roff, rid))[0]
-        mask = np.ones(hi - lo, bool)
-        mask[keep] = False
-        out_doc.append(rid[mask])
-        out_start.append(roff[mask])
-        out_end.append(roff[mask] + run_min)
+    run_starts = np.flatnonzero(d == 1)  # lcp-index space
+    run_ends = np.flatnonzero(d == -1)  # exclusive
+    n_runs = len(run_starts)
+    # run-min lcp: reduceat over the hit-compacted lcp array (contiguous
+    # segments there, no gaps to leak through)
+    lcph = lcp[hit]
+    seg_lens = run_ends - run_starts
+    seg_offs = np.concatenate([[0], np.cumsum(seg_lens)[:-1]])
+    run_min = np.minimum.reduceat(lcph, seg_offs)
+    # member suffix indices: run r spans suffixes [run_starts[r],
+    # run_ends[r]] inclusive -> lens[r] = seg_lens[r] + 1
+    lens = seg_lens + 1
+    total = int(lens.sum())
+    base = np.repeat(run_starts, lens)
+    grp_off = np.repeat(np.cumsum(lens) - lens, lens)
+    sidx = base + (np.arange(total, dtype=np.int64) - grp_off)
+    run_id = np.repeat(np.arange(n_runs, dtype=np.int64), lens)
+    m_ids = ids_sa[sidx]
+    m_offs = offs_sa[sidx]
+    # canonical per run = smallest (doc_id, offset): one lexsort, first
+    # element of each run_id segment
+    order = np.lexsort((m_offs, m_ids, run_id))
+    rid_sorted = run_id[order]
+    firsts = np.concatenate([[True], rid_sorted[1:] != rid_sorted[:-1]])
+    mask = np.ones(total, bool)
+    mask[order[firsts]] = False
     return (
-        np.concatenate(out_doc),
-        np.concatenate(out_start),
-        np.concatenate(out_end),
+        m_ids[mask],
+        m_offs[mask],
+        m_offs[mask] + np.repeat(run_min, lens)[mask],
     )

@@ -123,12 +123,17 @@ def duplicate_spans(
         first = np.sort(first)
         texts = [g["text"][int(i)].as_py() for i in first]
         d, s, e = sa_duplicate_spans(texts, ids[first], min_len=min_len)
-        return pa.table(
-            {
-                "doc_id": pa.array(d, pa.int64()),
-                "start": pa.array(s, pa.int64()),
-                "end": pa.array(e, pa.int64()),
-            }
+        # per-partition interval union BEFORE the shuffle: the per-suffix
+        # marks of one duplicate region (one per position) collapse to a
+        # handful of intervals per doc, ~100x less exchange volume
+        return merge_intervals_block(
+            pa.table(
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "start": pa.array(s, pa.int64()),
+                    "end": pa.array(e, pa.int64()),
+                }
+            )
         )
 
     def with_part(b: pa.Table) -> pa.Table:
@@ -141,8 +146,13 @@ def duplicate_spans(
             "part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
         )
 
+    # repartition the routed rows so the groupby's sorted output lands in
+    # ~P blocks -> ~P concurrent mark tasks; without it the sort inherits
+    # the read's block count (4) and the SA work runs 4-wide on a 32-CPU
+    # box (profiled: 28s -> 6s at sf0.1)
     spans = (
         docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(P)
         .groupby("part")
         .map_groups(mark, batch_format="pyarrow")
     )

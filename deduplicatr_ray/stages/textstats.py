@@ -758,7 +758,8 @@ def suffix_array_pairs(
 
     pairs = (
         docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
+        .repartition(P)  # ~P mark tasks; the sort otherwise inherits the
+        .groupby("part")  # read's block count and the SA runs few-wide
         .map_groups(sa_block, batch_format="pyarrow")
     )
 
