@@ -825,12 +825,27 @@ def q_embedding_dups(sf_dir: str):
 # Rows-only queries (not SQL-expressible; driver checks rows + schema)
 # ---------------------------------------------------------------------------
 
+# session-scoped memo of the materialized CLUSTERS table per sf_dir:
+# cluster_summary is an aggregate over the same table, so the flagship
+# runs once per session, not once per consuming query (same policy as
+# _PAIRS_CACHE below)
+_CLUSTERS_CACHE: dict[str, Any] = {}
+
+
+def _clusters(sf_dir: str):
+    ds = _CLUSTERS_CACHE.get(sf_dir)
+    if ds is None:
+        from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+        from deduplicatr_ray.sources.pages import docs_as_pages
+
+        ds = dedup_pipeline(docs_as_pages(sf_dir)).clusters.materialize()
+        _CLUSTERS_CACHE[sf_dir] = ds
+    return ds
+
+
 def q_dedup_clusters(sf_dir: str):
     """Flagship pipeline over documents-as-pages -> CLUSTERS table."""
-    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
-    from deduplicatr_ray.sources.pages import docs_as_pages
-
-    return dedup_pipeline(docs_as_pages(sf_dir)).clusters
+    return _clusters(sf_dir)
 
 
 # session-scoped memo of the materialized verified-pair set per sf_dir:
@@ -1034,11 +1049,11 @@ def q_decontaminate(sf_dir: str):
 
 
 def q_cluster_summary(sf_dir: str):
-    """A1/O1: per-cluster commutative summary, biggest first."""
-    from deduplicatr_ray.pipelines.flagship import cluster_summary, dedup_pipeline
-    from deduplicatr_ray.sources.pages import docs_as_pages
+    """A1/O1: per-cluster commutative summary, biggest first (aggregates
+    the memoized CLUSTERS table)."""
+    from deduplicatr_ray.pipelines.flagship import cluster_summary
 
-    return cluster_summary(dedup_pipeline(docs_as_pages(sf_dir)).clusters)
+    return cluster_summary(_clusters(sf_dir))
 
 
 def q_ann_lsh_dups(sf_dir: str):

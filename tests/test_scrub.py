@@ -96,3 +96,16 @@ def test_scrub_idempotent(ray_session):
     )
     assert (again["n_spans"] == 0).all()
     assert again["text"].tolist() == first["text"].tolist()
+
+
+def test_scrub_all_identical_corpus(ray_session):
+    """60 identical docs: the smallest doc_id keeps its text, every other
+    copy is scrubbed down by at least len-min_len bytes (exercises the
+    vectorized giant-run path: one run per shared position)."""
+    body = "w" + " ".join(f"q{i:02d}" for i in range(40))  # ~160 B, no repeats
+    out = _run(_mk([body] * 60))
+    assert out.loc[0, "n_bytes_removed"] == 0
+    assert out.loc[0, "text"] == body
+    rest = out.iloc[1:]
+    assert (rest["n_bytes_removed"] >= len(body) - 50).all()
+    assert (rest["n_spans"] >= 1).all()

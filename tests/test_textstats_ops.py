@@ -394,3 +394,20 @@ def test_token_chunk_layout_and_bucket_invariance(ray_session):
         .reset_index(drop=True)
     )
     assert out2.equals(out)
+
+
+def test_token_chunks_all_empty_docs(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    out = (
+        token_chunk_stage(
+            ray.data.from_arrow(_docs_ids(["", "!!!", ""]))
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [0, 0, 0]
+    assert out["start_offset"].tolist() == [0, 0, 0]
+    assert out["first_chunk"].tolist() == out["last_chunk"].tolist() == [0, 0, 0]
