@@ -1000,10 +1000,11 @@ def q_scrub_spans(sf_dir: str):
 
 def q_training_export(sf_dir: str):
     """End-to-end training export: quality chain -> dedup canonical ->
-    decontamination -> sequence packing; chunk layout for kept docs."""
+    decontamination -> sequence packing; chunk layout for kept docs.
+    Reuses the session-memoized CLUSTERS table."""
     from deduplicatr_ray.pipelines.training import training_export
 
-    return training_export(sf_dir)
+    return training_export(sf_dir, clusters=_clusters(sf_dir))
 
 
 def q_semdedup_pairs(sf_dir: str):

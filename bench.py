@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "quality_filter",        # composed C4-style keep/drop chain
     "token_chunks",          # sequence packing (distributed prefix scan)
     "scrub_spans",           # ExactSubstr span-level duplicate removal
+    "training_export",       # composed end-to-end export (reuses clusters)
 ]
 
 FLAGSHIP = "dedup_clusters"

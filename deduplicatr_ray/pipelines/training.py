@@ -47,6 +47,7 @@ def training_export(
     chunk_tokens: int = 512,
     shard_chunks: int = 64,
     out_dir: str | None = None,
+    clusters=None,
 ):
     """-> Dataset of kept docs with their training-chunk layout:
 
@@ -84,10 +85,11 @@ def training_export(
         zero_copy_batch=True,
     ).materialize()
 
-    # (b) dedup canonicals (flagship pipeline over the pages adapter)
-    canon_ids = _canonical_doc_ids(
-        dedup_pipeline(docs_as_pages(sf_dir)).clusters
-    ).materialize()
+    # (b) dedup canonicals (flagship pipeline over the pages adapter, or a
+    # caller-provided CLUSTERS dataset to reuse an already-built one)
+    if clusters is None:
+        clusters = dedup_pipeline(docs_as_pages(sf_dir)).clusters
+    canon_ids = _canonical_doc_ids(clusters).materialize()
 
     # (c) contaminated + eval doc_ids, excluded. decontaminate() flags
     # training docs overlapping the eval slice; the eval slice itself is
