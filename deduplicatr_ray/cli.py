@@ -171,6 +171,38 @@ def cmd_dirs(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_export(args: argparse.Namespace) -> int:
+    """End-to-end training export (pipelines/training.py): quality filter
+    -> dedup canonical -> 13-gram decontamination -> sequence packing,
+    written as chunk_shard-partitioned Parquet (per-shard resumable)."""
+    import ray
+
+    from .pipelines.training import training_export
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        layout = training_export(
+            args.input,
+            chunk_tokens=args.chunk_tokens,
+            shard_chunks=args.shard_chunks,
+            out_dir=args.output,
+        )
+        from ray.data.aggregate import Count, Max, Sum
+
+        agg = layout.aggregate(
+            Count(alias_name="docs_kept"),
+            Sum("n_tokens", alias_name="total_tokens"),
+            Max("last_chunk", alias_name="max_chunk"),
+        )
+        agg["wall_sec"] = round(time.monotonic() - t0, 3)
+        agg["out_dir"] = args.output
+        print(json.dumps(agg, default=int))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -225,6 +257,19 @@ def main(argv: list[str] | None = None) -> int:
     pd.add_argument("--bytes-col", default="n_bytes")
     pd.add_argument("--top", type=int, default=20)
     pd.set_defaults(fn=cmd_dirs)
+
+    pe = sub.add_parser(
+        "export",
+        help="end-to-end training export: filter -> dedup -> decontaminate "
+        "-> pack -> sharded parquet",
+    )
+    pe.add_argument(
+        "--input", required=True, help="sf dir containing documents.parquet"
+    )
+    pe.add_argument("--output", required=True, help="export parquet out dir")
+    pe.add_argument("--chunk-tokens", type=int, default=512)
+    pe.add_argument("--shard-chunks", type=int, default=64)
+    pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)
