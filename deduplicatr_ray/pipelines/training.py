@@ -114,7 +114,24 @@ def training_export(
 
     cont_ref = ray.put(cont_ids)
 
-    kept_ids = hash_semi_join(qf_ids, canon_ids, on="doc_id", right_on="canon_id")
+    # join partition count scales with the id-set size: Ray's hash join
+    # spawns one shuffle aggregator ACTOR per partition (seconds of fixed
+    # spawn cost), so small corpora get few partitions and the fixed cost
+    # amortizes only where the data justifies it (~1M keys/partition)
+    from ..stages.lsh import default_num_partitions
+
+    n_keys = qf_ids.count()
+    P_join = int(
+        np.clip(n_keys // 1_000_000 + 8, 8, default_num_partitions())
+    )
+
+    kept_ids = hash_semi_join(
+        qf_ids,
+        canon_ids,
+        on="doc_id",
+        right_on="canon_id",
+        num_partitions=P_join,
+    )
 
     def drop_contaminated(b: pa.Table) -> pa.Table:
         cids = ray.get(cont_ref)
@@ -144,6 +161,7 @@ def training_export(
         ),
         on="doc_id",
         right_on="keep_id",
+        num_partitions=P_join,
     )
 
     layout = token_chunk_stage(kept_docs, chunk_tokens=chunk_tokens)
