@@ -28,20 +28,25 @@ def suffix_array(s: np.ndarray) -> tuple[np.ndarray, list[np.ndarray]]:
     n = len(s)
     if n == 0:
         return np.empty(0, np.int64), []
+    # int32 ranks: values < n < 2^31 at any sane partition size, and the
+    # O(n log n) snapshot list is the kernel's memory footprint — int32
+    # halves it (matters on dup-heavy partitions with millions of suffixes)
     order = np.argsort(s, kind="stable")
-    r = np.empty(n, np.int64)
+    r = np.empty(n, np.int32)
     sv = s[order]
-    r[order] = np.concatenate([[0], np.cumsum(sv[1:] != sv[:-1])])
+    r[order] = np.concatenate(
+        [[0], np.cumsum(sv[1:] != sv[:-1], dtype=np.int32)]
+    )
     snapshots = [r.copy()]
     k = 1
     while k < n and r[order[-1]] != n - 1:
-        key2 = np.full(n, -1, np.int64)
+        key2 = np.full(n, -1, np.int32)
         key2[: n - k] = r[k:]
         order = np.lexsort((key2, r))
         k1, k2 = r[order], key2[order]
         neq = (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])
-        r = np.empty(n, np.int64)
-        r[order] = np.concatenate([[0], np.cumsum(neq)])
+        r = np.empty(n, np.int32)
+        r[order] = np.concatenate([[0], np.cumsum(neq, dtype=np.int32)])
         snapshots.append(r.copy())
         k <<= 1
     sa = np.argsort(r, kind="stable")

@@ -21,6 +21,17 @@ Plan shape (all engine-standard patterns):
 
 Spans are utf-8 byte offsets (exact for this ASCII corpus; byte-level
 matches may split codepoints otherwise — documented in the kernel).
+
+Scale cost, stated honestly: routing ships each doc's text to <= its
+distinct-fingerprint partition count (~text_len/26 winnowed samples), so
+SA work is ~duplication-factor x corpus bytes, and on HEAVILY duplicated
+corpora the per-suffix marks approach the routed byte count before the
+per-partition interval merge collapses them. That is the same text
+amplification Lee et al. pay via suffix-range sharding; size
+``num_partitions`` so one partition's routed bytes (x ~13 B/suffix of
+kernel state) fits a worker. The doc-level dedup family is the
+sub-linear path; this stage exists for span-level cleanup of the
+survivors.
 """
 
 from __future__ import annotations
