@@ -195,6 +195,10 @@ def scrub_spans(
 
     P = int(num_partitions or default_num_partitions())
 
+    # materialized: spans are tiny after the per-partition interval merge
+    # (a handful of rows per duplicated doc), and the barrier keeps the
+    # SA-heavy mark phase from sharing the streaming executor's CPU budget
+    # with the cut phase's second all-to-all
     spans = duplicate_spans(
         docs,
         w=w,
@@ -202,7 +206,7 @@ def scrub_spans(
         min_len=min_len,
         num_partitions=num_partitions,
         merged=False,  # the cut co-partition below does the interval union
-    )
+    ).materialize()
 
     # union-tag co-partition: span rows carry (start, end); doc rows carry
     # text with start = -1 as the discriminator
