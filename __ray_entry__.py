@@ -1030,6 +1030,17 @@ def q_token_chunks(sf_dir: str):
     return token_chunk_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Scale-path decontamination: bloom bitmap broadcast + exact string
+    join confirmation — row-identical to ``decontaminate`` (shared SQL
+    oracle)."""
+    from deduplicatr_ray.stages.textstats import decontaminate_bloom
+
+    return decontaminate_bloom(
+        _docs(sf_dir, ["doc_id", "source", "text"])
+    ).sort("doc_id")
+
+
 def q_quality_filter(sf_dir: str):
     """Composed C4/Gopher-style keep/drop chain: first-failing-rule
     reason per doc (too_short | repetitive | top_heavy | ok)."""
@@ -1181,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_export": q_training_export,
         "scrub_spans": q_scrub_spans,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "cluster_summary": q_cluster_summary,
         "ann_lsh_dups": q_ann_lsh_dups,
         "ann_ivf_knn": q_ann_ivf_knn,
@@ -1692,6 +1704,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, (reason = 'ok') AS keep, reason
             FROM labeled ORDER BY doc_id
+        """,
+        # q_decontaminate_bloom: same contract as decontaminate (the bloom
+        # prefilter is results-invariant), so the oracle is shared verbatim
+        "decontaminate_bloom": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ),
+            ev AS (SELECT max(source) AS s FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, source, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks,
+                   UNNEST(generate_series(1, greatest(len(t) - 12, 0))) AS gg(i)
+            ),
+            evg AS (SELECT DISTINCT g FROM sh, ev WHERE sh.source = ev.s)
+            SELECT sh.doc_id, count(*) AS n_hits
+            FROM sh JOIN evg USING (g), ev
+            WHERE sh.source <> ev.s
+            GROUP BY 1 ORDER BY doc_id
         """,
         # q_decontaminate: 13-gram overlap vs the max-source eval slice,
         # exact string grams on both sides

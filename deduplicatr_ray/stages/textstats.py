@@ -1074,3 +1074,215 @@ def quality_filter_stage(
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_bloom(
+    docs,
+    *,
+    eval_source: str | None = None,
+    n_gram: int = 13,
+    n_bits: int = 1 << 23,
+    k_hashes: int = 3,
+    num_partitions: int | None = None,
+):
+    """Bloom-prefiltered decontamination — EXACT results, broadcast
+    reduced to a fixed-size bitmap.
+
+    ``decontaminate`` broadcasts the eval slice's distinct gram STRINGS;
+    at a large eval-suite scale that broadcast grows with the suite. This
+    variant builds a Bloom filter of the eval grams' 64-bit hashes
+    distributedly (one ``n_bits/8``-byte bitmap per block, OR-folded) and
+    broadcasts only the bitmap; training grams that MISS are definitely
+    clean, and the surviving sliver (true hits + ~(1-e^(-kn/m))^k false
+    positives) is confirmed with an exact distributed string join against
+    the eval gram table (``hash_semi_join``), so the output row-matches
+    ``decontaminate`` exactly (same SQL oracle).
+
+    Output: ``(doc_id, n_hits)`` — distinct contaminated grams per
+    training doc, docs with >= 1 hit.
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..functions.hashing import hash_columns_u64
+    from .relational import _bloom_positions
+
+    if eval_source is None:
+        vals: set[str] = set()
+        for b in docs.select_columns(["source"]).iter_batches(
+            batch_size=1 << 18, batch_format="pyarrow"
+        ):
+            vals.update(pc.unique(b["source"].combine_chunks()).to_pylist())
+        eval_source = max(vals)
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["source"], eval_source))
+        _, grams = _ngram_strings(batch, n_gram)
+        return pa.table({"eg": pc.unique(grams)})
+
+    # materialized once: consumed by BOTH the bloom build and the exact
+    # confirmation join (it is only the eval slice's distinct grams)
+    ev = docs.map_batches(
+        eval_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def block_bloom(b: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bits >> 3, np.uint8)
+        if len(b):
+            h = hash_columns_u64(b, ["eg"])
+            for i in range(k_hashes):
+                pos = _bloom_positions(h, i, n_bits)
+                np.bitwise_or.at(
+                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bitmap = np.zeros(n_bits >> 3, np.uint8)
+    for b in ev.map_batches(
+        block_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1, batch_format="pyarrow"):
+        for buf in b["bloom"].to_pylist():
+            bitmap |= np.frombuffer(buf, np.uint8)
+    bloom_ref = ray.put(bitmap)
+
+    class BloomProbe:
+        """training batch -> (doc_id, g) rows surviving the bloom probe.
+        Bitmap deserialized once per actor (zero-copy plasma view)."""
+
+        def __init__(self, ref) -> None:
+            self.bm = ray.get(ref)
+
+        def __call__(self, batch: pa.Table):
+            # GENERATOR: yields only nonempty tables. A 0-row output block
+            # (even schema-bearing) breaks Ray's hash-join aggregator
+            # ("No match ... FieldRef" in finalize), so misses emit nothing.
+            batch = batch.filter(pc.not_equal(batch["source"], eval_source))
+            d, grams = _ngram_strings(batch, n_gram)
+            if len(d) == 0:
+                return
+            gt = pa.table({"g": grams})
+            h = hash_columns_u64(gt, ["g"])
+            hit = np.ones(len(d), bool)
+            for i in range(k_hashes):
+                pos = _bloom_positions(h, i, n_bits)
+                bit = (
+                    self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)
+                ) & np.uint8(1)
+                hit &= bit.astype(bool)
+            if not hit.any():
+                return
+            d = d[hit]
+            grams = grams.filter(pa.array(hit))
+            # distinct (doc, gram) within the batch (a doc lives in exactly
+            # one batch, so this is globally distinct): lexsort + run scan
+            t = pa.table({"d": pa.array(d, pa.int64()), "g": grams})
+            order = pc.sort_indices(
+                t, sort_keys=[("d", "ascending"), ("g", "ascending")]
+            )
+            oi = order.to_numpy(zero_copy_only=False)
+            ds_ = d[oi]
+            gs = grams.take(order)
+            m = len(ds_)
+            if m > 1:
+                same = (
+                    pc.equal(gs.slice(1), gs.slice(0, m - 1)).to_numpy(
+                        zero_copy_only=False
+                    )
+                    & (ds_[1:] == ds_[:-1])
+                )
+                starts = np.concatenate([[0], np.flatnonzero(~same) + 1])
+            else:
+                starts = np.array([0], np.int64)
+            take = pa.array(starts, pa.int64())
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            yield pa.table(
+                {
+                    "doc_id": pa.array(ids[ds_[starts]], pa.int64()),
+                    "g": gs.take(take),
+                }
+            )
+
+    # materialized: the bloom-hit sliver is tiny (true hits + FP rate of
+    # the corpus grams), and the barrier keeps the probe's actor pool from
+    # contending with the join's shuffle aggregators in one plan
+    cand = docs.map_batches(
+        BloomProbe,
+        fn_constructor_args=(bloom_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    ).materialize()
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    # exact confirmation via the engine's union-tag partition join (cf.
+    # stages/verify.py) rather than Dataset.join: candidate and eval grams
+    # are co-partitioned by hash(gram) and membership is one Arrow is_in
+    # per partition — robust to empty blocks, no join-actor spawn cost
+    from .lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+
+    def tag_cand(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["g"])
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+                "doc_id": b["doc_id"],
+                "g": b["g"],
+            }
+        )
+
+    def tag_ev(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["eg"])
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (h % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+                "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "g": b["eg"],
+            }
+        )
+
+    def confirm(grp: pa.Table) -> pa.Table:
+        is_ev = pc.equal(grp["doc_id"], -1)
+        evg = grp.filter(is_ev)["g"].combine_chunks()
+        cnd = grp.filter(pc.invert(is_ev))
+        if len(cnd) == 0 or len(evg) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.string()),
+                }
+            )
+        keep = pc.is_in(cnd["g"].combine_chunks(), value_set=evg)
+        out = cnd.filter(keep)
+        return pa.table({"doc_id": out["doc_id"], "g": out["g"]})
+
+    verified = (
+        cand.map_batches(tag_cand, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            ev.map_batches(tag_ev, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("part")
+        .map_groups(
+            lambda grp: confirm(grp.drop_columns(["part"])),
+            batch_format="pyarrow",
+        )
+    )
+    return verified.groupby("doc_id").aggregate(Count(alias_name="n_hits"))

@@ -411,3 +411,68 @@ def test_token_chunks_all_empty_docs(ray_session):
     assert out["n_tokens"].tolist() == [0, 0, 0]
     assert out["start_offset"].tolist() == [0, 0, 0]
     assert out["first_chunk"].tolist() == out["last_chunk"].tolist() == [0, 0, 0]
+
+
+def test_decontaminate_bloom_equals_exact(ray_session):
+    """The bloom prefilter is results-invariant: same rows as the exact
+    broadcast path, even with a TINY bitmap that forces a high FP rate
+    through the exact confirmation join."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import decontaminate, decontaminate_bloom
+
+    run = " ".join(f"w{i}" for i in range(13))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["train", "train", "train", "zeval"], pa.string()),
+            "text": pa.array(
+                [
+                    f"prefix {run} suffix",
+                    "totally unrelated words here " * 5,
+                    f"{run} and {run}",
+                    f"eval doc contains {run} once",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(docs)
+    exact = (
+        decontaminate(ds, eval_source="zeval")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for n_bits in (1 << 20, 64):  # 64 bits ~ everything collides
+        got = (
+            decontaminate_bloom(ds, eval_source="zeval", n_bits=n_bits)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(exact), n_bits
+
+
+def test_decontaminate_bloom_clean_corpus(ray_session):
+    """No contamination: the empty-result guard returns a typed empty."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import decontaminate_bloom
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["train", "zeval"], pa.string()),
+            "text": pa.array(
+                [" ".join(f"a{i}" for i in range(20)),
+                 " ".join(f"b{i}" for i in range(20))],
+                pa.string(),
+            ),
+        }
+    )
+    ds = decontaminate_bloom(ray.data.from_arrow(docs), eval_source="zeval")
+    assert ds.count() == 0
+    # NB: Dataset.to_pandas() drops columns for empty datasets (Ray
+    # behavior), so assert the schema on the Dataset itself
+    assert sorted(ds.schema().names) == ["doc_id", "n_hits"]
