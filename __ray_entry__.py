@@ -962,6 +962,14 @@ def q_text_quality(sf_dir: str):
     return textstats_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate rate (corpus-health metric): one
+    distinct-(source, text-hash) shuffle."""
+    from deduplicatr_ray.stages.textstats import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(sf_dir, ["doc_id", "source", "text"]))
+
+
 def q_word_repetition(sf_dir: str):
     """Gopher-style per-doc repetition quality stats (dup-token /
     top-token / top-bigram fractions) — the standard web-scale
@@ -1185,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_pairs_exact": q_substring_pairs_exact,
         "fingerprint_counts": q_fingerprint_counts,
         "text_quality": q_text_quality,
+        "dup_rate_by_source": q_dup_rate_by_source,
         "word_repetition": q_word_repetition,
         "quality_filter": q_quality_filter,
         "token_chunks": q_token_chunks,
@@ -1605,6 +1614,16 @@ def oracle_sql() -> dict[str, str]:
             FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             ORDER BY id_a, id_b
+        """,
+        # q_dup_rate_by_source: DISTINCT text == distinct sha1 (collision
+        # odds ~2^-80); float expression tree mirrored
+        "dup_rate_by_source": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT text) AS n_unique,
+                   1.0 - (count(DISTINCT text) / CAST(count(*) AS DOUBLE))
+                     AS dup_rate
+            FROM documents GROUP BY source ORDER BY source
         """,
         # q_word_repetition: same tokenizer as text_quality; float columns
         # use single-division expression trees identical to the numpy ones

@@ -1286,3 +1286,78 @@ def decontaminate_bloom(
         )
     )
     return verified.groupby("doc_id").aggregate(Count(alias_name="n_hits"))
+
+
+def dup_rate_by_source(docs):
+    """Corpus-health metric: per-source exact-duplicate rate — the first
+    number a data curator checks per crawl/provider before dedup.
+
+    One shuffle of distinct (source, text-hash) pairs: each batch dedupes
+    locally (a text repeated within a batch contributes once), the
+    combining ``groupby`` yields exact distinct counts, and doc totals
+    ride the same rows as a partial-count column. ``dup_rate`` uses the
+    identical float expression tree as the SQL oracle.
+
+    Output: ``source, n_docs, n_unique, dup_rate`` (exact-text identity;
+    sha1 stands in for DISTINCT text with ~2^-80 collision odds at any
+    realistic corpus).
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch["source"].to_pylist()
+        texts = batch["text"].to_pylist()
+        seen: dict[tuple[str, bytes], int] = {}
+        for s_, t_ in zip(src, texts):
+            k = (s_, hashlib.sha1((t_ or "").encode()).digest())
+            seen[k] = seen.get(k, 0) + 1
+        ks = list(seen)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "h": pa.array([k[1] for k in ks], pa.binary(20)),
+                "c": pa.array([seen[k] for k in ks], pa.int64()),
+            }
+        )
+
+    per_hash = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "h"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "n": b["n"],
+            }
+        )
+
+    agg = (
+        per_hash.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("one", alias_name="n_unique"), Sum("n", alias_name="n_docs")
+        )
+    )
+
+    def rate(b: pa.Table) -> pa.Table:
+        nd = b["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = b["n_unique"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": b["source"],
+                "n_docs": b["n_docs"],
+                "n_unique": b["n_unique"],
+                "dup_rate": pa.array(1.0 - nu / nd, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(
+        rate, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("source")

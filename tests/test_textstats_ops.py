@@ -476,3 +476,29 @@ def test_decontaminate_bloom_clean_corpus(ray_session):
     # NB: Dataset.to_pandas() drops columns for empty datasets (Ray
     # behavior), so assert the schema on the Dataset itself
     assert sorted(ds.schema().names) == ["doc_id", "n_hits"]
+
+
+def test_dup_rate_by_source_cross_batch_dedup(ray_session):
+    """The same text split across batches must still count as ONE unique
+    (the combining groupby, not per-batch state, does the dedup)."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import dup_rate_by_source
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "source": pa.array(["a"] * 4 + ["b"] * 4, pa.string()),
+            "text": pa.array(
+                ["same", "same", "x", "y", "same", "p", "q", "r"], pa.string()
+            ),
+        }
+    )
+    # 1-row blocks force cross-batch duplicates
+    ds = ray.data.from_arrow(docs).repartition(8)
+    out = (
+        dup_rate_by_source(ds).to_pandas().sort_values("source").reset_index(drop=True)
+    )
+    assert out["n_docs"].tolist() == [4, 4]
+    assert out["n_unique"].tolist() == [3, 4]
+    assert out["dup_rate"].tolist() == [1.0 - 3 / 4.0, 0.0]
