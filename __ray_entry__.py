@@ -1035,7 +1035,7 @@ def q_token_chunks(sf_dir: str):
     prefix scan (``stages/pack.py``)."""
     from deduplicatr_ray.stages.pack import token_chunk_stage
 
-    return token_chunk_stage(_docs(sf_dir, ["doc_id", "text"]))
+    return token_chunk_stage(_docs(sf_dir, ["doc_id", "text"])).sort("doc_id")
 
 
 def q_decontaminate_bloom(sf_dir: str):

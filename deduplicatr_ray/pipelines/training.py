@@ -174,5 +174,8 @@ def training_export(
         with_shard, batch_format="pyarrow", zero_copy_batch=True
     )
     if out_dir is not None:
+        # materialize so the write and any caller-side consumption (e.g.
+        # the CLI's summary aggregate) execute the plan tail ONCE
+        layout = layout.materialize()
         layout.write_parquet(out_dir, partition_cols=["chunk_shard"])
     return layout

@@ -53,17 +53,11 @@ def token_chunk_stage(
     from ray.data.aggregate import Sum
 
     def count_fn(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
-        ).combine_chunks()
-        flat = toks.flatten()
+        from .textstats import _flat_tokens
+
         n = len(batch)
-        doc_idx = np.repeat(
-            np.arange(n, dtype=np.int64),
-            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
-        )
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        n_tokens = np.bincount(doc_idx[keep], minlength=n).astype(np.int64)
+        doc_idx, _flat = _flat_tokens(batch)
+        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table(
             {
@@ -114,8 +108,10 @@ def token_chunk_stage(
             }
         )
 
-    return (
-        counts.groupby("bucket")
-        .map_groups(scan_bucket, batch_format="pyarrow")
-        .sort("doc_id")
+    # deliberately unsorted: offsets are doc_id-defined regardless of row
+    # order, and consumers that need display order sort at the query layer
+    # (engine convention — an embedded global sort would charge every
+    # pipeline composition an extra all-to-all)
+    return counts.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pyarrow"
     )

@@ -437,6 +437,46 @@ def _bloom_positions(h: np.ndarray, i: int, n_bits: int) -> np.ndarray:
         return (splitmix64(h ^ _BLOOM_SEEDS[i]) % np.uint64(n_bits)).astype(np.int64)
 
 
+def build_bloom_bitmap(ds, key: str, *, n_bits: int, k_hashes: int) -> np.ndarray:
+    """Distributed Bloom build over ``ds[key]``: one fixed-size bitmap per
+    block (``n_bits/8`` bytes regardless of row count), OR-folded on the
+    driver. Shared by ``bloom_semi_join`` and the decontamination bloom
+    path — build and probe sides MUST use the same seeds/probe count."""
+    from ..functions.hashing import hash_columns_u64
+
+    def block_bloom(b: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bits >> 3, np.uint8)
+        if len(b):
+            h = hash_columns_u64(b, [key])
+            for i in range(k_hashes):
+                pos = _bloom_positions(h, i, n_bits)
+                np.bitwise_or.at(
+                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+        return pa.table({"bloom": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bitmap = np.zeros(n_bits >> 3, np.uint8)
+    for b in ds.map_batches(
+        block_bloom, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=1, batch_format="pyarrow"):
+        for buf in b["bloom"].to_pylist():
+            bitmap |= np.frombuffer(buf, np.uint8)
+    return bitmap
+
+
+def bloom_probe(
+    bitmap: np.ndarray, h: np.ndarray, *, n_bits: int, k_hashes: int
+) -> np.ndarray:
+    """Membership mask for key hashes ``h`` against a ``build_bloom_bitmap``
+    bitmap (True = possible member, False = definite miss)."""
+    hit = np.ones(len(h), bool)
+    for i in range(k_hashes):
+        pos = _bloom_positions(h, i, n_bits)
+        bit = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
+        hit &= bit.astype(bool)
+    return hit
+
+
 def bloom_semi_join(
     left,
     right,
@@ -471,33 +511,13 @@ def bloom_semi_join(
     from ..functions.hashing import hash_columns_u64
 
     rkey = right_on or on
-
-    def block_bloom(b: pa.Table) -> pa.Table:
-        bm = np.zeros(n_bits >> 3, np.uint8)
-        if len(b):
-            h = hash_columns_u64(b, [rkey])
-            for i in range(k_hashes):
-                pos = _bloom_positions(h, i, n_bits)
-                np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-        return pa.table({"bloom": pa.array([bm.tobytes()], pa.large_binary())})
-
-    bitmap = np.zeros(n_bits >> 3, np.uint8)
-    for b in right.map_batches(
-        block_bloom, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=1, batch_format="pyarrow"):
-        for buf in b["bloom"].to_pylist():
-            bitmap |= np.frombuffer(buf, np.uint8)
-    ref = ray.put(bitmap)
+    ref = ray.put(build_bloom_bitmap(right, rkey, n_bits=n_bits, k_hashes=k_hashes))
 
     def bloom_mask(b: pa.Table) -> np.ndarray:
         bm = ray.get(ref)
-        h = hash_columns_u64(b, [on])
-        hit = np.ones(len(b), bool)
-        for i in range(k_hashes):
-            pos = _bloom_positions(h, i, n_bits)
-            bit = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & np.uint8(1)
-            hit &= bit.astype(bool)
-        return hit
+        return bloom_probe(
+            bm, hash_columns_u64(b, [on]), n_bits=n_bits, k_hashes=k_hashes
+        )
 
     def keep_hits(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(bloom_mask(b))) if len(b) else b

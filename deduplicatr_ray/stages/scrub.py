@@ -103,37 +103,19 @@ def duplicate_spans(
     ``scrub_spans`` passes ``merged=False`` and folds the union into its
     own doc_id co-partition — one less all-to-all."""
     from ..functions.suffix import sa_duplicate_spans
-    from ..functions.textstats import fingerprint_doc
     from .lsh import default_num_partitions
+    from .textstats import fingerprint_route_batch, group_unique_docs
 
     P = int(num_partitions or default_num_partitions())
 
     def route(batch: pa.Table) -> pa.Table:
-        parts: list[int] = []
-        ids: list[int] = []
-        texts: list[str] = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
-            if not len(f):
-                continue
-            for p in np.unique(f % np.uint64(P)).tolist():
-                parts.append(int(p))
-                ids.append(d)
-                texts.append(t)
-        return pa.table(
-            {
-                "part": pa.array(parts, pa.int32()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array(texts, pa.string()),
-            }
+        return fingerprint_route_batch(
+            batch, w=w, guarantee_len=guarantee_len, num_partitions=P
         )
 
     def mark(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        _, first = np.unique(ids, return_index=True)
-        first = np.sort(first)
-        texts = [g["text"][int(i)].as_py() for i in first]
-        d, s, e = sa_duplicate_spans(texts, ids[first], min_len=min_len)
+        uids, texts = group_unique_docs(g)
+        d, s, e = sa_duplicate_spans(texts, uids, min_len=min_len)
         # per-partition interval union BEFORE the shuffle: the per-suffix
         # marks of one duplicate region (one per position) collapse to a
         # handful of intervals per doc, ~100x less exchange volume
@@ -279,10 +261,30 @@ def scrub_spans(
         for r, ivs in by_doc.items():
             bs = texts[r].encode("utf-8", "surrogatepass")
             ivs.sort()
+
+            # a byte-level SA match can start/end mid-codepoint; cutting
+            # there would leave invalid UTF-8 (UnicodeDecodeError on
+            # rebuild). Both edges SHRINK the removal (<= 3 bytes each),
+            # so any partially-covered codepoint is kept whole: the start
+            # advances past continuation bytes, the end retreats to the
+            # split codepoint's lead byte.
+            def _snap_fwd(p: int) -> int:
+                while p < len(bs) and (bs[p] & 0xC0) == 0x80:
+                    p += 1
+                return p
+
+            def _snap_back(p: int) -> int:
+                while 0 < p < len(bs) and (bs[p] & 0xC0) == 0x80:
+                    p -= 1
+                return p
+
             # interval union (spans arrive unmerged; see duplicate_spans)
             merged_ivs: list[list[int]] = []
             for s0, e0 in ivs:
-                e0 = min(e0, len(bs))
+                s0 = _snap_fwd(s0)
+                e0 = _snap_back(min(e0, len(bs)))
+                if e0 <= s0:
+                    continue
                 if merged_ivs and s0 <= merged_ivs[-1][1]:
                     merged_ivs[-1][1] = max(merged_ivs[-1][1], e0)
                 else:

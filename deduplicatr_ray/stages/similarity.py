@@ -519,6 +519,14 @@ def semdedup_pairs(
     import ray
 
     sample_tbl = embeddings.limit(train_sample).to_pandas()
+    if len(sample_tbl) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        )
     sample = _normalize(
         np.stack(
             [np.asarray(v, dtype=np.float64) for v in sample_tbl["embedding"]]

@@ -682,6 +682,58 @@ def suffix_candidate_pairs(docs, *, w: int = 25, guarantee_len: int = 50, group_
     )
 
 
+def fingerprint_route_batch(
+    batch: pa.Table, *, w: int, guarantee_len: int, num_partitions: int
+) -> pa.Table:
+    """Shared winnowing-fingerprint router (suffix-array family): each
+    doc's text is shipped to every DISTINCT partition one of its sampled
+    fingerprints hashes to, guaranteeing co-location of any pair sharing
+    >= ``guarantee_len`` bytes. One routing contract, two consumers
+    (``suffix_array_pairs`` here, ``stages/scrub.py duplicate_spans``)."""
+    parts: list[int] = []
+    ids: list[int] = []
+    texts: list[str] = []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
+        if not len(f):
+            continue
+        for p in np.unique(f % np.uint64(num_partitions)).tolist():
+            parts.append(int(p))
+            ids.append(d)
+            texts.append(t)
+    return pa.table(
+        {
+            "part": pa.array(parts, pa.int32()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def group_unique_docs(g: pa.Table) -> tuple[np.ndarray, list[str]]:
+    """Routed partition group -> (unique doc_ids, their texts): a doc can
+    reach a partition via several fingerprints; the SA kernels want each
+    text once."""
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    _, first = np.unique(ids, return_index=True)
+    first = np.sort(first)
+    return ids[first], [g["text"][int(i)].as_py() for i in first]
+
+
+def default_eval_source(docs) -> str:
+    """Held-out eval slice selection shared by the decontamination ops and
+    the training export: the max ``source`` value (deterministic; swap the
+    rule HERE if eval membership becomes an explicit list)."""
+    import pyarrow.compute as pc
+
+    vals: set[str] = set()
+    for b in docs.select_columns(["source"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        vals.update(pc.unique(b["source"].combine_chunks()).to_pylist())
+    return max(vals)
+
+
 def suffix_array_pairs(
     docs,
     *,
@@ -721,32 +773,14 @@ def suffix_array_pairs(
     P = int(num_partitions or default_num_partitions())
 
     def route(batch: pa.Table) -> pa.Table:
-        parts: list[int] = []
-        ids: list[int] = []
-        texts: list[str] = []
-        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
-            if not len(f):
-                continue
-            for p in _np.unique(f % _np.uint64(P)).tolist():
-                parts.append(int(p))
-                ids.append(d)
-                texts.append(t)
-        return pa.table(
-            {
-                "part": pa.array(parts, pa.int32()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array(texts, pa.string()),
-            }
+        return fingerprint_route_batch(
+            batch, w=w, guarantee_len=guarantee_len, num_partitions=P
         )
 
     def sa_block(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        _, first = np.unique(ids, return_index=True)
-        first = np.sort(first)
-        texts = [g["text"][int(i)].as_py() for i in first]
+        uids, texts = group_unique_docs(g)
         a, b, l = sa_doc_pairs(
-            texts, ids[first], min_len=min_len, group_cap=group_cap
+            texts, uids, min_len=min_len, group_cap=group_cap
         )
         return pa.table(
             {
@@ -799,9 +833,11 @@ def word_repetition_stage(docs):
     )
 
 
-def _repetition_table(batch: pa.Table) -> pa.Table:
-    """Batch kernel shared by ``word_repetition_stage`` and
-    ``quality_filter_stage`` — see the former's docstring for semantics."""
+def _flat_tokens(batch: pa.Table) -> tuple[np.ndarray, pa.Array]:
+    """Shared tokenize prologue: (doc_idx, flat token array) under the
+    corpus-standard ``[a-z0-9]+`` lexer. The SQL oracles mirror this
+    tokenizer, so every consumer (repetition kernel, n-gram builder, the
+    sequence packer) MUST go through this one function."""
     import pyarrow.compute as pc
 
     n = len(batch)
@@ -814,8 +850,16 @@ def _repetition_table(batch: pa.Table) -> pa.Table:
         np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
     )
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    doc_idx = doc_idx[keep]
+    return doc_idx[keep], flat.filter(pa.array(keep))
+
+
+def _repetition_table(batch: pa.Table) -> pa.Table:
+    """Batch kernel shared by ``word_repetition_stage`` and
+    ``quality_filter_stage`` — see the former's docstring for semantics."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    doc_idx, flat = _flat_tokens(batch)
 
     n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
 
@@ -886,18 +930,7 @@ def _ngram_strings(batch: pa.Table, n_gram: int) -> tuple[np.ndarray, pa.Array]:
     one Arrow regex split + one element-wise n-way join of shifted slices."""
     import pyarrow.compute as pc
 
-    n = len(batch)
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
-    ).combine_chunks()
-    flat = toks.flatten()
-    doc_idx = np.repeat(
-        np.arange(n, dtype=np.int64),
-        np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
-    )
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    doc_idx = doc_idx[keep]
+    doc_idx, flat = _flat_tokens(batch)
     m = len(flat)
     if m < n_gram:
         return np.empty(0, np.int64), pa.array([], pa.string())
@@ -930,12 +963,7 @@ def decontaminate(docs, *, eval_source: str | None = None, n_gram: int = 13):
     import ray
 
     if eval_source is None:
-        vals: set[str] = set()
-        for b in docs.select_columns(["source"]).iter_batches(
-            batch_size=1 << 18, batch_format="pyarrow"
-        ):
-            vals.update(pc.unique(b["source"].combine_chunks()).to_pylist())
-        eval_source = max(vals)
+        eval_source = default_eval_source(docs)
 
     # --- small side: distinct eval grams, collected + broadcast ---
     def eval_grams(batch: pa.Table) -> pa.Table:
@@ -1106,15 +1134,9 @@ def decontaminate_bloom(
     from ray.data.aggregate import Count
 
     from ..functions.hashing import hash_columns_u64
-    from .relational import _bloom_positions
 
     if eval_source is None:
-        vals: set[str] = set()
-        for b in docs.select_columns(["source"]).iter_batches(
-            batch_size=1 << 18, batch_format="pyarrow"
-        ):
-            vals.update(pc.unique(b["source"].combine_chunks()).to_pylist())
-        eval_source = max(vals)
+        eval_source = default_eval_source(docs)
 
     def eval_grams(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["source"], eval_source))
@@ -1127,24 +1149,11 @@ def decontaminate_bloom(
         eval_grams, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    def block_bloom(b: pa.Table) -> pa.Table:
-        bm = np.zeros(n_bits >> 3, np.uint8)
-        if len(b):
-            h = hash_columns_u64(b, ["eg"])
-            for i in range(k_hashes):
-                pos = _bloom_positions(h, i, n_bits)
-                np.bitwise_or.at(
-                    bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
-                )
-        return pa.table({"bloom": pa.array([bm.tobytes()], pa.large_binary())})
+    from .relational import bloom_probe, build_bloom_bitmap
 
-    bitmap = np.zeros(n_bits >> 3, np.uint8)
-    for b in ev.map_batches(
-        block_bloom, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=1, batch_format="pyarrow"):
-        for buf in b["bloom"].to_pylist():
-            bitmap |= np.frombuffer(buf, np.uint8)
-    bloom_ref = ray.put(bitmap)
+    bloom_ref = ray.put(
+        build_bloom_bitmap(ev, "eg", n_bits=n_bits, k_hashes=k_hashes)
+    )
 
     class BloomProbe:
         """training batch -> (doc_id, g) rows surviving the bloom probe.
@@ -1163,13 +1172,7 @@ def decontaminate_bloom(
                 return
             gt = pa.table({"g": grams})
             h = hash_columns_u64(gt, ["g"])
-            hit = np.ones(len(d), bool)
-            for i in range(k_hashes):
-                pos = _bloom_positions(h, i, n_bits)
-                bit = (
-                    self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)
-                ) & np.uint8(1)
-                hit &= bit.astype(bool)
+            hit = bloom_probe(self.bm, h, n_bits=n_bits, k_hashes=k_hashes)
             if not hit.any():
                 return
             d = d[hit]

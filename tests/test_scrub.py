@@ -109,3 +109,23 @@ def test_scrub_all_identical_corpus(ray_session):
     rest = out.iloc[1:]
     assert (rest["n_bytes_removed"] >= len(body) - 50).all()
     assert (rest["n_spans"] >= 1).all()
+
+
+def test_scrub_span_edge_mid_codepoint(ray_session):
+    """A byte-level match ending mid-codepoint must snap to a boundary
+    and still produce valid text (previously UnicodeDecodeError)."""
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["k" * 50 + "é" + "111", "qq" + "k" * 50 + "è" + "222"],
+                pa.string(),
+            ),
+        }
+    )
+    out = _run(docs)
+    # doc 1 untouched; doc 2 loses the k-run, keeps its è intact
+    assert out.loc[0, "text"] == "k" * 50 + "é" + "111"
+    assert out.loc[1, "n_bytes_removed"] >= 50
+    assert "è" in out.loc[1, "text"]
+    assert "k" * 50 not in out.loc[1, "text"]

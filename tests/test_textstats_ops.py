@@ -378,6 +378,7 @@ def test_token_chunk_layout_and_bucket_invariance(ray_session):
     out = (
         token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8)
         .to_pandas()
+        .sort_values("doc_id")  # the stage is deliberately unsorted
         .reset_index(drop=True)
     )
     assert out["doc_id"].tolist() == [1, 2, 3, 4]
@@ -391,6 +392,7 @@ def test_token_chunk_layout_and_bucket_invariance(ray_session):
     out2 = (
         token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8, id_bucket=1)
         .to_pandas()
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     assert out2.equals(out)
@@ -406,6 +408,7 @@ def test_token_chunks_all_empty_docs(ray_session):
             ray.data.from_arrow(_docs_ids(["", "!!!", ""]))
         )
         .to_pandas()
+        .sort_values("doc_id")
         .reset_index(drop=True)
     )
     assert out["n_tokens"].tolist() == [0, 0, 0]
