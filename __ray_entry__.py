@@ -1049,6 +1049,17 @@ def q_decontaminate_bloom(sf_dir: str):
     ).sort("doc_id")
 
 
+def q_token_chunks_shuffled(sf_dir: str):
+    """Shuffled sequence packing: training-order randomization via the
+    deterministic multiplicative-hash scramble (seed 17), same two-level
+    prefix scan."""
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    return token_chunk_stage(
+        _docs(sf_dir, ["doc_id", "text"]), shuffle_seed=17
+    ).sort("doc_id")
+
+
 def q_quality_filter(sf_dir: str):
     """Composed C4/Gopher-style keep/drop chain: first-failing-rule
     reason per doc (too_short | repetitive | top_heavy | ok)."""
@@ -1197,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition": q_word_repetition,
         "quality_filter": q_quality_filter,
         "token_chunks": q_token_chunks,
+        "token_chunks_shuffled": q_token_chunks_shuffled,
         "semdedup_pairs": q_semdedup_pairs,
         "training_export": q_training_export,
         "scrub_spans": q_scrub_spans,
@@ -1679,6 +1691,35 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                      ), 0) AS BIGINT) AS start_offset
               FROM toks
+            )
+            SELECT doc_id, n_tokens, start_offset,
+                   start_offset // 512 AS first_chunk,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 512
+                        ELSE start_offset // 512 END AS last_chunk
+            FROM c ORDER BY doc_id
+        """,
+        # q_token_chunks_shuffled: stream order = (doc_id*KNUTH+17) mod 2^32
+        # (exact BIGINT arithmetic on both sides), ties by doc_id
+        "token_chunks_shuffled": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            k AS (
+              SELECT doc_id, n_tokens,
+                     (doc_id * 2654435761 + 17) % 4294967296 AS skey
+              FROM toks
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY skey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM k
             )
             SELECT doc_id, n_tokens, start_offset,
                    start_offset // 512 AS first_chunk,

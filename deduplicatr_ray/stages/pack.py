@@ -31,19 +31,38 @@ import numpy as np
 import pyarrow as pa
 
 
+# Knuth multiplicative constant for the deterministic pseudo-shuffle key:
+# skey = (doc_id * KNUTH + seed) mod 2^32. Products stay < 2^62 for
+# doc_id < 2^30, so BIGINT arithmetic is exact on BOTH sides (numpy int64
+# here, DuckDB BIGINT in the oracle) — no hash function to mirror. Not
+# crypto-quality randomness: a fixed seedable scramble that breaks the
+# doc_id ordering correlation in training order, which is what shuffled
+# packing needs.
+SHUFFLE_KNUTH = 2654435761
+_SHUFFLE_MOD = 1 << 32
+
+
 def token_chunk_stage(
     docs,
     *,
     chunk_tokens: int = 512,
     id_bucket: int = 1 << 12,
+    shuffle_seed: int | None = None,
 ):
     """docs (doc_id, text) -> one row per doc:
 
     ``doc_id, n_tokens, start_offset, first_chunk, last_chunk`` where
-    ``start_offset`` is the doc's position in the doc_id-ordered
-    concatenated token stream and ``first_chunk``/``last_chunk`` are the
-    ``chunk_tokens``-sized training chunks the doc touches (empty docs
-    occupy zero tokens: ``last_chunk == first_chunk``).
+    ``start_offset`` is the doc's position in the concatenated token
+    stream and ``first_chunk``/``last_chunk`` are the ``chunk_tokens``-
+    sized training chunks the doc touches (empty docs occupy zero tokens:
+    ``last_chunk == first_chunk``).
+
+    Stream order is ``doc_id`` ascending by default; with
+    ``shuffle_seed`` set, order is the deterministic pseudo-shuffle key
+    ``(doc_id * SHUFFLE_KNUTH + seed) mod 2^32`` (ties broken by doc_id)
+    — training-order randomization without a ``random_shuffle``
+    materialization, seedable and exactly reproducible in SQL
+    (``oracle_sql()['token_chunks_shuffled']``).
 
     Tokenizer is the corpus-standard ``[a-z0-9]+`` lexer (Arrow regex
     kernel), matching ``oracle_sql()['token_chunks']``.
@@ -59,11 +78,20 @@ def token_chunk_stage(
         doc_idx, _flat = _flat_tokens(batch)
         n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if shuffle_seed is None:
+            skey = ids
+            bucket = ids // id_bucket
+        else:
+            skey = (ids * SHUFFLE_KNUTH + shuffle_seed) % _SHUFFLE_MOD
+            # equal-width key ranges give ~uniform buckets (skey is
+            # near-uniform on [0, 2^32))
+            bucket = skey // (_SHUFFLE_MOD // (1 << 12))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_tokens": pa.array(n_tokens, pa.int64()),
-                "bucket": pa.array(ids // id_bucket, pa.int64()),
+                "skey": pa.array(skey, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
             }
         )
 
@@ -87,7 +115,9 @@ def token_chunk_stage(
         import pyarrow.compute as pc
 
         bks, bas = ray.get(base_ref)
-        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        order = pc.sort_indices(
+            g, sort_keys=[("skey", "ascending"), ("doc_id", "ascending")]
+        )
         g = g.take(order)
         nt = g["n_tokens"].to_numpy(zero_copy_only=False)
         b = int(g["bucket"][0].as_py())

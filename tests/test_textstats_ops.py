@@ -505,3 +505,36 @@ def test_dup_rate_by_source_cross_batch_dedup(ray_session):
     assert out["n_docs"].tolist() == [4, 4]
     assert out["n_unique"].tolist() == [3, 4]
     assert out["dup_rate"].tolist() == [1.0 - 3 / 4.0, 0.0]
+
+
+def test_token_chunks_shuffled_is_permutation(ray_session):
+    """Shuffled packing: same total token volume and per-doc counts, a
+    different (seed-determined) stream order, still densely packed."""
+    import ray
+
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    docs = _docs_ids([f"w{i} " * (i + 1) for i in range(20)])
+    plain = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    shuf = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8, shuffle_seed=17)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert shuf["n_tokens"].tolist() == plain["n_tokens"].tolist()
+    assert shuf["start_offset"].tolist() != plain["start_offset"].tolist()
+    # dense packing in shuffled order: offsets sorted by stream position
+    # tile the token count exactly
+    s2 = shuf.sort_values("start_offset")
+    assert (
+        s2["start_offset"].values[1:]
+        == (s2["start_offset"] + s2["n_tokens"]).values[:-1]
+    ).all()
+    # deterministic: same seed -> same layout
+    again = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8, shuffle_seed=17)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert again.equals(shuf)
