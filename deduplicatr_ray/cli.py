@@ -195,6 +195,8 @@ def cmd_export(args: argparse.Namespace) -> int:
             Sum("n_tokens", alias_name="total_tokens"),
             Max("last_chunk", alias_name="max_chunk"),
         )
+        # an all-filtered export aggregates an empty layout -> None
+        agg = agg or {"docs_kept": 0, "total_tokens": 0, "max_chunk": None}
         agg["wall_sec"] = round(time.monotonic() - t0, 3)
         agg["out_dir"] = args.output
         print(json.dumps(agg, default=int))

@@ -7,7 +7,10 @@ before LLM training, composed from the engine's own stages —
 Every step is the corresponding production operator (not a re-derivation):
 ``quality_filter_stage`` (row-local C4/Gopher chain), the flagship
 ``dedup_pipeline`` (one all-to-all carrying near+exact evidence),
-``decontaminate`` (broadcast 13-gram probe), ``hash_semi_join`` (streaming
+``decontaminate`` / ``decontaminate_bloom`` (13-gram eval-overlap probe;
+string broadcast for toy eval slices, fixed-size bloom bitmap + exact
+confirm join once the eval slice is real — selected by the ``bloom=``
+knob, default by eval doc count), ``hash_semi_join`` (streaming
 big-big key filters — nothing corpus-sized is ever broadcast or pulled to
 the driver), and ``token_chunk_stage`` (distributed prefix scan).
 
@@ -48,6 +51,8 @@ def training_export(
     shard_chunks: int = 64,
     out_dir: str | None = None,
     clusters=None,
+    bloom: bool | None = None,
+    bloom_eval_docs: int = 10_000,
 ):
     """-> Dataset of kept docs with their training-chunk layout:
 
@@ -67,7 +72,12 @@ def training_export(
     from ..sources.pages import docs_as_pages, read_parquet_auto
     from ..stages.pack import token_chunk_stage
     from ..stages.relational import hash_semi_join
-    from ..stages.textstats import decontaminate, quality_filter_stage
+    from ..stages.textstats import (
+        decontaminate,
+        decontaminate_bloom,
+        default_eval_source,
+        quality_filter_stage,
+    )
     from .flagship import dedup_pipeline
 
     docs = read_parquet_auto(
@@ -94,16 +104,30 @@ def training_export(
     # (c) contaminated + eval doc_ids, excluded. decontaminate() flags
     # training docs overlapping the eval slice; the eval slice itself is
     # held out by definition (its rows are not training data).
-    sources: set[str] = set()
-    for b in docs.select_columns(["source"]).iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
-    ):
-        sources.update(pc.unique(b["source"].combine_chunks()).to_pylist())
-    eval_source = max(sources)
+    eval_source = default_eval_source(docs)
+    # which decontamination variant: the plain op broadcasts the eval
+    # slice's distinct gram STRINGS (fast when the eval slice is toy-sized;
+    # no shuffle, no actor spawn); at a real eval-suite size that broadcast
+    # grows with the suite, so switch to decontaminate_bloom — fixed-size
+    # bitmap broadcast + exact confirm join, results-invariant (same SQL
+    # oracle). Default: decide by eval-slice doc count (cheap source-column
+    # scan; gram volume is ~rows x avg tokens).
+    if bloom is None:
+        def _eval_rows(b: pa.Table) -> pa.Table:
+            n = pc.sum(pc.equal(b["source"], eval_source)).as_py() or 0
+            return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+        n_eval = (
+            docs.select_columns(["source"])
+            .map_batches(_eval_rows, batch_format="pyarrow", zero_copy_batch=True)
+            .sum("n")
+        )
+        bloom = bool(n_eval and n_eval > bloom_eval_docs)
+    decont = decontaminate_bloom if bloom else decontaminate
     # the contaminated set is small by construction (benchmark-overlap
     # docs), so the anti-filter is a broadcast probe, not a shuffle join
     cont_parts: list[np.ndarray] = []
-    for b in decontaminate(docs, eval_source=eval_source).iter_batches(
+    for b in decont(docs, eval_source=eval_source).iter_batches(
         batch_size=1 << 18, batch_format="pyarrow"
     ):
         cont_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))

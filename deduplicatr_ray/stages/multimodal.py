@@ -181,10 +181,19 @@ class MediaFeatureActor:
     def _feature(self, payload: bytes) -> np.ndarray:
         if self.decode == "fake":
             return self._fake_feature(payload)
-        if payload[:4] == b"RIFF":
-            return wav_feature(payload)
-        if payload[:2] in (b"P5", b"P6"):
-            return pnm_feature(payload)
+        if payload[:4] == b"RIFF" or payload[:2] in (b"P5", b"P6"):
+            # dispatch is on magic bytes only — an arbitrary blob starting
+            # with RIFF/P5/P6 can still fail header parsing; with
+            # fallback=True such rows route to the stand-in instead of
+            # crashing the actor batch
+            try:
+                if payload[:4] == b"RIFF":
+                    return wav_feature(payload)
+                return pnm_feature(payload)
+            except Exception:
+                if self.fallback:
+                    return self._fake_feature(payload)
+                raise
         if self.fallback:
             return self._fake_feature(payload)
         raise NotImplementedError(

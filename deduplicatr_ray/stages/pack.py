@@ -82,6 +82,14 @@ def token_chunk_stage(
             skey = ids
             bucket = ids // id_bucket
         else:
+            # the exactness contract above requires doc_id < 2^30 (products
+            # stay < 2^62 in int64); fail loudly instead of silently
+            # overflowing to negative skey/bucket values
+            if len(ids) and int(ids.max()) >= 1 << 30:
+                raise ValueError(
+                    "shuffled packing requires doc_id < 2^30 for exact "
+                    f"int64 skey arithmetic (got max doc_id {int(ids.max())})"
+                )
             skey = (ids * SHUFFLE_KNUTH + shuffle_seed) % _SHUFFLE_MOD
             # equal-width key ranges give ~uniform buckets (skey is
             # near-uniform on [0, 2^32))

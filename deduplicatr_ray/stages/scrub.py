@@ -250,12 +250,35 @@ def scrub_spans(
         pos = np.searchsorted(sids, sp_id)
         row = order[np.minimum(pos, n - 1)]
         ok = ids[row] == sp_id  # spans whose doc is in this block (always)
-        texts = gd["text"].to_pylist()
+        # Arrow/Python split: only the span-bearing rows (the duplicated
+        # sliver) cross into Python for byte assembly; the untouched
+        # majority passes through as zero-copy Arrow and the two halves
+        # are concatenated (consumers sort by doc_id, in-partition order
+        # is not part of the contract)
+        touched = np.unique(row[ok])
+        untouched = np.ones(n, bool)
+        untouched[touched] = False
+        gd_un = gd.filter(pa.array(untouched))
+        un_tbl = pa.table(
+            {
+                "doc_id": gd_un["doc_id"],
+                "n_spans": pa.array(np.zeros(len(gd_un), np.int64), pa.int64()),
+                "n_bytes_removed": pa.array(
+                    np.zeros(len(gd_un), np.int64), pa.int64()
+                ),
+                "text": gd_un["text"],
+            }
+        )
+        t = len(touched)
+        texts = gd["text"].take(pa.array(touched, pa.int64())).to_pylist()
         out_texts = list(texts)
-        # per-row assembly only for docs that actually have spans
+        n_spans = np.zeros(t, np.int64)
+        removed = np.zeros(t, np.int64)
+        # per-row assembly, indexed by position within the touched sliver
+        local = np.searchsorted(touched, row[ok])
         by_doc: dict[int, list[tuple[int, int]]] = {}
         for r, s0, e0 in zip(
-            row[ok].tolist(), sp_st[ok].tolist(), sp_en[ok].tolist()
+            local.tolist(), sp_st[ok].tolist(), sp_en[ok].tolist()
         ):
             by_doc.setdefault(r, []).append((s0, e0))
         for r, ivs in by_doc.items():
@@ -300,14 +323,15 @@ def scrub_spans(
             out_texts[r] = b"".join(kept).decode("utf-8", "surrogatepass")
             n_spans[r] = len(merged_ivs)
             removed[r] = cut_bytes
-        return pa.table(
+        t_tbl = pa.table(
             {
-                "doc_id": gd["doc_id"],
+                "doc_id": gd["doc_id"].take(pa.array(touched, pa.int64())),
                 "n_spans": pa.array(n_spans, pa.int64()),
                 "n_bytes_removed": pa.array(removed, pa.int64()),
                 "text": pa.array(out_texts, pa.string()),
             }
         )
+        return pa.concat_tables([un_tbl, t_tbl])
 
     return (
         docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)

@@ -60,6 +60,31 @@ def test_training_export_invariants(ray_session):
     ).all()
 
 
+def test_training_export_bloom_set_equal(ray_session):
+    """The bloom decontamination path (fixed-size bitmap broadcast + exact
+    confirm join — the scale path for real eval suites) must produce the
+    same export as the string-broadcast path, row for row."""
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+    from deduplicatr_ray.pipelines.training import training_export
+    from deduplicatr_ray.sources.pages import docs_as_pages
+
+    clusters = dedup_pipeline(docs_as_pages(SF)).clusters.materialize()
+    plain = (
+        training_export(SF, clusters=clusters, bloom=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bloomed = (
+        training_export(SF, clusters=clusters, bloom=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(plain.columns) == list(bloomed.columns)
+    assert plain.equals(bloomed)
+
+
 def test_training_export_writes_resumable_shards(ray_session, tmp_path):
     import os
 
