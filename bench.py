@@ -33,6 +33,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # headline pipelines benched in default mode (subset of __ray_entry__.queries())
 BENCH_QUERIES = [
     "dedup_clusters",        # flagship: extract -> signatures -> LSH -> clusters
+    "dedup_clusters_distributed",  # A6 scale tail: never-on-driver components
     "exact_dup_assign",      # A2/D1 exact dedup groupby
     "minhash_near_dups",     # D3 MinHash+LSH verified pairs
     "simhash_near_dups",     # D4

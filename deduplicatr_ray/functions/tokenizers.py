@@ -1,0 +1,87 @@
+"""Tokenizer seam for sequence packing (stages/pack.py).
+
+``token_chunk_stage`` needs one number per doc — its token COUNT under the
+tokenizer the training run will actually use. The default is the
+corpus-standard ``[a-z0-9]+`` Arrow regex lexer (oracle-expressible in SQL,
+so the packing layout stays hash-matched against DuckDB); real training
+uses a learned subword vocab, so the stage accepts a ``tokenizer`` FACTORY:
+a zero-arg callable returning a ``list[str] -> np.ndarray[int64]`` counter.
+The factory runs ONCE per map actor (vocab load / merge-table build happens
+in ``__init__``, not per batch) — drop in a real BPE/SentencePiece load
+behind the same signature on a cluster that has the model file.
+
+``bpe_fixture`` is the deterministic stand-in: a real greedy
+byte-pair-merge tokenizer over a FROZEN merge table (no network, no model
+file) so tests can pin exact counts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+# Frozen BPE merge table (rank = priority). A real vocab is learned from a
+# corpus; this fixture freezes common English letter pairs so the merge
+# loop exercises the same code path a loaded vocab would.
+BPE_FIXTURE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("r", "e"), ("o", "n"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("t", "i"), ("a", "r"), ("te", "d"), ("s", "t"),
+    ("an", "d"), ("in", "g"), ("ti", "on"), ("o", "u"), ("i", "s"),
+    ("a", "l"), ("e", "d"), ("c", "o"), ("s", "e"), ("l", "e"),
+    ("d", "e"), ("r", "o"), ("r", "a"), ("i", "t"), ("l", "i"),
+    ("m", "e"), ("n", "e"), ("0", "0"), ("1", "2"), ("er", "s"),
+    ("u", "n"), ("h", "a"), ("h", "e"), ("l", "o"), ("w", "h"),
+)
+
+
+class BPETokenizer:
+    """Greedy byte-pair-merge tokenizer over a frozen merge table.
+
+    Words (``[a-z0-9]+`` runs, the same pre-tokenization the regex lexer
+    uses) are split to characters and adjacent pairs are merged in rank
+    order until no ranked pair remains — the classic BPE apply step.
+    Per-word results are memoized; the cache lives for the actor's
+    lifetime, so hot vocabulary costs one merge loop per actor."""
+
+    def __init__(self, merges=BPE_FIXTURE_MERGES) -> None:
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self._cache: dict[str, int] = {}
+
+    def _word_tokens(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is not None:
+            return n
+        parts = list(word)
+        ranks = self.ranks
+        while len(parts) > 1:
+            best, best_rank = -1, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best_rank is None:
+                break
+            parts[best : best + 2] = [parts[best] + parts[best + 1]]
+        n = len(parts)
+        self._cache[word] = n
+        return n
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            out[i] = sum(
+                self._word_tokens(w) for w in _WORD_RE.findall(t.lower())
+            )
+        return out
+
+
+def bpe_fixture() -> BPETokenizer:
+    """Factory for the frozen-vocab BPE fixture (pass as
+    ``token_chunk_stage(..., tokenizer=bpe_fixture)``)."""
+    return BPETokenizer()

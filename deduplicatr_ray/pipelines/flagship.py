@@ -278,12 +278,6 @@ def cluster_from_signatures(
     url_ds = (
         url_source if url_source is not None else sigs.select_columns(["url"])
     )
-    bands = band_stage(sigs, cfg, keys_only=True)
-    forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
-    # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID rows);
-    # the forest reduction dedups near edges repeated across the 32 bands.
-    # Materialized once: consumed by driver components AND the roots reduce.
-    edge_src = forest_reduce_stage(forest_pairs).materialize()
     # full verified-pair reporting artifact (ADVICE r1: forest edges are
     # connectivity-equivalent but NOT the documented pairs semantics)
     pairs = distinct_pairs_stage(
@@ -297,29 +291,65 @@ def cluster_from_signatures(
         )
 
     mode = components
-    n_edges = edge_src.count()
-    if mode == "auto":
-        mode = "driver" if n_edges <= DRIVER_EDGE_MAX else "hashes"
+    if mode == "distributed":
+        import numpy as np
 
-    if mode in ("driver", "hashes"):
+        from ..state.unionfind import distributed_components
+        from ..stages.cluster import assign_clusters_shuffle
+        from ..stages.lsh import default_num_partitions
+
+        # the never-on-driver path needs member URLS in its node table, so
+        # it derives its edges from the url-bearing band mode directly —
+        # ONE signature pass + band shuffle (building the keys-only forest
+        # first would re-execute the whole streaming prefix a second time)
+        url_edges = forest_reduce_stage(
+            candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="forest")
+        ).materialize()
+        n_edges = url_edges.count()
+        # partition heuristic shared with training_export: every groupby
+        # partition costs fixed task/shuffle overhead PER PROPAGATION
+        # ROUND, so small edge sets get few partitions and the overhead
+        # amortizes only where the data justifies it (~250k edges/part)
+        P = int(
+            np.clip(n_edges // 250_000 + 4, 4, default_num_partitions())
+        )
+        members = distributed_components(
+            url_edges, full=True, num_partitions=P
+        ).materialize()
+        clusters = assign_clusters_shuffle(url_ds, members, num_partitions=P)
+
+        # one row per cluster has url == cluster_id (the lexicographic-min
+        # member), so counting clusters is a row-local pass over the
+        # materialized members — no extra groupby shuffle
+        def _count_roots(b):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            n = pc.sum(pc.equal(b["url"], b["cluster_id"])).as_py() or 0
+            return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+        n_clusters = int(
+            members.map_batches(
+                _count_roots, batch_format="pyarrow", zero_copy_batch=True
+            ).sum("n")
+            or 0
+        )
+        docs_in_clusters = members.count()
+    elif mode in ("auto", "driver", "hashes"):
+        bands = band_stage(sigs, cfg, keys_only=True)
+        forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
+        # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID
+        # rows); the forest reduction dedups near edges repeated across
+        # the 32 bands. Materialized once: consumed by driver components
+        # AND the roots reduce.
+        edge_src = forest_reduce_stage(forest_pairs).materialize()
+        n_edges = edge_src.count()
+        if mode == "auto":
+            mode = "driver" if n_edges <= DRIVER_EDGE_MAX else "hashes"
         # driver holds uint64 arrays only (16 B/edge); min-url per component
         # is a distributed corpus reduce + ONE fused broadcast assignment (J1)
         keys, root_h = components_hashes(edge_src)
         clusters, n_clusters = assign_clusters_corpus_roots(url_ds, keys, root_h)
-    elif mode == "distributed":
-        from ..state.unionfind import distributed_components
-        from ..stages.cluster import assign_clusters_shuffle
-
-        # the never-on-driver path needs member URLS in its node table, so
-        # it derives edges from the url-bearing band mode (explicit opt-in;
-        # costs the wider shuffle)
-        url_edges = forest_reduce_stage(
-            candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="forest")
-        )
-        members = distributed_components(url_edges, full=True).materialize()
-        clusters = assign_clusters_shuffle(url_ds, members)
-        n_clusters = members.groupby("cluster_id").count().count()
-        docs_in_clusters = members.count()
     else:
         raise ValueError(f"unknown components mode: {components!r}")
     if mode != "distributed":

@@ -48,6 +48,7 @@ def token_chunk_stage(
     chunk_tokens: int = 512,
     id_bucket: int = 1 << 12,
     shuffle_seed: int | None = None,
+    tokenizer=None,
 ):
     """docs (doc_id, text) -> one row per doc:
 
@@ -64,19 +65,19 @@ def token_chunk_stage(
     materialization, seedable and exactly reproducible in SQL
     (``oracle_sql()['token_chunks_shuffled']``).
 
-    Tokenizer is the corpus-standard ``[a-z0-9]+`` lexer (Arrow regex
-    kernel), matching ``oracle_sql()['token_chunks']``.
+    Tokenizer defaults to the corpus-standard ``[a-z0-9]+`` lexer (Arrow
+    regex kernel), matching ``oracle_sql()['token_chunks']``. Pass
+    ``tokenizer`` — a zero-arg FACTORY returning a ``list[str] ->
+    np.ndarray[int64]`` counter (see ``functions/tokenizers.py``) — to
+    count with the training run's real vocab instead: the factory runs
+    once per map ACTOR (vocab load in ``__init__``, counting per batch),
+    so a multi-MB merge table is never re-built per batch.
     """
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Sum
 
-    def count_fn(batch: pa.Table) -> pa.Table:
-        from .textstats import _flat_tokens
-
-        n = len(batch)
-        doc_idx, _flat = _flat_tokens(batch)
-        n_tokens = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    def counts_table(batch: pa.Table, n_tokens: np.ndarray) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         if shuffle_seed is None:
             skey = ids
@@ -103,9 +104,36 @@ def token_chunk_stage(
             }
         )
 
-    counts = docs.map_batches(
-        count_fn, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # consumed twice: bucket totals + in-bucket scan
+    if tokenizer is None:
+
+        def count_fn(batch: pa.Table) -> pa.Table:
+            from .textstats import _flat_tokens
+
+            doc_idx, _flat = _flat_tokens(batch)
+            n_tokens = np.bincount(doc_idx, minlength=len(batch)).astype(
+                np.int64
+            )
+            return counts_table(batch, n_tokens)
+
+        counts = docs.map_batches(
+            count_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # consumed twice: bucket totals + in-bucket scan
+    else:
+
+        class TokenCounter:
+            def __init__(self) -> None:
+                self.tok = tokenizer()  # once per actor
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                texts = [t or "" for t in batch["text"].to_pylist()]
+                return counts_table(batch, np.asarray(self.tok(texts), np.int64))
+
+        counts = docs.map_batches(
+            TokenCounter,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        ).materialize()
 
     # bucket totals -> exclusive prefix on the driver (tiny: one row per
     # id_bucket-wide doc_id range)

@@ -412,22 +412,32 @@ def distributed_components(
 
     All per-round state is uint64 (node hash, label hash; 16 B/row shuffle
     payload — url strings only enter the two final passes). Each round is
-    two partition-grouped vectorized passes:
+    ONE partition-grouped vectorized pass over a single kind-tagged state
+    table (edge / label / offer rows co-partitioned by ``node % P``):
 
-    1. **offer** — edges and labels co-partitioned by ``src % P``; per
-       partition, one ``np.searchsorted`` maps every edge's src to its
-       current label and emits ``(dst, label)`` offers re-keyed by
-       ``dst % P``;
-    2. **min** — offers and old labels co-partitioned by ``node % P``; per
-       partition, ``np.minimum.at`` folds offers into the label array and a
-       per-row ``changed`` flag is emitted.
+    1. **fold** — pending offers are folded into the partition's label
+       array with ``np.minimum.at``;
+    2. **local fixpoint** — intra-partition edges propagate min labels to
+       a LOCAL fixpoint (vectorized loop; a chain that lives inside one
+       partition collapses in this round instead of one hop per round);
+    3. **delta offers** — cross-partition edges whose src label changed
+       this round (every edge in round 1) emit ``(dst, label)`` offers,
+       deduped to the per-dst min before they enter the shuffle.
+
+    The classic two-pass offer/min split costs two all-to-alls per round
+    for the same shuffled bytes (edges re-enter the exchange either way);
+    folding them into one kind-tagged pass halves the per-round fixed
+    shuffle cost, and the measured round count drops further because
+    offers are computed from post-fold labels.
 
     Fixpoint is a distributed ``Sum`` of the change flags (a scalar to the
-    driver — never the label table). Converges in O(component diameter)
-    rounds; the flagship feeds forest-reduced edges (per-band stars joined
-    by shared members), so the diameter is small in practice and bounded by
-    ``max_rounds``. Cluster ids are the lexicographic min url per component,
-    reduced distributedly (groupby-Min) and joined back partition-wise.
+    driver — never the label table); in-flight offers carry ``changed=1``
+    so the loop cannot terminate while offers are pending. Converges in
+    O(cross-partition component diameter) rounds; the flagship feeds
+    forest-reduced edges (per-band stars joined by shared members), so the
+    diameter is small in practice and bounded by ``max_rounds``. Cluster
+    ids are the lexicographic min url per component, reduced distributedly
+    (groupby-Min) and joined back partition-wise.
 
     ``full=True`` additionally carries the member url hash and the
     distributed per-component Count, returning
@@ -450,7 +460,12 @@ def distributed_components(
     P = int(num_partitions or default_num_partitions())
     PU = np.uint64(P)
 
-    # ---- pass 0: symmetric uint64 edge list + per-partition node dedup ----
+    # state row kinds: edge (h=src, v=dst), label (h=node, v=label),
+    # offer (h=dst node, v=offered label)
+    K_EDGE, K_LABEL, K_OFFER = 0, 1, 2
+
+    # ---- pass 0: symmetric uint64 edge list (both directions, keyed by
+    # src % P, so every node sees all its edges in its own partition) ----
     def to_edges(b: pa.Table) -> pa.Table:
         if "ha" in b.column_names:  # emitted at pair creation
             ha = b["ha"].to_numpy(zero_copy_only=False)
@@ -465,7 +480,10 @@ def distributed_components(
                 "part": pa.array((src % PU).astype(np.int32), pa.int32()),
                 "h": pa.array(src, pa.uint64()),
                 "v": pa.array(dst, pa.uint64()),
-                "kind": pa.array(np.zeros(len(src), np.int8), pa.int8()),
+                "kind": pa.array(
+                    np.full(len(src), K_EDGE, np.int8), pa.int8()
+                ),
+                "changed": pa.array(np.zeros(len(src), np.int64), pa.int64()),
             }
         )
 
@@ -497,96 +515,121 @@ def distributed_components(
             }
         )
 
-    def dedup_nodes(g: pa.Table) -> pa.Table:
-        h = g["h"].to_numpy(zero_copy_only=False)
-        _, first = np.unique(h, return_index=True)
-        return g.take(pa.array(np.sort(first), pa.int64()))
-
-    # (part, h, url) — one row per node, partitioned by h % P; also the
-    # initial label table label(v) = v
-    nodes = (
-        pairs_ds.map_batches(to_nodes, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(dedup_nodes, batch_format="pyarrow")
-        .materialize()
+    # (part, h, url) node rows — one per edge-endpoint OCCURRENCE (cheap
+    # lazy projection; member_pass dedups per partition, saving a whole
+    # groupby shuffle vs materializing a deduped node table)
+    nodes = pairs_ds.map_batches(
+        to_nodes, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def init_labels(b: pa.Table) -> pa.Table:
-        n = len(b)
-        return pa.table(
-            {
-                "part": b["part"],
-                "h": b["h"],
-                "v": b["h"],  # label := self
-                "kind": pa.array(np.ones(n, np.int8), pa.int8()),
-            }
-        )
-
-    labels = nodes.map_batches(
-        init_labels, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    # ---- rounds ----
-    def offer_pass(g: pa.Table) -> pa.Table:
+    # ---- rounds: one kind-tagged groupby pass per round ----
+    def round_pass(g: pa.Table, first: bool) -> pa.Table:
         kind = g["kind"].to_numpy(zero_copy_only=False)
         h = g["h"].to_numpy(zero_copy_only=False)
         v = g["v"].to_numpy(zero_copy_only=False)
-        e = kind == 0
+        part = int(g["part"][0].as_py())
+        e = kind == K_EDGE
         src, dst = h[e], v[e]
-        l_node, l_val = h[~e], v[~e]
-        if len(src) == 0:
-            return pa.table(
-                {"part": pa.array([], pa.int32()), "h": pa.array([], pa.uint64()),
-                 "v": pa.array([], pa.uint64()),
-                 "kind": pa.array([], pa.int8())}
-            )
-        order = np.argsort(l_node)
-        l_node, l_val = l_node[order], l_val[order]
-        lab = l_val[np.searchsorted(l_node, src)]  # every src has a label
-        keep = lab < dst  # offers that can't lower anything are dropped early
-        dst, lab = dst[keep], lab[keep]
-        return pa.table(
-            {
-                "part": pa.array((dst % PU).astype(np.int32), pa.int32()),
-                "h": pa.array(dst, pa.uint64()),
-                "v": pa.array(lab, pa.uint64()),
-                "kind": pa.array(np.zeros(len(dst), np.int8), pa.int8()),
-            }
+        if first:
+            # bootstrap: label(v) = v over this partition's nodes (every
+            # node appears as src of its reversed edge in its own part)
+            l_node = np.unique(src)
+            l_val = l_node.copy()
+        else:
+            lm = kind == K_LABEL
+            order = np.argsort(h[lm])
+            l_node = h[lm][order]
+            l_val = v[lm][order].copy()
+        start_val = l_val.copy()
+        # 1. fold pending offers
+        om = kind == K_OFFER
+        if om.any():
+            np.minimum.at(l_val, np.searchsorted(l_node, h[om]), v[om])
+        # 2. local fixpoint over intra-partition edges
+        si = np.searchsorted(l_node, src)
+        dl = (dst % PU).astype(np.int32) == part
+        if dl.any():
+            di_l, si_l = np.searchsorted(l_node, dst[dl]), si[dl]
+            for _ in range(64):
+                before = l_val[di_l]
+                np.minimum.at(l_val, di_l, l_val[si_l])
+                if np.array_equal(before, l_val[di_l]):
+                    break
+        changed = l_val != start_val
+        # 3. delta offers for cross-partition edges whose src label
+        # changed this round (all of them in round 1); offers that cannot
+        # lower anything (label(dst) <= dst always) are dropped, and the
+        # rest dedup to the per-dst min before entering the shuffle
+        xm = (~dl) & (changed[si] | first)
+        off_dst, off_val = dst[xm], l_val[si[xm]]
+        keep = off_val < off_dst
+        off_dst, off_val = off_dst[keep], off_val[keep]
+        if len(off_dst):
+            o = np.lexsort((off_val, off_dst))
+            off_dst, off_val = off_dst[o], off_val[o]
+            firsts = np.concatenate([[True], off_dst[1:] != off_dst[:-1]])
+            off_dst, off_val = off_dst[firsts], off_val[firsts]
+        n_l, n_o = len(l_node), len(off_dst)
+        return pa.concat_tables(
+            [
+                g.filter(pa.array(e)),  # edges pass through untouched
+                pa.table(
+                    {
+                        "part": pa.array(
+                            np.full(n_l, part, np.int32), pa.int32()
+                        ),
+                        "h": pa.array(l_node, pa.uint64()),
+                        "v": pa.array(l_val, pa.uint64()),
+                        "kind": pa.array(
+                            np.full(n_l, K_LABEL, np.int8), pa.int8()
+                        ),
+                        "changed": pa.array(
+                            changed.astype(np.int64), pa.int64()
+                        ),
+                    }
+                ),
+                pa.table(
+                    {
+                        "part": pa.array(
+                            (off_dst % PU).astype(np.int32), pa.int32()
+                        ),
+                        "h": pa.array(off_dst, pa.uint64()),
+                        "v": pa.array(off_val, pa.uint64()),
+                        "kind": pa.array(
+                            np.full(n_o, K_OFFER, np.int8), pa.int8()
+                        ),
+                        # in-flight offers keep the fixpoint sum nonzero so
+                        # the loop cannot stop before they are folded
+                        "changed": pa.array(np.ones(n_o, np.int64), pa.int64()),
+                    }
+                ),
+            ]
         )
 
-    def min_pass(g: pa.Table) -> pa.Table:
-        kind = g["kind"].to_numpy(zero_copy_only=False)
-        h = g["h"].to_numpy(zero_copy_only=False)
-        v = g["v"].to_numpy(zero_copy_only=False)
-        old = kind == 1
-        l_node, l_val = h[old], v[old].copy()
-        order = np.argsort(l_node)
-        l_node, l_val = l_node[order], l_val[order]
-        o_node, o_val = h[~old], v[~old]
-        new = l_val.copy()
-        if len(o_node):
-            np.minimum.at(new, np.searchsorted(l_node, o_node), o_val)
-        changed = (new != l_val).astype(np.int64)
-        part = np.full(len(l_node), -1, np.int32)
-        if len(l_node):
-            part = (l_node % PU).astype(np.int32)
-        return pa.table(
-            {
-                "part": pa.array(part, pa.int32()),
-                "h": pa.array(l_node, pa.uint64()),
-                "v": pa.array(new, pa.uint64()),
-                "kind": pa.array(np.ones(len(l_node), np.int8), pa.int8()),
-                "changed": pa.array(changed, pa.int64()),
-            }
-        )
-
+    state = edges
+    first = True
     for _ in range(max_rounds):
-        offers = _part_join(edges, labels, offer_pass, P=P)
-        new_labels = _part_join(offers, labels, min_pass, P=P).materialize()
-        n_changed = new_labels.sum("changed")  # distributed fixpoint scalar
-        labels = new_labels.drop_columns(["changed"])
+        rp = (lambda f: lambda g: round_pass(g, f))(first)
+        state = (
+            state.groupby("part")
+            .map_groups(rp, batch_format="pyarrow")
+            .materialize()
+        )
+        n_changed = state.sum("changed")  # distributed fixpoint scalar
+        first = False
         if not n_changed:
             break
+
+    def keep_labels(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["kind"], K_LABEL)).select(
+            ["part", "h", "v"]
+        )
+
+    labels = state.map_batches(
+        keep_labels, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     # ---- resolve cluster ids: min url per component, all distributed ----
     from ray.data.aggregate import Min
@@ -602,13 +645,19 @@ def distributed_components(
         order = np.argsort(l_node)
         l_node, l_val = l_node[order], l_val[order]
         gn = g.filter(pa.array(is_node))
-        root = l_val[np.searchsorted(l_node, h[is_node])]
+        # node rows arrive one per edge-endpoint occurrence (the deduped
+        # node table was folded away); keep each node's first row
+        hn = h[is_node]
+        _, first_idx = np.unique(hn, return_index=True)
+        first_idx = np.sort(first_idx)
+        gn = gn.take(pa.array(first_idx, pa.int64()))
+        root = l_val[np.searchsorted(l_node, hn[first_idx])]
         # int64 bit-view: Ray's hash groupby coerces out-of-range uint64
         # keys to pickled Python objects; the view is bijective so
         # equality-grouping semantics are unchanged
         return pa.table(
             {
-                "h": pa.array(h[is_node], pa.uint64()),
+                "h": pa.array(hn[first_idx], pa.uint64()),
                 "url": gn["url"],
                 "root_h": pa.array(root.view(np.int64), pa.int64()),
             }

@@ -538,3 +538,55 @@ def test_token_chunks_shuffled_is_permutation(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert again.equals(shuf)
+
+
+def test_token_chunks_bpe_fixture_tokenizer(ray_session):
+    """Tokenizer seam: the frozen-vocab BPE fixture counts subword merges
+    (pinned golden), the layout stays a dense prefix sum over those counts,
+    and the default path is unchanged by the seam's existence."""
+    import ray
+
+    from deduplicatr_ray.functions.tokenizers import BPETokenizer, bpe_fixture
+    from deduplicatr_ray.stages.pack import token_chunk_stage
+
+    # pinned merge-table goldens (computed once from BPE_FIXTURE_MERGES)
+    tok = BPETokenizer()
+    assert tok(
+        ["the running theory", "ingestion pipeline concatenation", "a b c", ""]
+    ).tolist() == [8, 18, 3, 0]
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "the running theory",
+                    "ingestion pipeline concatenation",
+                    "a b c",
+                    "",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        token_chunk_stage(
+            ray.data.from_arrow(docs), chunk_tokens=8, tokenizer=bpe_fixture
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [8, 18, 3, 0]
+    assert out["start_offset"].tolist() == [0, 8, 26, 29]
+    assert out["first_chunk"].tolist() == [0, 1, 3, 3]
+    assert out["last_chunk"].tolist() == [0, 3, 3, 3]
+
+    # default path (regex lexer) is byte-identical with the seam in place
+    plain = (
+        token_chunk_stage(ray.data.from_arrow(docs), chunk_tokens=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert plain["n_tokens"].tolist() == [3, 3, 3, 0]

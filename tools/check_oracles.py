@@ -1,12 +1,18 @@
 """Local replica of the driver's correctness gate: runs every queries()
 entry at sf0.01 and compares row-count / schema / order-insensitive value
-hash against oracle_sql() via DuckDB. Usage:
+hash against oracle_sql() via DuckDB. Queries with no SQL oracle are
+checked against pinned GOLDENS (frozen row-count + value hash per sf dir,
+stored in tools/goldens_<sf>.json) so regressions in the non-SQL-expressible
+pipelines are visible in this gate too, not just in pytest. Usage:
 
-    python tools/check_oracles.py [sf_dir]
+    python tools/check_oracles.py [sf_dir]              # check
+    python tools/check_oracles.py --update-goldens [sf_dir]  # re-pin
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -35,7 +41,17 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--update-goldens"]
+    update_goldens = "--update-goldens" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"goldens_{os.path.basename(sf_dir.rstrip('/'))}.json",
+    )
+    goldens: dict = {}
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
+            goldens = json.load(f)
     import ray
 
     ray.init(
@@ -70,7 +86,29 @@ def main() -> int:
             continue
         wall = time.monotonic() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only, {len(mine)} rows, {wall:.1f}s")
+            h = value_hash(mine)
+            if update_goldens:
+                goldens[name] = {"rows": len(mine), "hash": h}
+                print(f"PIN  {name}: {len(mine)} rows, hash {h}, {wall:.1f}s")
+            elif name in goldens:
+                g = goldens[name]
+                if g["rows"] != len(mine) or g["hash"] != h:
+                    print(
+                        f"FAIL {name}: golden mismatch "
+                        f"(rows {len(mine)} vs {g['rows']}, "
+                        f"hash {h} vs {g['hash']})"
+                    )
+                    failures += 1
+                else:
+                    print(
+                        f"GOLDEN {name}: {len(mine)} rows match pinned "
+                        f"golden, {wall:.1f}s"
+                    )
+            else:
+                print(
+                    f"ok   {name}: rows-only (NO GOLDEN PINNED), "
+                    f"{len(mine)} rows, {wall:.1f}s"
+                )
             continue
         want = con.sql(oracles[name]).df()
         msgs = []
@@ -85,6 +123,10 @@ def main() -> int:
             failures += 1
         else:
             print(f"OK   {name}: {len(mine)} rows match oracle, {wall:.1f}s")
+    if update_goldens:
+        with open(golden_path, "w") as f:
+            json.dump(goldens, f, indent=1, sort_keys=True)
+        print(f"wrote {golden_path} ({len(goldens)} goldens)")
     ray.shutdown()
     return 1 if failures else 0
 
