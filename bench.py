@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "text_quality",          # lang-ID + quality scoring
     "knn_brute",             # similarity search baseline
     "ann_lsh_dups",          # similarity search scale path
+    "ann_ivf_knn_wide",      # IVF at a wide (all-vectors) query set
     "cluster_summary",       # A1/O1 cluster summary
     "top_tokens",            # vocabulary head (partial-count shuffle)
     "dir_dup_groups",        # reference headline: duplicate directories
@@ -359,6 +360,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         rows[name] = _consume(qs[name](sf_dir))
         secs[name] = round(time.perf_counter() - t0, 3)
 
+    # scrub routing amplification on a pathological all-duplicates fixture
+    # (every doc replicated 4x, exact copies): the measured number for the
+    # stage's documented text-amplification caveat (scrub.py module doc)
+    scrub_amp = _scrub_amp_fixture(sf_dir)
+
     import ray
 
     ray.shutdown()
@@ -373,8 +379,49 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "docs_per_sec": round(n_docs / fl, 1),
         "rows": rows,
+        "scrub_amp": scrub_amp,
         "total_sec": round(sum(secs.values()), 3),
     }
+
+
+def _scrub_amp_fixture(sf_dir: str) -> dict:
+    """routed_bytes/corpus_bytes of the scrub routing stage over a corpus
+    where EVERY doc is a 4x exact replica — the worst duplication shape."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.scrub import scrub_amplification
+
+    base = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        n = len(b)
+        import numpy as np
+
+        parts = []
+        for r in range(4):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            ids.to_numpy(zero_copy_only=False) * 4 + r,
+                            pa.int64(),
+                        ),
+                        "text": b["text"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    t0 = time.perf_counter()
+    amp = scrub_amplification(
+        base.map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    amp["wall_sec"] = round(time.perf_counter() - t0, 3)
+    return amp
 
 
 def run_scaling(

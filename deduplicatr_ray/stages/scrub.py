@@ -88,6 +88,55 @@ def merge_intervals_block(g: pa.Table) -> pa.Table:
     )
 
 
+def scrub_amplification(
+    docs,
+    *,
+    w: int = 25,
+    guarantee_len: int = 50,
+    num_partitions: int | None = None,
+) -> dict:
+    """Measure the routing stage's text amplification on a given corpus:
+    ``routed_bytes / corpus_bytes`` (each doc's text ships to every
+    DISTINCT partition one of its winnowed fingerprints hashes to). This
+    is the stage's documented scale cost — the bench harness reports it on
+    a pathological all-duplicates fixture so the bound in the module
+    docstring is a measured number, not an estimate."""
+    import pyarrow.compute as pc
+
+    from .lsh import default_num_partitions
+    from .textstats import fingerprint_route_batch
+
+    P = int(num_partitions or default_num_partitions())
+
+    def routed_bytes(b: pa.Table) -> pa.Table:
+        r = fingerprint_route_batch(
+            b, w=w, guarantee_len=guarantee_len, num_partitions=P
+        )
+        n = pc.sum(pc.binary_length(r["text"])).as_py() or 0
+        c = pc.sum(pc.binary_length(b["text"])).as_py() or 0
+        return pa.table(
+            {
+                "routed": pa.array([int(n)], pa.int64()),
+                "corpus": pa.array([int(c)], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(
+            routed_bytes, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .materialize()
+    )
+    routed = agg.sum("routed") or 0
+    corpus = agg.sum("corpus") or 0
+    return {
+        "routed_bytes": int(routed),
+        "corpus_bytes": int(corpus),
+        "amplification": round(routed / corpus, 3) if corpus else 0.0,
+        "num_partitions": P,
+    }
+
+
 def duplicate_spans(
     docs,
     *,

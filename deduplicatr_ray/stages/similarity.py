@@ -59,21 +59,25 @@ def knn_brute(embeddings, query_ids: list[int], k: int = 5):
             vm = _normalize(_emb_matrix(batch))
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
             sims = vm @ self.qm.T  # (batch, n_queries)
-            out_q, out_n, out_s = [], [], []
-            kk = min(self.k + 1, len(vids))  # +1: query may be in the batch
-            for j, qid in enumerate(self.qids):
-                col = sims[:, j]
-                top = np.argpartition(-col, kk - 1)[:kk]
-                for i in top:
-                    if vids[i] != qid:
-                        out_q.append(qid)
-                        out_n.append(int(vids[i]))
-                        out_s.append(float(col[i]))
+            # self-matches sink below any cosine so they never rank
+            sims[vids[:, None] == self.qids[None, :]] = -2.0
+            # one argpartition along axis 0 selects every query's local
+            # top-k at once — no per-query Python loop (O(batch x queries)
+            # iterations at a large query set otherwise)
+            nq = sims.shape[1]
+            kk = min(self.k, len(vids))
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            cols = np.arange(nq)
+            cand_s = sims[top, cols]
+            keep = cand_s > -1.5  # drop the sunk self-matches
+            qid_m = np.broadcast_to(self.qids, (kk, nq))
             return pa.table(
                 {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
+                    "query_id": pa.array(qid_m[keep], pa.int64()),
+                    "neighbor_id": pa.array(
+                        vids[top][keep].astype(np.int64), pa.int64()
+                    ),
+                    "sim": pa.array(cand_s[keep], pa.float64()),
                 }
             )
 
@@ -186,26 +190,52 @@ def ann_ivf_knn(
             vm = _normalize(_emb_matrix(batch))
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
             cells = np.argmax(vm @ self.centroids.T, axis=1)
-            out_q, out_n, out_s = [], [], []
-            for j, qid in enumerate(self.qids):
-                mask = np.isin(cells, self.probe[j])
-                mask &= vids != qid
-                if not mask.any():
+            # invert the probe lists once: cell -> queries probing it. The
+            # fine pass then loops over the batch's DISTINCT CELLS (bounded
+            # by ncells — index geometry, not query-set size) and computes
+            # one (cell rows x probing queries) matmul each, so compute
+            # stays pruned to probed cells AND there is no per-query loop.
+            ncells = len(self.centroids)
+            nq = len(self.qids)
+            pm = np.zeros((ncells, nq), bool)
+            pm[
+                self.probe.ravel(),
+                np.repeat(np.arange(nq), self.probe.shape[1]),
+            ] = True
+            parts = []
+            for c in np.unique(cells):
+                qs = np.flatnonzero(pm[c])
+                if not len(qs):
                     continue
-                cand = np.flatnonzero(mask)
-                sims = vm[cand] @ self.qm[j]
-                kk = min(self.k, len(cand))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.extend([qid] * kk)
-                out_n.extend(vids[cand[top]].tolist())
-                out_s.extend(sims[top].tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+                rows = np.flatnonzero(cells == c)
+                sims = vm[rows] @ self.qm[qs].T  # (r, q)
+                sims[vids[rows][:, None] == self.qids[qs][None, :]] = -2.0
+                kk = min(self.k, len(rows))
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                cand_s = sims[top, np.arange(len(qs))]
+                keep = cand_s > -1.5
+                qid_m = np.broadcast_to(self.qids[qs], (kk, len(qs)))
+                parts.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(qid_m[keep], pa.int64()),
+                            "neighbor_id": pa.array(
+                                vids[rows][top][keep].astype(np.int64),
+                                pa.int64(),
+                            ),
+                            "sim": pa.array(cand_s[keep], pa.float64()),
+                        }
+                    )
+                )
+            if not parts:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.concat_tables(parts)
 
     local = embeddings.map_batches(
         IVFTopK,

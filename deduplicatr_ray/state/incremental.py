@@ -31,18 +31,38 @@ member is canonical varies.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import ray
 
 
+def _atomic_parquet(tbl: pa.Table, path: str) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
 @ray.remote
 class DedupIndexShard:
     """One content-hash range of the incremental exact-dup index:
-    digest → canonical doc id (int64), first write wins."""
+    digest → canonical doc id (int64), first write wins.
 
-    def __init__(self) -> None:
+    ``spill_file``: restore the shard's state from a prior ``spill()``
+    snapshot at construction (the restart path)."""
+
+    def __init__(self, spill_file: str | None = None) -> None:
         self._idx: dict[bytes, int] = {}
+        if spill_file and os.path.exists(spill_file):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(spill_file)
+            self._idx = dict(
+                zip(t["digest"].to_pylist(), t["canonical_id"].to_pylist())
+            )
 
     def assign(self, digests: list[bytes], ids: np.ndarray) -> np.ndarray:
         """Canonical id per digest; unseen digests are claimed by the FIRST
@@ -55,6 +75,23 @@ class DedupIndexShard:
                 idx[d] = got = doc
             out[i] = got
         return out
+
+    def spill(self, spill_file: str) -> int:
+        """Compacting snapshot to Parquet (atomic tmp+rename). Entries are
+        immutable once written (first arrival wins), so a snapshot is the
+        full compaction of the shard's history; returns keys written."""
+        _atomic_parquet(
+            pa.table(
+                {
+                    "digest": pa.array(list(self._idx.keys()), pa.binary(16)),
+                    "canonical_id": pa.array(
+                        list(self._idx.values()), pa.int64()
+                    ),
+                }
+            ),
+            spill_file,
+        )
+        return len(self._idx)
 
     def size(self) -> int:
         return len(self._idx)
@@ -113,8 +150,20 @@ class NearIndexShard:
     doc-id-sharded sketch layer instead (second hop, 36x less memory) —
     documented trade, same protocol."""
 
-    def __init__(self) -> None:
+    def __init__(self, spill_file: str | None = None) -> None:
         self._idx: dict[int, tuple[int, bytes]] = {}
+        if spill_file and os.path.exists(spill_file):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(spill_file)
+            self._idx = {
+                k: (i, s)
+                for k, i, s in zip(
+                    t["key"].to_pylist(),
+                    t["canonical_id"].to_pylist(),
+                    t["sketch"].to_pylist(),
+                )
+            }
 
     def probe(self, keys: list[int]) -> list:
         """(canonical id, sketch bytes) per key, or None if unseen."""
@@ -127,6 +176,26 @@ class NearIndexShard:
         for k, i, s in zip(keys, ids, sketches):
             if k not in idx:
                 idx[k] = (i, s)
+
+    def spill(self, spill_file: str) -> int:
+        """Compacting snapshot to Parquet (atomic tmp+rename); see
+        ``DedupIndexShard.spill``. Returns keys written."""
+        keys = list(self._idx.keys())
+        _atomic_parquet(
+            pa.table(
+                {
+                    "key": pa.array(keys, pa.uint64()),
+                    "canonical_id": pa.array(
+                        [self._idx[k][0] for k in keys], pa.int64()
+                    ),
+                    "sketch": pa.array(
+                        [self._idx[k][1] for k in keys], pa.binary()
+                    ),
+                }
+            ),
+            spill_file,
+        )
+        return len(keys)
 
     def size(self) -> int:
         return len(self._idx)
@@ -429,3 +498,73 @@ def ingest(
             "canonical_id": pa.array(np.concatenate(canon_parts), pa.int64()),
         }
     )
+
+
+def spill_index(
+    shards: list,
+    checkpoint_dir: str,
+    *,
+    run_id: str = "index0",
+    stage: str = "index",
+    cfg=None,
+) -> dict:
+    """Spill every shard's state to ``checkpoint_dir/run_id/stage/shard_i
+    .parquet`` with a ``_lineage.json`` manifest entry (reusing the S4
+    checkpoint machinery) — the growth/restart story for the otherwise
+    unboundedly-growing index actors: snapshot between ingest rounds, kill
+    the actors (or lose the node), ``restore_index`` resumes with identical
+    first-arrival state. Each shard writes atomically and records its own
+    manifest key, so a crash mid-spill re-spills only missing shards.
+
+    On a multi-node cluster point ``checkpoint_dir`` at shared storage —
+    each shard actor writes from whatever node hosts it.
+    """
+    from ..config import CANONICAL
+    from ..pipelines.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(checkpoint_dir, run_id, cfg or CANONICAL)
+    out_dir = mgr.stage_dir(stage)
+    os.makedirs(out_dir, exist_ok=True)
+    futs = [
+        s.spill.remote(os.path.join(out_dir, f"shard_{i}.parquet"))
+        for i, s in enumerate(shards)
+    ]
+    total = 0
+    for i, n in enumerate(ray.get(futs)):
+        mgr.record(f"{stage}/shard_{i}", keys=int(n))
+        total += int(n)
+    mgr.record(stage, num_shards=len(shards), keys=total)
+    return {"num_shards": len(shards), "keys": total, "dir": out_dir}
+
+
+def restore_index(
+    shard_cls,
+    checkpoint_dir: str,
+    *,
+    run_id: str = "index0",
+    stage: str = "index",
+    cfg=None,
+) -> list:
+    """Spawn a fresh shard set restored from a ``spill_index`` snapshot.
+    ``shard_cls`` is ``DedupIndexShard`` or ``NearIndexShard`` (the spill
+    schema is per-class). Raises if the snapshot is absent/incomplete —
+    a half-spilled index must not silently restart empty."""
+    from ..config import CANONICAL
+    from ..pipelines.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(checkpoint_dir, run_id, cfg or CANONICAL)
+    head = mgr.entry(stage)
+    if head is None:
+        raise FileNotFoundError(
+            f"no completed index spill for stage {stage!r} under "
+            f"{checkpoint_dir}/{run_id}"
+        )
+    out_dir = mgr.stage_dir(stage)
+    shards = []
+    for i in range(int(head["num_shards"])):
+        if not mgr.is_done(f"{stage}/shard_{i}"):
+            raise FileNotFoundError(f"index spill missing shard {i}")
+        shards.append(
+            shard_cls.remote(os.path.join(out_dir, f"shard_{i}.parquet"))
+        )
+    return shards

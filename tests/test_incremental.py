@@ -132,3 +132,86 @@ def test_incremental_near_two_ingests_match_one(ray_session):
     one = one.sort_values("doc_id").reset_index(drop=True)
     two = two.sort_values("doc_id").reset_index(drop=True)
     assert one.equals(two)
+
+
+def test_exact_index_spill_restore(ray_session, tmp_path):
+    """Restart-from-spill: kill the shard set after a spill, restore a new
+    one, and later arrivals still resolve against everything seen before
+    (first-arrival semantics preserved across the restart)."""
+    import ray
+
+    from deduplicatr_ray.state.incremental import restore_index, spill_index
+
+    shards = [DedupIndexShard.remote() for _ in range(4)]
+    first = ingest(ray.data.from_arrow(_docs([(1, "aa"), (2, "bb")])), shards)
+    assert first["canonical_id"].to_pylist() == [1, 2]
+    info = spill_index(shards, str(tmp_path), stage="exact_index")
+    assert info["keys"] == 2 and info["num_shards"] == 4
+    for s in shards:
+        ray.kill(s)
+
+    restored = restore_index(
+        DedupIndexShard, str(tmp_path), stage="exact_index"
+    )
+    out = ingest(
+        ray.data.from_arrow(_docs([(10, "aa"), (11, "bb"), (12, "zz")])),
+        restored,
+    )
+    assert out["canonical_id"].to_pylist() == [1, 2, 12]
+
+
+def test_near_index_spill_restore(ray_session, tmp_path):
+    """Near-index restart: post-restore ingest assigns exactly what an
+    uninterrupted shard set assigns (sketches round-trip the spill)."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from deduplicatr_ray.state.incremental import (
+        NearIndexShard,
+        ingest_near,
+        restore_index,
+        spill_index,
+    )
+
+    docs, _ = _near_docs()
+    n = len(docs)
+    one = ingest_near(
+        rd.from_arrow(docs), [NearIndexShard.remote() for _ in range(4)]
+    ).to_pandas()
+
+    shards = [NearIndexShard.remote() for _ in range(4)]
+    first = ingest_near(rd.from_arrow(docs.slice(0, n // 2)), shards).to_pandas()
+    spill_index(shards, str(tmp_path), stage="near_index")
+    for s in shards:
+        ray.kill(s)
+    restored = restore_index(NearIndexShard, str(tmp_path), stage="near_index")
+    second = ingest_near(rd.from_arrow(docs.slice(n // 2)), restored).to_pandas()
+
+    two = pd.concat([first, second], ignore_index=True)
+    one = one.sort_values("doc_id").reset_index(drop=True)
+    two = two.sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(two)
+
+
+def test_restore_refuses_incomplete_spill(ray_session, tmp_path):
+    """A half-spilled index must not silently restart empty."""
+    import json
+    import os
+
+    import pytest
+
+    from deduplicatr_ray.state.incremental import restore_index, spill_index
+
+    shards = [DedupIndexShard.remote() for _ in range(2)]
+    ingest(__import__("ray").data.from_arrow(_docs([(1, "aa")])), shards)
+    spill_index(shards, str(tmp_path), stage="exact_index")
+    # corrupt: drop one shard's manifest entry
+    mpath = os.path.join(str(tmp_path), "index0", "_lineage.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["entries"]["exact_index/shard_1"]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(FileNotFoundError):
+        restore_index(DedupIndexShard, str(tmp_path), stage="exact_index")
