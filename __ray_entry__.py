@@ -250,6 +250,14 @@ def q_token_counts(sf_dir: str):
     return token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_window_dedup(sf_dir: str):
+    """C4-style span dedup accounting: fixed 25-token windows, corpus-wide
+    keep-first-occurrence; per-doc window/token duplication counts."""
+    from deduplicatr_ray.stages.textstats import window_dedup_stage
+
+    return window_dedup_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus vocabulary head: 20 most frequent tokens (ties by token)."""
     from deduplicatr_ray.stages.textstats import top_tokens
@@ -1180,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_hash_assign": q_sampled_hash_assign,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
+        "window_dedup": q_window_dedup,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1313,6 +1322,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
                      AS n_tokens
             FROM documents
+        """,
+        "window_dedup": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                     unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+'))))
+                       AS pos
+              FROM documents
+            ), win AS (
+              SELECT doc_id, pos // 25 AS win_idx,
+                     string_agg(tok, ' ' ORDER BY pos) AS wtext,
+                     count(*) AS wtok
+              FROM tk GROUP BY doc_id, pos // 25
+            ), ranked AS (
+              SELECT doc_id, wtok,
+                     row_number() OVER (
+                       PARTITION BY wtext ORDER BY doc_id, win_idx) AS rn
+              FROM win
+            )
+            SELECT doc_id,
+                   count(*) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_windows,
+                   CAST(sum(wtok) AS BIGINT) AS tokens_total,
+                   CAST(sum(CASE WHEN rn = 1 THEN wtok ELSE 0 END) AS BIGINT)
+                     AS tokens_kept
+            FROM ranked GROUP BY doc_id
         """,
         "top_tokens": """
             SELECT tok AS token, count(*) AS n FROM (

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "doc_stats_by_lang",     # A5 grouped aggregate
     "top_docs_by_chars",     # O1/O3 sort+limit
     "token_counts",          # text analysis
+    "window_dedup",          # C4-style fixed-window span dedup accounting
     "text_quality",          # lang-ID + quality scoring
     "knn_brute",             # similarity search baseline
     "ann_lsh_dups",          # similarity search scale path

@@ -1364,3 +1364,126 @@ def dup_rate_by_source(docs):
     return agg.map_batches(
         rate, batch_format="pyarrow", zero_copy_batch=True
     ).sort("source")
+
+
+def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = None):
+    """C4-style span-level dedup accounting at fixed ``window``-token
+    windows: corpus-wide, every occurrence of a window's exact token
+    sequence other than its first (lexicographically minimal
+    ``(doc_id, win_idx)``) occurrence counts as duplicated text. C4 removes
+    repeated three-sentence spans; this corpus has no sentence boundaries,
+    so the span unit is a fixed token window — same keep-first-globally
+    semantics, SQL-oracle-expressible.
+
+    Shape (one all-to-all + one small combinable aggregate):
+
+    1. Row-local, vectorized: ``_flat_tokens`` -> cut each doc's token
+       stream into consecutive ``window``-token windows (final window may
+       be partial), re-join each window with ONE ``pc.binary_join`` over a
+       ListArray (no per-window Python), and key it with a 128-bit hash
+       (two independent 64-bit row hashes — at web scale (~10^12 windows /
+       100 TB) a single 64-bit key would collide ~1e5 times; 128 bits makes
+       false merges negligible). Only ``(wh, wh2, doc_id, win_idx, wtok)``
+       — 36 B/row, never the text — enters the shuffle.
+    2. Hash-partition groupby on the key: per partition one lexsort marks
+       every non-first occurrence of a key run as duplicated, then
+       pre-aggregates per doc (partial sums), so the final ``groupby`` is
+       over <= docs-per-partition rows, not windows.
+    3. ``groupby(doc_id).sum`` of the partials.
+
+    Output per doc (docs with >= 1 token): ``doc_id, n_windows,
+    dup_windows, tokens_total, tokens_kept``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    W = window
+
+    def to_windows(batch: pa.Table):
+        doc_idx, flat = _flat_tokens(batch)
+        m = len(doc_idx)
+        if m == 0:
+            return
+        run_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+        run_lens = np.diff(np.append(run_starts, m))
+        pos = np.arange(m, dtype=np.int64) - np.repeat(run_starts, run_lens)
+        w_start = np.flatnonzero(pos % W == 0)
+        offsets = np.append(w_start, m).astype(np.int32)
+        wins = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+        wtbl = pa.table({"w": pc.binary_join(wins, " ")})
+        wh = hash_columns_u64(wtbl, ["w"], seed=0)
+        wh2 = hash_columns_u64(wtbl, ["w"], seed=0x9E3779B9)
+        yield pa.table(
+            {
+                # int64 bit-pattern views: uint64 >= 2**63 columns fall back
+                # to pickled blocks in Ray's shuffle
+                "wh": pa.array(wh.view(np.int64), pa.int64()),
+                "wh2": pa.array(wh2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"].take(
+                    pa.array(doc_idx[w_start], pa.int64())
+                ),
+                "win_idx": pa.array(pos[w_start] // W, pa.int64()),
+                "wtok": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "part": pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def mark_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("wh", "ascending"),
+                ("wh2", "ascending"),
+                ("doc_id", "ascending"),
+                ("win_idx", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        wh = g["wh"].to_numpy(zero_copy_only=False)
+        wh2 = g["wh2"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        first[1:] = (wh[1:] != wh[:-1]) | (wh2[1:] != wh2[:-1])
+        doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        wtok = g["wtok"].to_numpy(zero_copy_only=False)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        k = len(udoc)
+        # float64 bincount weights are exact for these magnitudes (< 2**53)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_windows": pa.array(np.bincount(inv, minlength=k), pa.int64()),
+                "dup_windows": pa.array(
+                    np.bincount(inv, weights=~first, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tokens_total": pa.array(
+                    np.bincount(inv, weights=wtok, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+                "tokens_kept": pa.array(
+                    np.bincount(inv, weights=wtok * first, minlength=k).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(to_windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(mark_block, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_windows", alias_name="n_windows"),
+            Sum("dup_windows", alias_name="dup_windows"),
+            Sum("tokens_total", alias_name="tokens_total"),
+            Sum("tokens_kept", alias_name="tokens_kept"),
+        )
+    )

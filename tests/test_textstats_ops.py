@@ -590,3 +590,46 @@ def test_token_chunks_bpe_fixture_tokenizer(ray_session):
         .reset_index(drop=True)
     )
     assert plain["n_tokens"].tolist() == [3, 3, 3, 0]
+
+
+def test_window_dedup_keep_first_semantics(ray_session):
+    """Hand-built corpus, window=3: within-doc repeats, cross-doc repeats,
+    and partial final windows all resolve to keep-first-(doc_id, win_idx)."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import window_dedup_stage
+
+    docs = [
+        "a b c a b c d",   # doc1: wins [a b c] [a b c] [d] -> self-dup
+        "a b c x",         # doc2: [a b c] dups doc1's win0; [x] unique
+        "d",               # doc3: [d] dups doc1's win2
+        "",                # doc4: no tokens -> absent from output
+    ]
+    ds = ray.data.from_arrow(_docs_ids(docs))
+    out = (
+        window_dedup_stage(ds, window=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.index.tolist() == [1, 2, 3]
+    # doc1 owns the first occurrence of every one of its windows
+    assert out.loc[1].tolist() == [3, 1, 7, 4]  # [a b c] repeat dropped
+    assert out.loc[2].tolist() == [2, 1, 4, 1]  # [a b c] dup, [x] kept
+    assert out.loc[3].tolist() == [1, 1, 1, 0]  # [d] dup of doc1 win2
+    # conservation: kept + dropped token counts partition the total
+    assert (out["tokens_kept"] <= out["tokens_total"]).all()
+    assert ((out["dup_windows"] == 0) == (out["tokens_kept"] == out["tokens_total"])).all()
+
+
+def test_window_dedup_unique_corpus_keeps_everything(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import window_dedup_stage
+
+    ds = ray.data.from_arrow(
+        _docs_ids([f"tok{i} tok{i + 1} tok{i + 2} uniq{i}" for i in range(0, 40, 4)])
+    )
+    out = window_dedup_stage(ds, window=2, num_partitions=4).to_pandas()
+    assert (out["dup_windows"] == 0).all()
+    assert (out["tokens_kept"] == out["tokens_total"]).all()
