@@ -258,6 +258,14 @@ def q_window_dedup(sf_dir: str):
     return window_dedup_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_window_scrub(sf_dir: str):
+    """C4-style span removal: rebuild each doc from its kept (first-
+    occurrence) 25-token windows; token-normalized clean text."""
+    from deduplicatr_ray.stages.textstats import window_scrub_stage
+
+    return window_scrub_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus vocabulary head: 20 most frequent tokens (ties by token)."""
     from deduplicatr_ray.stages.textstats import top_tokens
@@ -1189,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "token_counts": q_token_counts,
         "window_dedup": q_window_dedup,
+        "window_scrub": q_window_scrub,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1348,6 +1357,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(wtok) AS BIGINT) AS tokens_total,
                    CAST(sum(CASE WHEN rn = 1 THEN wtok ELSE 0 END) AS BIGINT)
                      AS tokens_kept
+            FROM ranked GROUP BY doc_id
+        """,
+        "window_scrub": """
+            WITH tk AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+                     unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+'))))
+                       AS pos
+              FROM documents
+            ), win AS (
+              SELECT doc_id, pos // 25 AS win_idx,
+                     string_agg(tok, ' ' ORDER BY pos) AS wtext
+              FROM tk GROUP BY doc_id, pos // 25
+            ), ranked AS (
+              SELECT doc_id, win_idx, wtext,
+                     row_number() OVER (
+                       PARTITION BY wtext ORDER BY doc_id, win_idx) AS rn
+              FROM win
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN wtext END,
+                                       ' ' ORDER BY win_idx), '') AS clean_text,
+                   count(*) AS n_windows,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_windows
             FROM ranked GROUP BY doc_id
         """,
         "top_tokens": """

@@ -1366,6 +1366,28 @@ def dup_rate_by_source(docs):
     ).sort("source")
 
 
+def _token_windows(batch: pa.Table, W: int):
+    """Cut each doc's token stream into consecutive ``W``-token windows
+    (final window may be partial). Returns ``None`` for a token-less batch,
+    else ``(wtext, wdoc, wwin, wtok)``: per-window joined string (ONE
+    ``pc.binary_join`` over a ListArray — no per-window Python), batch row
+    index, window index within the doc, and token count."""
+    import pyarrow.compute as pc
+
+    doc_idx, flat = _flat_tokens(batch)
+    m = len(doc_idx)
+    if m == 0:
+        return None
+    run_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+    run_lens = np.diff(np.append(run_starts, m))
+    pos = np.arange(m, dtype=np.int64) - np.repeat(run_starts, run_lens)
+    w_start = np.flatnonzero(pos % W == 0)
+    offsets = np.append(w_start, m).astype(np.int32)
+    wins = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    wtext = pc.binary_join(wins, " ")
+    return wtext, doc_idx[w_start], pos[w_start] // W, np.diff(offsets).astype(np.int64)
+
+
 def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = None):
     """C4-style span-level dedup accounting at fixed ``window``-token
     windows: corpus-wide, every occurrence of a window's exact token
@@ -1404,17 +1426,11 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
     W = window
 
     def to_windows(batch: pa.Table):
-        doc_idx, flat = _flat_tokens(batch)
-        m = len(doc_idx)
-        if m == 0:
+        w = _token_windows(batch, W)
+        if w is None:
             return
-        run_starts = np.flatnonzero(np.diff(doc_idx, prepend=-1))
-        run_lens = np.diff(np.append(run_starts, m))
-        pos = np.arange(m, dtype=np.int64) - np.repeat(run_starts, run_lens)
-        w_start = np.flatnonzero(pos % W == 0)
-        offsets = np.append(w_start, m).astype(np.int32)
-        wins = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
-        wtbl = pa.table({"w": pc.binary_join(wins, " ")})
+        wtext, wdoc, wwin, wtok = w
+        wtbl = pa.table({"w": wtext})
         wh = hash_columns_u64(wtbl, ["w"], seed=0)
         wh2 = hash_columns_u64(wtbl, ["w"], seed=0x9E3779B9)
         yield pa.table(
@@ -1423,11 +1439,9 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
                 # to pickled blocks in Ray's shuffle
                 "wh": pa.array(wh.view(np.int64), pa.int64()),
                 "wh2": pa.array(wh2.view(np.int64), pa.int64()),
-                "doc_id": batch["doc_id"].take(
-                    pa.array(doc_idx[w_start], pa.int64())
-                ),
-                "win_idx": pa.array(pos[w_start] // W, pa.int64()),
-                "wtok": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"].take(pa.array(wdoc, pa.int64())),
+                "win_idx": pa.array(wwin, pa.int64()),
+                "wtok": pa.array(wtok, pa.int64()),
                 "part": pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
             }
         )
@@ -1485,5 +1499,173 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
             Sum("dup_windows", alias_name="dup_windows"),
             Sum("tokens_total", alias_name="tokens_total"),
             Sum("tokens_kept", alias_name="tokens_kept"),
+        )
+    )
+
+
+def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = None):
+    """C4-style span REMOVAL at fixed ``window``-token windows: every
+    window whose exact token sequence occurred earlier (keep-first by
+    ``(doc_id, win_idx)``, as in ``window_dedup_stage``) is dropped, and
+    each doc is rebuilt from its kept windows.
+
+    Two passes so the all-to-all never carries text (the ``scrub_spans``
+    route->mark->cut shape):
+
+    1. the window-key shuffle of ``window_dedup_stage``, emitting ONLY the
+       dropped ``(doc_id, win_idx)`` rows — the duplicated sliver, which is
+       materialized (small by definition: it is the dup rate times the
+       window count);
+    2. a union-tag partition join on ``hash(doc_id)``: docs re-tokenize
+       locally (one extra tokenize pass instead of shipping window text
+       through a shuffle), rebuild windows, drop the flagged ones, and
+       re-join the survivors — all Arrow/numpy, no per-doc Python.
+
+    Output per doc (docs with >= 1 token): ``doc_id, clean_text,
+    n_windows, dup_windows``; ``clean_text == ''`` when every window was
+    dropped. ``clean_text`` is the token-normalized rebuild (lowered,
+    ``[a-z0-9]+`` lexer, single-space joins) — the same normalization the
+    window identity is defined over.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+    W = window
+
+    def to_keys(batch: pa.Table):
+        w = _token_windows(batch, W)
+        if w is None:
+            return
+        wtext, wdoc, wwin, _ = w
+        wh = hash_columns_u64(pa.table({"w": wtext}), ["w"], seed=0)
+        wh2 = hash_columns_u64(pa.table({"w": wtext}), ["w"], seed=0x9E3779B9)
+        yield pa.table(
+            {
+                "wh": pa.array(wh.view(np.int64), pa.int64()),
+                "wh2": pa.array(wh2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"].take(pa.array(wdoc, pa.int64())),
+                "win_idx": pa.array(wwin, pa.int64()),
+                "part": pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dropped_block(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("wh", "ascending"),
+                ("wh2", "ascending"),
+                ("doc_id", "ascending"),
+                ("win_idx", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        wh = g["wh"].to_numpy(zero_copy_only=False)
+        wh2 = g["wh2"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        first[1:] = (wh[1:] != wh[:-1]) | (wh2[1:] != wh2[:-1])
+        dup = pa.array(~first)
+        return pa.table(
+            {"doc_id": g["doc_id"].filter(dup), "win_idx": g["win_idx"].filter(dup)}
+        )
+
+    # the duplicated sliver — materialized so its all-to-all completes
+    # before the rebuild's (cf. decontaminate_bloom's cand barrier)
+    dropped = (
+        docs.map_batches(to_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(dropped_block, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["doc_id"], seed=7)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "win_idx": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "text": b["text"],
+            }
+        )
+
+    def tag_dropped(b: pa.Table):
+        if len(b) == 0:
+            return
+        h = hash_columns_u64(b, ["doc_id"], seed=7)
+        n = len(b)
+        yield pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "win_idx": b["win_idx"],
+                "text": pa.array([""] * n, pa.string()),
+            }
+        )
+
+    def rebuild(grp: pa.Table) -> pa.Table:
+        is_doc = pc.equal(grp["win_idx"], -1)
+        docs_t = grp.filter(is_doc)
+        drop_t = grp.filter(pc.invert(is_doc))
+        batch = pa.table({"doc_id": docs_t["doc_id"], "text": docs_t["text"]})
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_windows": pa.array([], pa.int64()),
+                "dup_windows": pa.array([], pa.int64()),
+            }
+        )
+        w = _token_windows(batch, W)
+        if w is None:
+            return empty
+        wtext, wdoc, wwin, _ = w
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        wdocid = doc_ids[wdoc]
+        dd = drop_t["doc_id"].to_numpy(zero_copy_only=False)
+        dw = drop_t["win_idx"].to_numpy(zero_copy_only=False)
+        alld = np.concatenate([wdocid, dd])
+        _, codes = np.unique(alld, return_inverse=True)
+        span = int(max(wwin.max(initial=0), dw.max(initial=0))) + 1
+        wkey = codes[: len(wdocid)].astype(np.int64) * span + wwin
+        dkey = codes[len(wdocid):].astype(np.int64) * span + dw
+        keep = ~np.isin(wkey, dkey)
+        nd = len(batch)
+        nwin = np.bincount(wdoc, minlength=nd)
+        ndrop = np.bincount(wdoc[~keep], minlength=nd)
+        off2 = np.concatenate([[0], np.cumsum(nwin - ndrop)]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(off2, pa.int32()), wtext.filter(pa.array(keep))
+        )
+        clean = pc.binary_join(lists, " ")
+        has_tok = nwin > 0
+        sel = pa.array(has_tok)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(sel),
+                "clean_text": clean.filter(sel),
+                "n_windows": pa.array(nwin[has_tok].astype(np.int64), pa.int64()),
+                "dup_windows": pa.array(ndrop[has_tok].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            dropped.map_batches(
+                tag_dropped, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("part")
+        .map_groups(
+            lambda grp: rebuild(grp.drop_columns(["part"])),
+            batch_format="pyarrow",
         )
     )

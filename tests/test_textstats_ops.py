@@ -633,3 +633,27 @@ def test_window_dedup_unique_corpus_keeps_everything(ray_session):
     out = window_dedup_stage(ds, window=2, num_partitions=4).to_pandas()
     assert (out["dup_windows"] == 0).all()
     assert (out["tokens_kept"] == out["tokens_total"]).all()
+
+
+def test_window_scrub_rebuilds_from_kept_windows(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import window_scrub_stage
+
+    docs = [
+        "a b c a b c d",   # wins [a b c][a b c][d] -> "a b c d"
+        "a b c x",         # [a b c] dup of doc1 win0 -> "x"
+        "d",               # dup of doc1 win2 -> ""
+        "",                # token-less -> absent
+    ]
+    ds = ray.data.from_arrow(_docs_ids(docs))
+    out = (
+        window_scrub_stage(ds, window=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.index.tolist() == [1, 2, 3]
+    assert out["clean_text"].tolist() == ["a b c d", "x", ""]
+    assert out["n_windows"].tolist() == [3, 2, 1]
+    assert out["dup_windows"].tolist() == [1, 1, 1]
