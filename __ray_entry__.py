@@ -266,6 +266,54 @@ def q_window_scrub(sf_dir: str):
     return window_scrub_stage(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_mixture_plan(sf_dir: str):
+    """Data-mixture resampling plan: per-doc copy count under per-source
+    weights (src0 2.5x up, src1 0.25x down, rest 1x) — row-local,
+    integer-exact deterministic hash."""
+    from deduplicatr_ray.stages.mix import mixture_plan
+
+    return mixture_plan(_docs(sf_dir, ["doc_id", "source"]))
+
+
+def q_mixture_expand(sf_dir: str):
+    """Materialized mixture: one (doc_id, source, epoch) row per sampled copy."""
+    from deduplicatr_ray.stages.mix import mixture_expand
+
+    return mixture_expand(_docs(sf_dir, ["doc_id", "source"]))
+
+
+def q_mixture_summary(sf_dir: str):
+    """Per-source mixture audit: docs in, copies out, realized rate."""
+    from deduplicatr_ray.stages.mix import mixture_source_summary
+
+    return mixture_source_summary(_docs(sf_dir, ["doc_id", "source"]))
+
+
+def _mixture_case_sql() -> str:
+    """CASE expression mirroring stages/mix.py's integer plan — generated
+    from the SAME weight_thresholds() so the two can't drift."""
+    from deduplicatr_ray.stages.mix import (
+        DEFAULT_WEIGHT,
+        DEFAULT_WEIGHTS,
+        MIX_ADD,
+        MIX_MOD,
+        MIX_MUL,
+        weight_thresholds,
+    )
+
+    per_source, (dbase, dthr) = weight_thresholds(DEFAULT_WEIGHTS, DEFAULT_WEIGHT)
+    r = f"((doc_id % {MIX_MOD}) * ({MIX_MUL} % {MIX_MOD}) + {MIX_ADD}) % {MIX_MOD}"
+    arms = "".join(
+        f" WHEN source = '{s}' THEN {b} + "
+        f"(CASE WHEN {r} < {t} THEN 1 ELSE 0 END)"
+        for s, (b, t) in sorted(per_source.items())
+    )
+    return (
+        f"CAST(CASE{arms} ELSE {dbase} + "
+        f"(CASE WHEN {r} < {dthr} THEN 1 ELSE 0 END) END AS BIGINT)"
+    )
+
+
 def q_top_tokens(sf_dir: str):
     """Corpus vocabulary head: 20 most frequent tokens (ties by token)."""
     from deduplicatr_ray.stages.textstats import top_tokens
@@ -1198,6 +1246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "window_dedup": q_window_dedup,
         "window_scrub": q_window_scrub,
+        "mixture_plan": q_mixture_plan,
+        "mixture_expand": q_mixture_expand,
+        "mixture_summary": q_mixture_summary,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1358,6 +1409,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN rn = 1 THEN wtok ELSE 0 END) AS BIGINT)
                      AS tokens_kept
             FROM ranked GROUP BY doc_id
+        """,
+        "mixture_plan": f"""
+            SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
+            FROM documents
+        """,
+        "mixture_expand": f"""
+            SELECT doc_id, source, unnest(range(n_copies)) AS epoch FROM (
+              SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
+              FROM documents)
+        """,
+        "mixture_summary": f"""
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(n_copies) AS BIGINT) AS n_copies,
+                   CAST(sum(n_copies) AS DOUBLE) / count(*) AS realized_rate
+            FROM (
+              SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
+              FROM documents)
+            GROUP BY source
         """,
         "window_scrub": """
             WITH tk AS (

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "top_docs_by_chars",     # O1/O3 sort+limit
     "token_counts",          # text analysis
     "window_dedup",          # C4-style fixed-window span dedup accounting
+    "window_scrub",          # C4-style window removal (route->mark->cut)
+    "mixture_expand",        # data-mixture resampling (zero-shuffle row path)
     "text_quality",          # lang-ID + quality scoring
     "knn_brute",             # similarity search baseline
     "ann_lsh_dups",          # similarity search scale path

@@ -657,3 +657,23 @@ def test_window_scrub_rebuilds_from_kept_windows(ray_session):
     assert out["clean_text"].tolist() == ["a b c d", "x", ""]
     assert out["n_windows"].tolist() == [3, 2, 1]
     assert out["dup_windows"].tolist() == [1, 1, 1]
+
+
+def test_window_scrub_no_dups_is_identity_rebuild(ray_session):
+    """Dup-free corpus: the dropped sliver is EMPTY (zero-block side of the
+    union) and every doc rebuilds to its full token-normalized text."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import window_scrub_stage
+
+    texts = [f"alpha{i} beta{i} gamma{i} delta{i} eps{i}" for i in range(10)]
+    ds = ray.data.from_arrow(_docs_ids(texts))
+    out = (
+        window_scrub_stage(ds, window=3, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 10
+    assert (out["dup_windows"] == 0).all()
+    assert out["clean_text"].tolist() == texts
