@@ -22,16 +22,19 @@ Plan shape (all engine-standard patterns):
 Spans are utf-8 byte offsets (exact for this ASCII corpus; byte-level
 matches may split codepoints otherwise — documented in the kernel).
 
-Scale cost, stated honestly: routing ships each doc's text to <= its
-distinct-fingerprint partition count (~text_len/26 winnowed samples), so
-SA work is ~duplication-factor x corpus bytes, and on HEAVILY duplicated
-corpora the per-suffix marks approach the routed byte count before the
-per-partition interval merge collapses them. That is the same text
-amplification Lee et al. pay via suffix-range sharding; size
-``num_partitions`` so one partition's routed bytes (x ~13 B/suffix of
-kernel state) fits a worker. The doc-level dedup family is the
-sub-linear path; this stage exists for span-level cleanup of the
-survivors.
+Scale cost, stated honestly: a doc's text ships to <= its
+distinct-fingerprint partition count (~text_len/26 winnowed samples) —
+but ONLY for docs holding a fingerprint value repeated corpus-wide (the
+key-only pre-pass in ``_survivor_routes``; marked byte set provably
+unchanged, hash-verified at sf0.01/sf0.1). Routed bytes are therefore
+~duplicated-content x fanout, not corpus x fanout: a mostly-unique
+corpus routes a sliver (sf0.1 measures 2.4x vs 10x unfiltered), while a
+pathological all-duplicates corpus still pays the full fanout (~20x,
+measured in the bench's ``scrub_amp``) — the same text amplification
+Lee et al. pay via suffix-range sharding. Size ``num_partitions`` so one
+partition's routed bytes (x ~13 B/suffix of kernel state) fits a worker.
+The doc-level dedup family is the sub-linear path; this stage exists for
+span-level cleanup of the survivors.
 """
 
 from __future__ import annotations
@@ -95,46 +98,222 @@ def scrub_amplification(
     guarantee_len: int = 50,
     num_partitions: int | None = None,
 ) -> dict:
-    """Measure the routing stage's text amplification on a given corpus:
-    ``routed_bytes / corpus_bytes`` (each doc's text ships to every
-    DISTINCT partition one of its winnowed fingerprints hashes to). This
-    is the stage's documented scale cost — the bench harness reports it on
-    a pathological all-duplicates fixture so the bound in the module
-    docstring is a measured number, not an estimate."""
+    """Measure the SA mark stage's actual text amplification on a given
+    corpus: ``routed_bytes / corpus_bytes`` over the SHIPPED routing path
+    (the repeated-fingerprint prefilter, so routed bytes are
+    duplicated-content-proportional; a unique corpus measures ~0). The
+    bench harness reports it on a pathological all-duplicates fixture —
+    where the prefilter keeps everything — so the worst-case bound in the
+    module docstring is a measured number, not an estimate."""
     import pyarrow.compute as pc
 
     from .lsh import default_num_partitions
-    from .textstats import fingerprint_route_batch
 
     P = int(num_partitions or default_num_partitions())
 
-    def routed_bytes(b: pa.Table) -> pa.Table:
-        r = fingerprint_route_batch(
-            b, w=w, guarantee_len=guarantee_len, num_partitions=P
-        )
-        n = pc.sum(pc.binary_length(r["text"])).as_py() or 0
-        c = pc.sum(pc.binary_length(b["text"])).as_py() or 0
-        return pa.table(
-            {
-                "routed": pa.array([int(n)], pa.int64()),
-                "corpus": pa.array([int(c)], pa.int64()),
-            }
-        )
+    def nbytes(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            n = pc.sum(pc.binary_length(b["text"])).as_py() or 0
+            return pa.table({col: pa.array([int(n)], pa.int64())})
 
-    agg = (
-        docs.map_batches(
-            routed_bytes, batch_format="pyarrow", zero_copy_batch=True
-        )
+        return f
+
+    routed = (
+        _routed_docs(docs, w=w, guarantee_len=guarantee_len, P=P)
+        .map_batches(nbytes("routed"), batch_format="pyarrow", zero_copy_batch=True)
         .materialize()
+        .sum("routed")
+        or 0
     )
-    routed = agg.sum("routed") or 0
-    corpus = agg.sum("corpus") or 0
+    corpus = (
+        docs.map_batches(nbytes("corpus"), batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+        .sum("corpus")
+        or 0
+    )
     return {
         "routed_bytes": int(routed),
         "corpus_bytes": int(corpus),
         "amplification": round(routed / corpus, 3) if corpus else 0.0,
         "num_partitions": P,
     }
+
+
+def fingerprint_run_counts(
+    text: str, *, w: int, guarantee_len: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowed fingerprint values + their RUN multiplicity (number of
+    distinct runs of each value in the windowed-min sequence). A value
+    selected from two separate places in the doc — the signature of a
+    within-doc repeat — counts 2, which ``fingerprint_doc``'s deduplicated
+    value set cannot express. Value set is identical to
+    ``fingerprint_doc``'s (same winnowing)."""
+    from ..functions.textstats import rolling_window_hashes
+
+    window = guarantee_len - w + 1
+    h = rolling_window_hashes(text, w)
+    if len(h) == 0:
+        return h, np.empty(0, np.int64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True)), np.ones(1, np.int64)
+    rmin = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+    runs = rmin[np.concatenate([[True], rmin[1:] != rmin[:-1]])]
+    vals, counts = np.unique(runs, return_counts=True)
+    return vals, counts.astype(np.int64)
+
+
+def _survivor_routes(docs, *, w: int, guarantee_len: int, P: int):
+    """Key-only routing pre-pass: (doc_id, dest partition) pairs for docs
+    holding a fingerprint VALUE with total multiplicity >= 2 corpus-wide.
+
+    Any duplicated substring of >= guarantee_len bytes — across docs OR
+    within one doc — implies such a value (the winnowing guarantee selects
+    the same fingerprint inside both occurrences; within-doc repeats show
+    up as >= 2 runs via ``fingerprint_run_counts``), so routing ONLY these
+    (doc, residue) pairs preserves the marked byte set exactly while the
+    shuffled text volume drops from corpus x fingerprint-fanout to
+    ~duplicated-content x fanout. The pre-pass itself shuffles 20 B/row
+    keys, never text."""
+
+    def fp_rows(batch: pa.Table):
+        vals, dids, cnts = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            v, c = fingerprint_run_counts(t or "", w=w, guarantee_len=guarantee_len)
+            if len(v):
+                vals.append(v)
+                cnts.append(c)
+                dids.append(np.full(len(v), d, np.int64))
+        if not vals:
+            return
+        f = np.concatenate(vals)
+        yield pa.table(
+            {
+                "fp": pa.array(f.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+                "c": pa.array(np.concatenate(cnts), pa.int64()),
+                "part": pa.array(
+                    (f % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def survivors(g: pa.Table) -> pa.Table:
+        fp = g["fp"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(fp, kind="stable")
+        fs = fp[order]
+        starts = np.flatnonzero(np.concatenate([[True], fs[1:] != fs[:-1]]))
+        lens = np.diff(np.append(starts, len(fs)))
+        totals = np.add.reduceat(c[order], starts)
+        keep = order[np.repeat(totals >= 2, lens)]
+        dest = int(g["part"][0].as_py())
+        ud = np.unique(g["doc_id"].to_numpy(zero_copy_only=False)[keep])
+        return pa.table(
+            {
+                "doc_id": pa.array(ud, pa.int64()),
+                "dest": pa.array(np.full(len(ud), dest, np.int32), pa.int32()),
+            }
+        )
+
+    return (
+        docs.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(
+            lambda g: survivors(g),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _routed_docs(
+    docs, *, w: int, guarantee_len: int, P: int, prefilter: bool = True
+):
+    """The SA mark stage's input: (part, doc_id, text) routed rows.
+
+    ``prefilter=True`` (default): the repeated-fingerprint pre-pass above +
+    a union-tag co-partition join on doc_id that ships each surviving doc's
+    text once per destination. ``prefilter=False`` is the direct
+    every-residue fanout (``fingerprint_route_batch``) — same marked byte
+    set, kept as the comparison/verification path."""
+    from ..functions.hashing import splitmix64
+    from .textstats import fingerprint_route_batch
+
+    if not prefilter:
+
+        def route(batch: pa.Table) -> pa.Table:
+            return fingerprint_route_batch(
+                batch, w=w, guarantee_len=guarantee_len, num_partitions=P
+            )
+
+        return docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+
+    # materialized: dup-proportional, and keeps the pre-pass shuffle from
+    # fusing with the join below
+    routes = _survivor_routes(docs, w=w, guarantee_len=guarantee_len, P=P).materialize()
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        n = len(b)
+        return pa.table(
+            {
+                "part2": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "dest": pa.array(np.full(n, -1, np.int32), pa.int32()),
+                "text": b["text"],
+            }
+        )
+
+    def tag_routes(b: pa.Table):
+        if len(b) == 0:
+            return
+        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        yield pa.table(
+            {
+                "part2": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "doc_id": b["doc_id"],
+                "dest": b["dest"],
+                "text": pa.nulls(len(b), pa.string()),
+            }
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_doc = pc.equal(g["dest"], -1)
+        gd = g.filter(is_doc)
+        gr = g.filter(pc.invert(is_doc))
+        if len(gr) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        ids = gd["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], gr["doc_id"].to_numpy(zero_copy_only=False))
+        take = pa.array(order[pos], pa.int64())
+        return pa.table(
+            {
+                "part": gr["dest"].cast(pa.int32()),
+                "doc_id": gr["doc_id"],
+                "text": gd["text"].take(take),
+            }
+        )
+
+    return (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            routes.map_batches(tag_routes, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("part2")
+        .map_groups(
+            lambda g: emit(g.drop_columns(["part2"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def duplicate_spans(
@@ -145,6 +324,7 @@ def duplicate_spans(
     min_len: int = 50,
     num_partitions: int | None = None,
     merged: bool = True,
+    prefilter: bool = True,
 ):
     """docs (doc_id, text) -> (doc_id, start, end) byte spans of content
     duplicating an earlier (doc_id, offset) occurrence; per-doc interval
@@ -153,14 +333,9 @@ def duplicate_spans(
     own doc_id co-partition — one less all-to-all."""
     from ..functions.suffix import sa_duplicate_spans
     from .lsh import default_num_partitions
-    from .textstats import fingerprint_route_batch, group_unique_docs
+    from .textstats import group_unique_docs
 
     P = int(num_partitions or default_num_partitions())
-
-    def route(batch: pa.Table) -> pa.Table:
-        return fingerprint_route_batch(
-            batch, w=w, guarantee_len=guarantee_len, num_partitions=P
-        )
 
     def mark(g: pa.Table) -> pa.Table:
         uids, texts = group_unique_docs(g)
@@ -193,7 +368,7 @@ def duplicate_spans(
     # the read's block count (4) and the SA work runs 4-wide on a 32-CPU
     # box (profiled: 28s -> 6s at sf0.1)
     spans = (
-        docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        _routed_docs(docs, w=w, guarantee_len=guarantee_len, P=P, prefilter=prefilter)
         .repartition(P)
         .groupby("part")
         .map_groups(mark, batch_format="pyarrow")
@@ -217,6 +392,7 @@ def scrub_spans(
     guarantee_len: int = 50,
     min_len: int = 50,
     num_partitions: int | None = None,
+    prefilter: bool = True,
 ):
     """docs (doc_id, text) -> (doc_id, n_spans, n_bytes_removed, text)
     with duplicated spans cut out (first occurrence kept). Every doc of
@@ -237,6 +413,7 @@ def scrub_spans(
         min_len=min_len,
         num_partitions=num_partitions,
         merged=False,  # the cut co-partition below does the interval union
+        prefilter=prefilter,
     ).materialize()
 
     # union-tag co-partition: span rows carry (start, end); doc rows carry

@@ -129,3 +129,47 @@ def test_scrub_span_edge_mid_codepoint(ray_session):
     assert out.loc[1, "n_bytes_removed"] >= 50
     assert "è" in out.loc[1, "text"]
     assert "k" * 50 not in out.loc[1, "text"]
+
+
+def test_prefilter_routing_matches_full_fanout(ray_session):
+    """The repeated-fingerprint routing prefilter must not change the
+    scrubbed output on a mixed corpus (cross-doc dups, within-doc repeat,
+    unique docs, empty doc)."""
+    import pyarrow as pa
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a very long tune about rivers and mountains and distant cities"
+    )
+    texts = [
+        base + " tail one",
+        "prefix junk " + base,                      # shares >=50B with doc 0
+        "self " + base[:60] + " filler " + base[:60],  # within-doc repeat
+        "completely unique text with nothing shared at all anywhere here today",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    a = (
+        scrub_spans(ray.data.from_arrow(tbl), num_partitions=8, prefilter=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        scrub_spans(ray.data.from_arrow(tbl), num_partitions=8, prefilter=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert b.loc[1, "n_spans"] >= 1        # cross-doc dup scrubbed
+    assert b.loc[2, "n_spans"] >= 1        # within-doc repeat scrubbed
+    assert b.loc[3, "n_bytes_removed"] == 0
