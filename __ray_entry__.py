@@ -289,6 +289,14 @@ def q_mixture_summary(sf_dir: str):
     return mixture_source_summary(_docs(sf_dir, ["doc_id", "source"]))
 
 
+def q_mixture_chunks(sf_dir: str):
+    """Composed mixture -> sequence packing: per sampled copy, its layout
+    in the concatenated training stream (stream order = (doc_id, epoch))."""
+    from deduplicatr_ray.stages.mix import mixture_chunks
+
+    return mixture_chunks(_docs(sf_dir, ["doc_id", "source", "text"]))
+
+
 def _mixture_case_sql() -> str:
     """CASE expression mirroring stages/mix.py's integer plan — generated
     from the SAME weight_thresholds() so the two can't drift."""
@@ -1249,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_plan": q_mixture_plan,
         "mixture_expand": q_mixture_expand,
         "mixture_summary": q_mixture_summary,
+        "mixture_chunks": q_mixture_chunks,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1427,6 +1436,31 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
               FROM documents)
             GROUP BY source
+        """,
+        "mixture_chunks": f"""
+            WITH exp AS (
+              SELECT doc_id, unnest(range(n_copies)) AS epoch, text FROM (
+                SELECT doc_id, {_mixture_case_sql()} AS n_copies, text
+                FROM documents)
+            ), toks AS (
+              SELECT doc_id, epoch,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS BIGINT) AS n_tokens
+              FROM exp
+            ), c AS (
+              SELECT doc_id, epoch, n_tokens,
+                     CAST(COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id * 8 + epoch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS BIGINT) AS start_offset
+              FROM toks
+            )
+            SELECT doc_id, epoch, n_tokens, start_offset,
+                   start_offset // 512 AS first_chunk,
+                   CASE WHEN n_tokens > 0
+                        THEN (start_offset + n_tokens - 1) // 512
+                        ELSE start_offset // 512 END AS last_chunk
+            FROM c
         """,
         "window_scrub": """
             WITH tk AS (

@@ -116,13 +116,9 @@ def mixture_expand(
         starts = np.concatenate([[0], np.cumsum(copies)[:-1]])
         epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, copies)
         take = pa.array(row, pa.int64())
-        yield pa.table(
-            {
-                "doc_id": batch["doc_id"].take(take),
-                "source": batch["source"].take(take),
-                "epoch": pa.array(epoch, pa.int64()),
-            }
-        )
+        # all input columns pass through (text rides along for consumers
+        # like mixture_chunks); epoch is appended
+        yield batch.take(take).append_column("epoch", pa.array(epoch, pa.int64()))
 
     return docs.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -154,3 +150,69 @@ def mixture_source_summary(
         )
 
     return agg.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MAX_COPIES = 8
+
+
+def mixture_chunks(
+    docs,
+    *,
+    weights: dict[str, float] | None = None,
+    default: float = DEFAULT_WEIGHT,
+    chunk_tokens: int = 512,
+    max_copies: int = MAX_COPIES,
+):
+    """Composed mixture -> packing: expand docs by their mixture copy
+    counts, then lay every copy out in the concatenated training stream
+    with the engine's distributed prefix scan (``stages/pack.py``) — the
+    "epoch multipliers then pack" step of a real training-data build.
+
+    The packer's ordering key must be unique, so copies pack under
+    ``packed_id = doc_id * max_copies + epoch`` (stream order =
+    ``(doc_id, epoch)``); fails loudly if a weight rounds up to
+    >= ``max_copies`` copies or a doc_id would overflow the composite.
+
+    Output per copy: ``doc_id, epoch, n_tokens, start_offset,
+    first_chunk, last_chunk``.
+    """
+    from .pack import token_chunk_stage
+
+    per_source, dflt = weight_thresholds(weights, default)
+    hi = max(b + (1 if t > 0 else 0) for b, t in [*per_source.values(), dflt])
+    if hi > max_copies:
+        raise ValueError(
+            f"mixture weight needs up to {hi} copies; raise max_copies (={max_copies})"
+        )
+    M = int(max_copies)
+
+    exp = mixture_expand(docs, weights=weights, default=default)
+
+    def pack_id(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 62) // M:
+            raise ValueError("doc_id too large for the packed composite id")
+        packed = ids * M + b["epoch"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(packed, pa.int64()), "text": b["text"]}
+        )
+
+    layout = token_chunk_stage(
+        exp.map_batches(pack_id, batch_format="pyarrow", zero_copy_batch=True),
+        chunk_tokens=chunk_tokens,
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(p // M, pa.int64()),
+                "epoch": pa.array(p % M, pa.int64()),
+                "n_tokens": b["n_tokens"],
+                "start_offset": b["start_offset"],
+                "first_chunk": b["first_chunk"],
+                "last_chunk": b["last_chunk"],
+            }
+        )
+
+    return layout.map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)

@@ -102,3 +102,53 @@ def test_mixture_large_doc_ids_no_overflow(ray_session):
     ).to_pandas()
     assert set(out["n_copies"]) <= {1, 2}
     assert (out["n_copies"] >= 1).all()
+
+
+def test_mixture_chunks_dense_layout(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.mix import mixture_chunks
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(30)), pa.int64()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(30)]),
+            "text": pa.array([f"tok{i} alpha beta gamma" for i in range(30)]),
+        }
+    )
+    out = (
+        mixture_chunks(
+            ray.data.from_arrow(t), weights={"a": 3.0, "b": 1.0}, chunk_tokens=4
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "epoch"])
+        .reset_index(drop=True)
+    )
+    # copies: odd ids (a) 3x, even ids (b) 1x
+    counts = out.groupby("doc_id").size()
+    assert all(counts[d] == (3 if d % 2 else 1) for d in range(30))
+    # densely packed in (doc_id, epoch) order: each start = prev start + prev len
+    assert out["start_offset"].iloc[0] == 0
+    assert (
+        out["start_offset"].iloc[1:].to_numpy()
+        == (out["start_offset"] + out["n_tokens"]).iloc[:-1].to_numpy()
+    ).all()
+    # chunk spans consistent with 4-token chunks
+    assert (out["first_chunk"] == out["start_offset"] // 4).all()
+
+
+def test_mixture_chunks_max_copies_guard(ray_session):
+    import pytest
+    import ray
+
+    from deduplicatr_ray.stages.mix import mixture_chunks
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "source": pa.array(["a"]),
+            "text": pa.array(["x"]),
+        }
+    )
+    with pytest.raises(ValueError):
+        mixture_chunks(ray.data.from_arrow(t), weights={"a": 9.5})
