@@ -289,6 +289,18 @@ def q_mixture_summary(sf_dir: str):
     return mixture_source_summary(_docs(sf_dir, ["doc_id", "source"]))
 
 
+def q_canonical_dup_assign(sf_dir: str):
+    """CCNet-style canonical-form dedup (lower + digit-fold + whitespace
+    collapse): every doc -> min doc_id of its canonical-text group —
+    catches casing/counter/timestamp variants byte-exact dedup misses.
+    (The groups-only report, ``canonical_dup_groups``, is exercised in
+    pytest on a variant-bearing fixture; this sf corpus has no raw-text
+    dups so the assign form keeps the oracle compare non-degenerate.)"""
+    from deduplicatr_ray.stages.textstats import canonical_dup_assign
+
+    return canonical_dup_assign(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_mixture_chunks(sf_dir: str):
     """Composed mixture -> sequence packing: per sampled copy, its layout
     in the concatenated training stream (stream order = (doc_id, epoch))."""
@@ -1258,6 +1270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_expand": q_mixture_expand,
         "mixture_summary": q_mixture_summary,
         "mixture_chunks": q_mixture_chunks,
+        "canonical_dup_assign": q_canonical_dup_assign,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1436,6 +1449,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
               FROM documents)
             GROUP BY source
+        """,
+        "canonical_dup_assign": r"""
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[0-9]', '0', 'g'), '\s+', ' ', 'g')))
+                     AS canonical_id
+            FROM documents
         """,
         "mixture_chunks": f"""
             WITH exp AS (

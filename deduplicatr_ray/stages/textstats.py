@@ -1669,3 +1669,162 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
             batch_format="pyarrow",
         )
     )
+
+
+def canonical_text_array(texts: pa.Array) -> pa.Array:
+    """CCNet-style canonical form: lower + digit-fold (every digit -> 0) +
+    whitespace collapse + trim. All RE2 kernels — identical semantics to
+    the DuckDB regexp_replace mirror (verified by the oracle hash)."""
+    import pyarrow.compute as pc
+
+    return pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(pc.utf8_lower(texts), "[0-9]", "0"),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def canonical_dup_groups(docs, *, num_partitions: int | None = None):
+    """Canonical-form dedup (the CCNet trick): docs identical after
+    lower/digit-fold/whitespace-collapse form one group — catches the
+    casing, counter and timestamp variants byte-exact dedup misses, at
+    near-exact-dedup cost (row-local normalize, key-only groupby).
+
+    Shape: per batch, normalize (vectorized RE2) and key with a 128-bit
+    hash (two 64-bit row hashes — canonical strings never enter the
+    shuffle); one hash-partition groupby marks groups; per-doc metadata
+    (count, char mass) pre-aggregates in the same pass.
+
+    Output: one row per DUPLICATED canonical form: ``keep_id`` (min
+    doc_id), ``n_docs``, ``total_chars``.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ct = pa.table({"c": canonical_text_array(batch["text"])})
+        h1 = hash_columns_u64(ct, ["c"], seed=0)
+        h2 = hash_columns_u64(ct, ["c"], seed=0x9E3779B9)
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+                "n_chars": batch["n_chars"],
+                "part": pa.array(
+                    (h1 % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def groups(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        keep = lens >= 2
+        if not keep.any():
+            return pa.table(
+                {
+                    "keep_id": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "total_chars": pa.array([], pa.int64()),
+                }
+            )
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        chars = g["n_chars"].to_numpy(zero_copy_only=False)
+        sums = np.add.reduceat(chars, starts)
+        return pa.table(
+            {
+                # doc_ids are sorted within a run, so the run head is min
+                "keep_id": pa.array(ids[starts[keep]], pa.int64()),
+                "n_docs": pa.array(lens[keep].astype(np.int64), pa.int64()),
+                "total_chars": pa.array(sums[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(groups, batch_format="pyarrow")
+    )
+
+
+def canonical_dup_assign(docs, *, num_partitions: int | None = None):
+    """Per-doc canonical assignment under the CCNet canonical form: every
+    doc -> min doc_id of its canonical-text group (== itself when unique).
+    Same key-only shuffle as ``canonical_dup_groups``; output has one row
+    per input doc, so it stays well-formed on dup-free corpora."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ct = pa.table({"c": canonical_text_array(batch["text"])})
+        h1 = hash_columns_u64(ct, ["c"], seed=0)
+        h2 = hash_columns_u64(ct, ["c"], seed=0x9E3779B9)
+        return pa.table(
+            {
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+                "doc_id": batch["doc_id"],
+                "part": pa.array(
+                    (h1 % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def assign(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["part"])
+        n = len(g)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("h1", "ascending"),
+                ("h2", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        h1 = g["h1"].to_numpy(zero_copy_only=False)
+        h2 = g["h2"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        seg = np.cumsum(first) - 1
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        canon = ids[np.flatnonzero(first)][seg]  # run head = run min (sorted)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "canonical_id": pa.array(canon, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(assign, batch_format="pyarrow")
+    )

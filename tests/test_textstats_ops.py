@@ -677,3 +677,66 @@ def test_window_scrub_no_dups_is_identity_rebuild(ray_session):
     assert len(out) == 10
     assert (out["dup_windows"] == 0).all()
     assert out["clean_text"].tolist() == texts
+
+
+def test_canonical_dedup_folds_case_digits_whitespace(ray_session):
+    """CCNet canonical form: case, digit, and whitespace variants group;
+    genuinely different text does not."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import (
+        canonical_dup_assign,
+        canonical_dup_groups,
+    )
+
+    texts = [
+        "Breaking News: 17 things happened today",     # 1
+        "breaking   news: 99 things HAPPENED today",   # 2 -> variant of 1
+        "breaking news: 00 things happened today  ",   # 3 -> variant of 1
+        "completely different article body",           # 4
+        "Completely\tDIFFERENT article body",          # 5 -> variant of 4
+        "a third unrelated text",                      # 6
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 7)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    assign = (
+        canonical_dup_assign(ds, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")["canonical_id"]
+        .tolist()
+    )
+    assert assign == [1, 1, 1, 4, 4, 6]
+    groups = (
+        canonical_dup_groups(ray.data.from_arrow(tbl), num_partitions=4)
+        .to_pandas()
+        .sort_values("keep_id")
+        .reset_index(drop=True)
+    )
+    assert groups["keep_id"].tolist() == [1, 4]
+    assert groups["n_docs"].tolist() == [3, 2]
+    assert groups["total_chars"].tolist() == [
+        sum(len(t) for t in texts[:3]),
+        len(texts[3]) + len(texts[4]),
+    ]
+
+
+def test_canonical_dup_groups_empty_on_unique_corpus(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.textstats import canonical_dup_groups
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["alpha beta", "gamma delta"], pa.string()),
+            "n_chars": pa.array([10, 11], pa.int64()),
+        }
+    )
+    out = canonical_dup_groups(ray.data.from_arrow(tbl), num_partitions=4)
+    assert sum(len(b) for b in out.iter_batches(batch_format="pyarrow")) == 0
