@@ -205,6 +205,88 @@ def cmd_export(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_scrub(args: argparse.Namespace) -> int:
+    """Span-level duplicate-text removal to Parquet: ExactSubstr byte spans
+    (``scrub_spans``) or C4-style fixed-token windows (``window_scrub``)."""
+    import ray
+
+    from .sources.pages import read_parquet_auto
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        docs = read_parquet_auto(args.input, columns=["doc_id", "text"])
+        if args.mode == "exact-substring":
+            from .stages.scrub import scrub_spans
+
+            out = scrub_spans(docs, min_len=args.min_len)
+            removed_col = "n_bytes_removed"
+        else:
+            from .stages.textstats import window_scrub_stage
+
+            out = window_scrub_stage(docs, window=args.window)
+            removed_col = "dup_windows"
+        out = out.materialize()
+        out.write_parquet(args.output)
+        from ray.data.aggregate import Count, Sum
+
+        agg = out.aggregate(
+            Count(alias_name="docs"), Sum(removed_col, alias_name="removed")
+        ) or {"docs": 0, "removed": 0}
+        agg["mode"] = args.mode
+        agg["wall_sec"] = round(time.monotonic() - t0, 3)
+        agg["out_dir"] = args.output
+        print(json.dumps(agg, default=int))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Data-mixture resampling to Parquet: expand docs by per-source
+    weights ("src=2.5" upsamples, "src=0.25" downsamples; unlisted sources
+    use --default) and write one row per sampled copy."""
+    import ray
+
+    from .sources.pages import read_parquet_auto
+    from .stages.mix import mixture_expand, mixture_source_summary
+
+    weights = {}
+    for spec in args.weight or []:
+        s, _, w = spec.partition("=")
+        if not _ or not s:
+            raise SystemExit(f"--weight expects SOURCE=FLOAT, got {spec!r}")
+        weights[s] = float(w)
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        docs = read_parquet_auto(
+            args.input, columns=["doc_id", "source", "text"]
+        )
+        mixture_expand(docs, weights=weights, default=args.default).write_parquet(
+            args.output
+        )
+        summary = mixture_source_summary(
+            read_parquet_auto(args.input, columns=["doc_id", "source"]),
+            weights=weights,
+            default=args.default,
+        ).to_pandas()
+        print(
+            json.dumps(
+                {
+                    "sources": summary.to_dict(orient="records"),
+                    "wall_sec": round(time.monotonic() - t0, 3),
+                    "out_dir": args.output,
+                },
+                default=str,
+            )
+        )
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -272,6 +354,37 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--chunk-tokens", type=int, default=512)
     pe.add_argument("--shard-chunks", type=int, default=64)
     pe.set_defaults(fn=cmd_export)
+
+    ps = sub.add_parser(
+        "scrub",
+        help="span-level duplicate removal: ExactSubstr byte spans or "
+        "C4-style fixed-token windows",
+    )
+    ps.add_argument("--input", required=True, help="documents parquet file/dir")
+    ps.add_argument("--output", required=True, help="scrubbed parquet out dir")
+    ps.add_argument(
+        "--mode",
+        default="exact-substring",
+        choices=["exact-substring", "window"],
+    )
+    ps.add_argument("--min-len", type=int, default=50, help="exact-substring span floor")
+    ps.add_argument("--window", type=int, default=25, help="window mode token width")
+    ps.set_defaults(fn=cmd_scrub)
+
+    pm = sub.add_parser(
+        "mix",
+        help="data-mixture resampling: expand docs by per-source weights",
+    )
+    pm.add_argument("--input", required=True, help="documents parquet file/dir")
+    pm.add_argument("--output", required=True, help="expanded parquet out dir")
+    pm.add_argument(
+        "--weight",
+        action="append",
+        metavar="SOURCE=FLOAT",
+        help="per-source weight (repeatable)",
+    )
+    pm.add_argument("--default", type=float, default=1.0)
+    pm.set_defaults(fn=cmd_mix)
 
     args = p.parse_args(argv)
     return args.fn(args)
