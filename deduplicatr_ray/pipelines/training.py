@@ -2,7 +2,8 @@
 before LLM training, composed from the engine's own stages —
 
     quality filter  ->  dedup (canonical per cluster)  ->
-    benchmark decontamination  ->  sequence packing  ->  sharded Parquet
+    benchmark decontamination  ->  [optional ExactSubstr span scrub]  ->
+    sequence packing  ->  sharded Parquet
 
 Every step is the corresponding production operator (not a re-derivation):
 ``quality_filter_stage`` (row-local C4/Gopher chain), the flagship
@@ -53,6 +54,7 @@ def training_export(
     clusters=None,
     bloom: bool | None = None,
     bloom_eval_docs: int = 10_000,
+    scrub: bool = False,
 ):
     """-> Dataset of kept docs with their training-chunk layout:
 
@@ -187,6 +189,18 @@ def training_export(
         right_on="keep_id",
         num_partitions=P_join,
     )
+
+    if scrub:
+        # span-level cleanup of the SURVIVORS (Lee et al. ExactSubstr):
+        # doc-level dedup keeps one doc per near-dup cluster, the scrub
+        # then cuts residual duplicated spans ACROSS kept docs before the
+        # stream is packed. Doc-id set is unchanged (every kept doc stays,
+        # possibly shorter), so only token counts/offsets move.
+        from ..stages.scrub import scrub_spans
+
+        kept_docs = scrub_spans(kept_docs.materialize()).select_columns(
+            ["doc_id", "text"]
+        )
 
     layout = token_chunk_stage(kept_docs, chunk_tokens=chunk_tokens)
 

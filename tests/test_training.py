@@ -98,3 +98,28 @@ def test_training_export_writes_resumable_shards(ray_session, tmp_path):
     assert shards == {
         f"chunk_shard={int(v)}" for v in res["chunk_shard"].unique()
     }
+
+
+def test_training_export_scrub_knob(ray_session):
+    """scrub=True cuts residual duplicated spans across the kept docs but
+    keeps the doc set and dense packing: same ids, token counts <= the
+    unscrubbed export, offsets still gap-free."""
+    from deduplicatr_ray.pipelines.training import training_export
+
+    plain = (
+        training_export(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    scrubbed = (
+        training_export(SF, scrub=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert scrubbed["doc_id"].tolist() == plain["doc_id"].tolist()
+    assert (scrubbed["n_tokens"] <= plain["n_tokens"]).all()
+    s = scrubbed
+    assert int(s["start_offset"].iloc[0]) == 0
+    assert (
+        s["start_offset"].values[1:]
+        == (s["start_offset"] + s["n_tokens"]).values[:-1]
+    ).all()
