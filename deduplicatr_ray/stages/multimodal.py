@@ -6,8 +6,9 @@ plumbing — schemas, actor-pool signatures, small batch sizes for large
 payloads, output layout — is real and tested. Decode modes:
 
 * ``decode=\"real\"``: REAL decoding for the container-decodable formats —
-  WAV/PCM audio (stdlib ``wave``) and binary PPM/PGM images (numpy header
-  parse) — producing real sample/pixel-derived features and real
+  WAV/PCM audio (stdlib ``wave``), binary PPM/PGM images (numpy header
+  parse) and uncompressed 24/32-bit BMP images (struct header parse) —
+  producing real sample/pixel-derived features and real
   nearest-neighbor resizes. Codec formats (JPEG/PNG/MP4...) raise
   ``NotImplementedError`` naming the needed library (``fallback=True``
   routes them to the deterministic stand-in instead, so mixed tables keep
@@ -80,6 +81,67 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     return pix.reshape(h, w, c)
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB.
+    Pure struct/numpy header parse — real decoding, no image libraries
+    (alpha dropped; bottom-up and top-down row orders both handled)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={comp})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    buf = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off)
+    rows = buf.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[..., 2::-1])  # BGR(A) -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes
+    (inverse of decode_bmp; test/fixture seam)."""
+    import struct
+
+    h, w, _ = pixels.shape
+    pad = (-(w * 3)) % 4
+    bgr = pixels[::-1, :, ::-1]  # bottom-up rows, RGB -> BGR
+    if pad:
+        body = np.zeros((h, w * 3 + pad), np.uint8)
+        body[:, : w * 3] = bgr.reshape(h, w * 3)
+        raw = body.tobytes()
+    else:
+        raw = np.ascontiguousarray(bgr).tobytes()
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raw), 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0
+        )
+    )
+    return hdr + raw
+
+
+def bmp_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature over decoded BMP pixels (same statistic
+    family as ``pnm_feature``: block means, histogram, channel moments)."""
+    return _pixel_feature(decode_bmp(payload).astype(np.float32))
+
+
 def encode_pnm(pixels: np.ndarray) -> bytes:
     """(h, w, c) uint8 -> binary PPM/PGM bytes (inverse of decode_pnm)."""
     h, w, c = pixels.shape
@@ -108,7 +170,12 @@ def wav_feature(payload: bytes) -> np.ndarray:
 def pnm_feature(payload: bytes) -> np.ndarray:
     """Real 32-dim image feature: 16 grayscale 4x4 block means, 8-bin
     histogram, per-channel mean+std (grayscale duplicated), h/w scale."""
-    pix = decode_pnm(payload).astype(np.float32)
+    return _pixel_feature(decode_pnm(payload).astype(np.float32))
+
+
+def _pixel_feature(pix: np.ndarray) -> np.ndarray:
+    """(h, w, c) float32 pixels -> the 32-dim image feature (shared by the
+    PNM and BMP decoders)."""
     h, w, c = pix.shape
     gray = pix.mean(axis=2)
     yb = np.round(np.linspace(0, h, 5)).astype(int)
@@ -156,8 +223,9 @@ class MediaFeatureActor:
     ``batch_size``; see ``media_feature_stage``). One decoder instance per
     actor, built in ``__init__``.
 
-    ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``) and binary
-    PPM/PGM (``P6``/``P5``) are REALLY decoded (stdlib wave / numpy) into
+    ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``), binary
+    PPM/PGM (``P6``/``P5``) and uncompressed BMP (``BM``) are REALLY
+    decoded (stdlib wave / struct / numpy) into
     sample- and pixel-derived features; any other format raises
     ``NotImplementedError`` naming the missing library unless
     ``fallback=True`` routes it to the deterministic stand-in (for mixed
@@ -181,14 +249,16 @@ class MediaFeatureActor:
     def _feature(self, payload: bytes) -> np.ndarray:
         if self.decode == "fake":
             return self._fake_feature(payload)
-        if payload[:4] == b"RIFF" or payload[:2] in (b"P5", b"P6"):
+        if payload[:4] == b"RIFF" or payload[:2] in (b"P5", b"P6", b"BM"):
             # dispatch is on magic bytes only — an arbitrary blob starting
-            # with RIFF/P5/P6 can still fail header parsing; with
+            # with RIFF/P5/P6/BM can still fail header parsing; with
             # fallback=True such rows route to the stand-in instead of
             # crashing the actor batch
             try:
                 if payload[:4] == b"RIFF":
                     return wav_feature(payload)
+                if payload[:2] == b"BM":
+                    return bmp_feature(payload)
                 return pnm_feature(payload)
             except Exception:
                 if self.fallback:
@@ -198,7 +268,8 @@ class MediaFeatureActor:
             return self._fake_feature(payload)
         raise NotImplementedError(
             "codec-format payload (JPEG/PNG/MP4...) needs PIL/ffmpeg — not in "
-            "this container; stdlib-real formats are WAV and binary PPM/PGM"
+            "this container; stdlib-real formats are WAV, binary PPM/PGM and "
+            "uncompressed 24/32-bit BMP"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

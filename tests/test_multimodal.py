@@ -131,3 +131,90 @@ def _to_ds(df):
     import ray.data as rd
 
     return rd.from_pandas(df)
+
+
+def test_bmp_roundtrip_and_feature_matches_pnm(ray_session):
+    """encode_bmp/decode_bmp roundtrip exactly; the BMP feature of the
+    same pixels equals the PNM feature (shared pixel-statistic kernel),
+    including the 4-byte row-padding case (odd width)."""
+    import numpy as np
+
+    from deduplicatr_ray.stages.multimodal import (
+        bmp_feature,
+        decode_bmp,
+        encode_bmp,
+        encode_pnm,
+        pnm_feature,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (5, 7), (3, 2)]:  # odd widths exercise padding
+        pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_bmp(pix)
+        assert payload[:2] == b"BM"
+        back = decode_bmp(payload)
+        assert (back == pix).all()
+        fb = bmp_feature(payload)
+        fp = pnm_feature(encode_pnm(pix))
+        # equal_nan: sub-4px-wide images yield empty 4x4 blocks (nan mean)
+        # in BOTH decoders — the parity assertion is what matters here
+        assert np.allclose(fb, fp, equal_nan=True)
+
+
+def test_bmp_top_down_and_32bpp(ray_session):
+    """Top-down (negative height) and 32-bpp BMP variants decode to the
+    same RGB pixels; junk after 'BM' magic raises (fallback path covers
+    it in the actor)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from deduplicatr_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    base = encode_bmp(pix)
+    # rewrite as top-down: negate height, rows already bottom-up in base —
+    # flip the body
+    body = np.frombuffer(base[54:], np.uint8).reshape(4, -1)[::-1].tobytes()
+    td = base[:22] + struct.pack("<i", -4) + base[26:54] + body
+    assert (decode_bmp(td) == pix).all()
+    # 32bpp: interleave alpha
+    bgra = np.zeros((4, 4, 4), np.uint8)
+    bgra[..., :3] = pix[..., ::-1]
+    bgra[..., 3] = 255
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + bgra.nbytes, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 4, 4, 1, 32, 0, bgra.nbytes, 0, 0, 0, 0)
+    )
+    p32 = hdr + bgra[::-1].tobytes()
+    assert (decode_bmp(p32) == pix).all()
+    with pytest.raises(Exception):
+        decode_bmp(b"BMjunkjunkjunk")
+
+
+def test_media_feature_stage_decodes_bmp(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from deduplicatr_ray.stages.multimodal import (
+        bmp_feature,
+        encode_bmp,
+        media_feature_stage,
+    )
+
+    pix = np.full((6, 6, 3), 200, np.uint8)
+    tbl = pa.table(
+        {
+            "media_id": pa.array(["m1"]),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_bmp(pix)], pa.binary()),
+            "meta": pa.array(["{}"]),
+        }
+    )
+    out = media_feature_stage(
+        ray.data.from_arrow(tbl), decode="real", fallback=False
+    ).to_pandas()
+    assert np.allclose(np.array(out["feature"][0]), bmp_feature(encode_bmp(pix)))
