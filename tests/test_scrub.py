@@ -173,3 +173,37 @@ def test_prefilter_routing_matches_full_fanout(ray_session):
     assert b.loc[1, "n_spans"] >= 1        # cross-doc dup scrubbed
     assert b.loc[2, "n_spans"] >= 1        # within-doc repeat scrubbed
     assert b.loc[3, "n_bytes_removed"] == 0
+
+
+def test_prefilter_all_unique_routes_nothing(ray_session):
+    """A fully unique corpus must route ZERO text into the SA shuffle (the
+    prefilter's whole point) and still emit every doc untouched."""
+    import pyarrow as pa
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_amplification, scrub_spans
+
+    # every token carries the doc index, so no 25-char window repeats
+    # anywhere in the corpus (a shared template phrase would legitimately
+    # route: repeated fingerprint VALUES below the 50-byte guarantee are a
+    # harmless superset the prefilter keeps)
+    texts = [
+        " ".join(f"word{i}x{j}q" for j in range(12)) for i in range(40)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    amp = scrub_amplification(ray.data.from_arrow(tbl), num_partitions=8)
+    assert amp["routed_bytes"] == 0
+    assert amp["amplification"] == 0.0
+    out = (
+        scrub_spans(ray.data.from_arrow(tbl), num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert len(out) == 40
+    assert (out["n_spans"] == 0).all()
+    assert out["text"].tolist() == texts

@@ -740,3 +740,42 @@ def test_canonical_dup_groups_empty_on_unique_corpus(ray_session):
     )
     out = canonical_dup_groups(ray.data.from_arrow(tbl), num_partitions=4)
     assert sum(len(b) for b in out.iter_batches(batch_format="pyarrow")) == 0
+
+
+def test_window_ops_degenerate_inputs(ray_session):
+    """Window width 1, all-empty corpus, single-token docs — no crashes,
+    sane outputs."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import (
+        window_dedup_stage,
+        window_scrub_stage,
+    )
+
+    # all-empty corpus -> empty outputs (no schema-less crash)
+    empty = ray.data.from_arrow(_docs_ids(["", "", ""]))
+    assert (
+        sum(len(b) for b in window_dedup_stage(empty, window=5, num_partitions=2)
+            .iter_batches(batch_format="pyarrow")) == 0
+    )
+    assert (
+        sum(len(b) for b in window_scrub_stage(empty, window=5, num_partitions=2)
+            .iter_batches(batch_format="pyarrow")) == 0
+    )
+    # window=1: token-level dedup; "a b a" keeps first a, b
+    out = (
+        window_dedup_stage(
+            ray.data.from_arrow(_docs_ids(["a b a"])), window=1, num_partitions=2
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    assert out["n_windows"] == 3 and out["dup_windows"] == 1
+    sc = (
+        window_scrub_stage(
+            ray.data.from_arrow(_docs_ids(["a b a"])), window=1, num_partitions=2
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    assert sc["clean_text"] == "a b"
