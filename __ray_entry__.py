@@ -1024,6 +1024,10 @@ def q_substring_pairs_exact(sf_dir: str):
         min_len=50,
         guarantee_len=50,
         group_cap=1_000_000,
+        # exact at min_len == guarantee_len: any >= 50-char-sharing pair
+        # shares a fingerprint VALUE, so the dup-proportional routing
+        # prefilter preserves the pair set while skipping unique docs
+        prefilter=True,
     ).drop_columns(["lcs_len"])
 
 

@@ -742,6 +742,7 @@ def suffix_array_pairs(
     min_len: int = 25,
     group_cap: int = 256,
     num_partitions: int | None = None,
+    prefilter: bool = False,
 ):
     """TRUE suffix-array substring pass (D5's "optional suffix-array pass").
 
@@ -767,14 +768,14 @@ def suffix_array_pairs(
     import numpy as _np
 
     from ..functions.suffix import sa_doc_pairs
-    from ..functions.textstats import fingerprint_doc
     from .lsh import default_num_partitions
 
     P = int(num_partitions or default_num_partitions())
-
-    def route(batch: pa.Table) -> pa.Table:
-        return fingerprint_route_batch(
-            batch, w=w, guarantee_len=guarantee_len, num_partitions=P
+    if prefilter and min_len < guarantee_len:
+        raise ValueError(
+            "prefilter routing preserves the pair set only for "
+            "min_len >= guarantee_len (below the guarantee, pairs are found "
+            "by coincidental co-location that the prefilter cannot see)"
         )
 
     def sa_block(g: pa.Table) -> pa.Table:
@@ -790,8 +791,16 @@ def suffix_array_pairs(
             }
         )
 
+    # routing: the scrub module's shared router — prefilter=True gates the
+    # SA shuffle on the key-only repeated-fingerprint pre-pass (exact for
+    # min_len >= guarantee_len: any qualifying pair shares a fingerprint
+    # VALUE, so both docs reach that value's residue group)
+    from .scrub import _routed_docs
+
     pairs = (
-        docs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+        _routed_docs(
+            docs, w=w, guarantee_len=guarantee_len, P=P, prefilter=prefilter
+        )
         .repartition(P)  # ~P mark tasks; the sort otherwise inherits the
         .groupby("part")  # read's block count and the SA runs few-wide
         .map_groups(sa_block, batch_format="pyarrow")
