@@ -301,6 +301,30 @@ def q_canonical_dup_assign(sf_dir: str):
     return canonical_dup_assign(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion counts of the n-gram lang
+    heuristic against the table's labeled lang (the calibration table one
+    checks before trusting a lang filter). No SQL oracle (the predictor is
+    a Python heuristic) — golden-pinned."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from deduplicatr_ray.functions.textstats import predict_lang
+
+    def fn(b: pa.Table) -> pa.Table:
+        preds = [predict_lang(t or "") for t in b["text"].to_pylist()]
+        return pa.table(
+            {"lang": b["lang"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+    return (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_mixture_chunks(sf_dir: str):
     """Composed mixture -> sequence packing: per sampled copy, its layout
     in the concatenated training stream (stream order = (doc_id, epoch))."""
@@ -1275,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_summary": q_mixture_summary,
         "mixture_chunks": q_mixture_chunks,
         "canonical_dup_assign": q_canonical_dup_assign,
+        "lang_confusion": q_lang_confusion,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
