@@ -301,6 +301,25 @@ def q_canonical_dup_assign(sf_dir: str):
     return canonical_dup_assign(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_weighted_jaccard_all(sf_dir: str):
+    """EXACT corpus-wide tf-weighted Jaccard pairs (J_w >= 0.7): the
+    multiset-similarity anchor wminhash approximates. Integer threshold
+    test, bit-exact vs the postings-join oracle."""
+    from deduplicatr_ray.stages.wjaccard import weighted_jaccard_all
+
+    return weighted_jaccard_all(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_wminhash_near_dups(sf_dir: str):
+    """Weighted MinHash (Ioffe CWS) near-dups: banded LSH over consistent
+    weighted samples, full-signature agreement >= 0.7. No SQL oracle (the
+    sketch is sampling-based) — golden-pinned; recall vs the exact anchor
+    is pytest-gated."""
+    from deduplicatr_ray.stages.wjaccard import wminhash_near_dups
+
+    return wminhash_near_dups(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID evaluation: confusion counts of the n-gram lang
     heuristic against the table's labeled lang (the calibration table one
@@ -1300,6 +1319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_chunks": q_mixture_chunks,
         "canonical_dup_assign": q_canonical_dup_assign,
         "lang_confusion": q_lang_confusion,
+        "weighted_jaccard_all": q_weighted_jaccard_all,
+        "wminhash_near_dups": q_wminhash_near_dups,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
         "doc_tfidf": q_doc_tfidf,
@@ -1478,6 +1499,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source, {_mixture_case_sql()} AS n_copies
               FROM documents)
             GROUP BY source
+        """,
+        "weighted_jaccard_all": """
+            WITH tf AS (
+              SELECT doc_id, tok AS token, count(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents)
+              GROUP BY doc_id, tok
+            ), tot AS (
+              SELECT doc_id, sum(tf) AS total FROM tf GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     sum(least(a.tf, b.tf)) AS minsum
+              FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(minsum AS BIGINT) AS n_min,
+                   CAST(ta.total + tb.total - minsum AS BIGINT) AS n_union
+            FROM inter
+            JOIN tot ta ON id_a = ta.doc_id
+            JOIN tot tb ON id_b = tb.doc_id
+            WHERE 10 * minsum >= 7 * (ta.total + tb.total - minsum)
         """,
         "canonical_dup_assign": r"""
             SELECT doc_id,

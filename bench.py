@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "window_scrub",          # C4-style window removal (route->mark->cut)
     "mixture_expand",        # data-mixture resampling (zero-shuffle row path)
     "canonical_dup_assign",  # CCNet canonical-form dedup (key-only groupby)
+    "wminhash_near_dups",    # weighted-Jaccard near-dups (Ioffe CWS + LSH)
     "text_quality",          # lang-ID + quality scoring
     "knn_brute",             # similarity search baseline
     "ann_lsh_dups",          # similarity search scale path

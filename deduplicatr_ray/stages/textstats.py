@@ -414,6 +414,59 @@ def token_doc_freq(docs, *, k: int = 20):
     )
 
 
+def term_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch exact (doc_id, token, tf) rows under the corpus-standard
+    lexer (a doc never spans batches, so per-batch counts are global) —
+    one RE2 split + one lexsort + a run scan; shared by ``doc_tfidf`` and
+    the weighted-Jaccard family."""
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
+    ).combine_chunks()
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False),
+        np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
+    )
+    flat = toks.flatten()
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_ids = doc_ids[nonempty]
+    if len(flat) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "token": flat})
+    t = t.take(
+        pc.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("token", "ascending")]
+        )
+    )
+    tok = t["token"].combine_chunks()
+    doc = t["doc_id"].to_numpy(zero_copy_only=False)
+    n = len(t)
+    first = np.empty(n, np.bool_)
+    first[0] = True
+    neq_tok = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    first[1:] = neq_tok | (doc[1:] != doc[:-1])
+    starts = np.flatnonzero(first)
+    tf = np.diff(np.append(starts, n))
+    idx = pa.array(starts, pa.int64())
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[starts], pa.int64()),
+            "token": tok.take(idx),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def doc_tfidf_top_terms(
     docs, *, k: int = 3, n_docs: int | None = None, num_partitions: int | None = None
 ):
@@ -448,52 +501,6 @@ def doc_tfidf_top_terms(
         n_docs = docs.count()
     N = int(n_docs)
 
-    def term_counts(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(batch["text"]), "[^a-z0-9]+"
-        ).combine_chunks()
-        doc_ids = np.repeat(
-            batch["doc_id"].to_numpy(zero_copy_only=False),
-            np.diff(toks.offsets.to_numpy(zero_copy_only=False)),
-        )
-        flat = toks.flatten()
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(nonempty))
-        doc_ids = doc_ids[nonempty]
-        if len(flat) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "token": pa.array([], pa.string()),
-                    "tf": pa.array([], pa.int64()),
-                }
-            )
-        t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "token": flat})
-        t = t.take(
-            pc.sort_indices(
-                t, sort_keys=[("doc_id", "ascending"), ("token", "ascending")]
-            )
-        )
-        tok = t["token"].combine_chunks()
-        doc = t["doc_id"].to_numpy(zero_copy_only=False)
-        n = len(t)
-        first = np.empty(n, np.bool_)
-        first[0] = True
-        neq_tok = pc.not_equal(tok.slice(1), tok.slice(0, n - 1)).to_numpy(
-            zero_copy_only=False
-        )
-        first[1:] = neq_tok | (doc[1:] != doc[:-1])
-        starts = np.flatnonzero(first)
-        tf = np.diff(np.append(starts, n))
-        idx = pa.array(starts, pa.int64())
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[starts], pa.int64()),
-                "token": tok.take(idx),
-                "tf": pa.array(tf.astype(np.int64), pa.int64()),
-            }
-        )
-
     def with_part(b: pa.Table) -> pa.Table:
         return add_hash_part(b, ["token"], P)
 
@@ -519,7 +526,7 @@ def doc_tfidf_top_terms(
         return g.append_column("tfidf", pa.array(tf * idf[seg_id], pa.float64()))
 
     scored = (
-        docs.map_batches(term_counts, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(term_counts_batch, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(score_block, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""Weighted-Jaccard family (stages/wjaccard.py): exact postings anchor +
+Ioffe CWS weighted-MinHash sketch."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from deduplicatr_ray.stages.wjaccard import (
+    cws_signatures,
+    weighted_jaccard_all,
+    wminhash_near_dups,
+)
+
+
+def _docs(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def _exact_jw(a: str, b: str) -> float:
+    from collections import Counter
+
+    ca, cb = Counter(a.split()), Counter(b.split())
+    toks = set(ca) | set(cb)
+    mins = sum(min(ca[t], cb[t]) for t in toks)
+    maxs = sum(max(ca[t], cb[t]) for t in toks)
+    return mins / maxs
+
+
+def test_weighted_jaccard_all_exact_counts(ray_session):
+    """Hand corpus: multiset semantics (repetition matters), threshold
+    inclusive at exactly 0.7, pairs below excluded."""
+    import ray
+
+    texts = [
+        "spam spam spam spam eggs",      # 1
+        "spam spam spam spam eggs",      # 2: identical -> J_w = 1
+        "spam eggs",                     # 3 vs 1: min=2, max=5 -> 0.4
+        "a b c d e f g",                 # 4
+        "a b c d e f g x x x",           # 5 vs 4: 7/10 = 0.7 exactly
+    ]
+    ds = ray.data.from_arrow(_docs(texts))
+    out = (
+        weighted_jaccard_all(ds, num_partitions=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert pairs == {(1, 2), (4, 5)}
+    r12 = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    assert r12["n_min"] == 5 and r12["n_union"] == 5
+    r45 = out[(out.id_a == 4) & (out.id_b == 5)].iloc[0]
+    assert r45["n_min"] == 7 and r45["n_union"] == 10
+
+
+def test_cws_estimator_unbiased(ray_session):
+    """P[sample agreement] == true weighted Jaccard (Ioffe property):
+    estimate within 3 sd at K=512 on an asymmetric tf pair."""
+    from deduplicatr_ray.functions.hashing import hash_columns_u64
+
+    def sigs(tfs, K=512):
+        toks = sorted(tfs)
+        th = hash_columns_u64(pa.table({"t": pa.array(toks)}), ["t"])
+        return cws_signatures(
+            np.zeros(len(toks), np.int64),
+            th,
+            np.array([tfs[t] for t in toks], np.int64),
+            1,
+            num_perm=K,
+        )[0]
+
+    a = {"x": 4, "y": 1, "z": 2}
+    b = {"x": 1, "y": 1, "w": 3}
+    true_jw = 2 / 10
+    est = (sigs(a) == sigs(b)).mean()
+    assert abs(est - true_jw) <= 3 * np.sqrt(true_jw * (1 - true_jw) / 512)
+    assert (sigs(a) == sigs(a)).all()  # identical multisets always agree
+
+
+def test_wminhash_recall_vs_exact_anchor(ray_session):
+    """On a seeded corpus with planted weighted near-dups, the sketch
+    finds every pair the exact anchor reports (recall 1 at the operating
+    point), and every reported estimate is a real >= threshold-2sd pair."""
+    import ray
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [
+        " ".join(rng.choice(vocab, size=40).tolist()) for _ in range(30)
+    ]
+    # planted near-dups: drop 3 of 40 tokens
+    variants = [" ".join(t.split()[3:]) for t in base[:10]]
+    texts = base + variants
+    ds = lambda: ray.data.from_arrow(_docs(texts))
+    exact = weighted_jaccard_all(ds(), num_partitions=4).to_pandas()
+    want = set(zip(exact["id_a"], exact["id_b"]))
+    assert len(want) >= 10  # the planted pairs are above 0.7
+    got_df = wminhash_near_dups(ds(), num_partitions=4).to_pandas()
+    got = set(zip(got_df["id_a"], got_df["id_b"]))
+    assert want <= got  # recall 1.0
+    # no wild false positives: every accept is truly close to threshold
+    for _, r in got_df.iterrows():
+        jw = _exact_jw(texts[int(r.id_a) - 1], texts[int(r.id_b) - 1])
+        assert jw >= 0.7 - 2 * np.sqrt(0.25 / 256)
