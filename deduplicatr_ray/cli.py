@@ -253,10 +253,13 @@ def cmd_mix(args: argparse.Namespace) -> int:
 
     weights = {}
     for spec in args.weight or []:
-        s, _, w = spec.partition("=")
-        if not _ or not s:
+        s, sep, w = spec.partition("=")
+        try:
+            if not sep or not s:
+                raise ValueError
+            weights[s] = float(w)
+        except ValueError:
             raise SystemExit(f"--weight expects SOURCE=FLOAT, got {spec!r}")
-        weights[s] = float(w)
 
     _init_ray(args.num_cpus, args.address)
     try:
@@ -366,6 +369,10 @@ def main(argv: list[str] | None = None) -> int:
         "--mode",
         default="exact-substring",
         choices=["exact-substring", "window"],
+        help="exact-substring keeps original bytes in a 'text' column (one "
+        "row per input doc); window emits the token-normalized rebuild as "
+        "'clean_text' and omits token-less docs — the two outputs are NOT "
+        "drop-in interchangeable",
     )
     ps.add_argument("--min-len", type=int, default=50, help="exact-substring span floor")
     ps.add_argument("--window", type=int, default=25, help="window mode token width")

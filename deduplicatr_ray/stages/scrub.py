@@ -142,12 +142,16 @@ def scrub_amplification(
 def fingerprint_run_counts(
     text: str, *, w: int, guarantee_len: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Winnowed fingerprint values + their RUN multiplicity (number of
-    distinct runs of each value in the windowed-min sequence). A value
-    selected from two separate places in the doc — the signature of a
-    within-doc repeat — counts 2, which ``fingerprint_doc``'s deduplicated
-    value set cannot express. Value set is identical to
-    ``fingerprint_doc``'s (same winnowing)."""
+    """Winnowed fingerprint values + their occurrence multiplicity in the
+    RAW rolling-hash stream. A within-doc repeat of a >= guarantee_len
+    region puts the same w-gram (hence the same rolling hash) at two
+    positions of the raw stream, so every selected value inside the region
+    counts >= 2 — including ADJACENT/PERIODIC repeats ('aaaa...', 'ab'*n)
+    whose windowed-min runs collapse to one (counting min-RUNS here, the
+    first version's bug, silently skipped exactly the repeated-character
+    boilerplate ExactSubstr targets). ``fingerprint_doc``'s deduplicated
+    value set cannot express multiplicity at all. Value set is identical
+    to ``fingerprint_doc``'s (same winnowing)."""
     from ..functions.textstats import rolling_window_hashes
 
     window = guarantee_len - w + 1
@@ -155,11 +159,17 @@ def fingerprint_run_counts(
     if len(h) == 0:
         return h, np.empty(0, np.int64)
     if len(h) <= window:
-        return np.unique(h.min(keepdims=True)), np.ones(1, np.int64)
-    rmin = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
-    runs = rmin[np.concatenate([[True], rmin[1:] != rmin[:-1]])]
-    vals, counts = np.unique(runs, return_counts=True)
-    return vals, counts.astype(np.int64)
+        vals = np.unique(h.min(keepdims=True))
+    else:
+        vals = np.unique(
+            np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+        )
+    hs = np.sort(h)
+    counts = (
+        np.searchsorted(hs, vals, side="right")
+        - np.searchsorted(hs, vals, side="left")
+    ).astype(np.int64)
+    return vals, counts
 
 
 def _survivor_routes(docs, *, w: int, guarantee_len: int, P: int):
@@ -324,16 +334,30 @@ def duplicate_spans(
     min_len: int = 50,
     num_partitions: int | None = None,
     merged: bool = True,
-    prefilter: bool = True,
+    prefilter: bool | None = None,
 ):
     """docs (doc_id, text) -> (doc_id, start, end) byte spans of content
     duplicating an earlier (doc_id, offset) occurrence; per-doc interval
     union applied when ``merged`` (the standalone API default).
     ``scrub_spans`` passes ``merged=False`` and folds the union into its
-    own doc_id co-partition — one less all-to-all."""
+    own doc_id co-partition — one less all-to-all.
+
+    ``prefilter=None`` (default) auto-enables the routing prefilter only
+    when ``min_len >= guarantee_len`` — below the guarantee, spans are
+    found through coincidental co-location the prefilter cannot see, so
+    it falls back to full fanout; an explicit ``prefilter=True`` with
+    ``min_len < guarantee_len`` raises instead of silently weakening."""
     from ..functions.suffix import sa_duplicate_spans
     from .lsh import default_num_partitions
     from .textstats import group_unique_docs
+
+    if prefilter and min_len < guarantee_len:
+        raise ValueError(
+            "prefilter routing preserves the marked byte set only for "
+            "min_len >= guarantee_len"
+        )
+    if prefilter is None:
+        prefilter = min_len >= guarantee_len
 
     P = int(num_partitions or default_num_partitions())
 
@@ -392,7 +416,7 @@ def scrub_spans(
     guarantee_len: int = 50,
     min_len: int = 50,
     num_partitions: int | None = None,
-    prefilter: bool = True,
+    prefilter: bool | None = None,
 ):
     """docs (doc_id, text) -> (doc_id, n_spans, n_bytes_removed, text)
     with duplicated spans cut out (first occurrence kept). Every doc of

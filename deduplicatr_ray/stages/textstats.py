@@ -1404,6 +1404,23 @@ def _token_windows(batch: pa.Table, W: int):
     return wtext, doc_idx[w_start], pos[w_start] // W, np.diff(offsets).astype(np.int64)
 
 
+def _window_keys(wtext: pa.Array, P: int) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """The window identity, defined ONCE for every consumer (dedup
+    accounting AND scrub removal must agree or they silently diverge):
+    128-bit key = two independent 64-bit row hashes of the joined window
+    string (int64 bit-pattern views), plus the int32 hash partition."""
+    from ..functions.hashing import hash_columns_u64
+
+    wtbl = pa.table({"w": wtext})
+    wh = hash_columns_u64(wtbl, ["w"], seed=0)
+    wh2 = hash_columns_u64(wtbl, ["w"], seed=0x9E3779B9)
+    return (
+        pa.array(wh.view(np.int64), pa.int64()),
+        pa.array(wh2.view(np.int64), pa.int64()),
+        pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
+    )
+
+
 def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = None):
     """C4-style span-level dedup accounting at fixed ``window``-token
     windows: corpus-wide, every occurrence of a window's exact token
@@ -1435,7 +1452,6 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import hash_columns_u64
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
@@ -1446,19 +1462,17 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
         if w is None:
             return
         wtext, wdoc, wwin, wtok = w
-        wtbl = pa.table({"w": wtext})
-        wh = hash_columns_u64(wtbl, ["w"], seed=0)
-        wh2 = hash_columns_u64(wtbl, ["w"], seed=0x9E3779B9)
+        # int64 bit-pattern views inside: uint64 >= 2**63 columns fall
+        # back to pickled blocks in Ray's shuffle
+        wh, wh2, part = _window_keys(wtext, P)
         yield pa.table(
             {
-                # int64 bit-pattern views: uint64 >= 2**63 columns fall back
-                # to pickled blocks in Ray's shuffle
-                "wh": pa.array(wh.view(np.int64), pa.int64()),
-                "wh2": pa.array(wh2.view(np.int64), pa.int64()),
+                "wh": wh,
+                "wh2": wh2,
                 "doc_id": batch["doc_id"].take(pa.array(wdoc, pa.int64())),
                 "win_idx": pa.array(wwin, pa.int64()),
                 "wtok": pa.array(wtok, pa.int64()),
-                "part": pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part": part,
             }
         )
 
@@ -1556,15 +1570,14 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
         if w is None:
             return
         wtext, wdoc, wwin, _ = w
-        wh = hash_columns_u64(pa.table({"w": wtext}), ["w"], seed=0)
-        wh2 = hash_columns_u64(pa.table({"w": wtext}), ["w"], seed=0x9E3779B9)
+        wh, wh2, part = _window_keys(wtext, P)
         yield pa.table(
             {
-                "wh": pa.array(wh.view(np.int64), pa.int64()),
-                "wh2": pa.array(wh2.view(np.int64), pa.int64()),
+                "wh": wh,
+                "wh2": wh2,
                 "doc_id": batch["doc_id"].take(pa.array(wdoc, pa.int64())),
                 "win_idx": pa.array(wwin, pa.int64()),
-                "part": pa.array((wh % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part": part,
             }
         )
 

@@ -525,14 +525,22 @@ def spill_index(
     mgr = CheckpointManager(checkpoint_dir, run_id, cfg or CANONICAL)
     out_dir = mgr.stage_dir(stage)
     os.makedirs(out_dir, exist_ok=True)
-    futs = [
-        s.spill.remote(os.path.join(out_dir, f"shard_{i}.parquet"))
+    futs = {
+        s.spill.remote(os.path.join(out_dir, f"shard_{i}.parquet")): i
         for i, s in enumerate(shards)
-    ]
+    }
     total = 0
-    for i, n in enumerate(ray.get(futs)):
-        mgr.record(f"{stage}/shard_{i}", keys=int(n))
-        total += int(n)
+    pending = list(futs)
+    # record each shard's manifest entry AS ITS WRITE COMPLETES (ray.wait
+    # loop, not one ray.get barrier) — otherwise a crash mid-spill leaves
+    # zero manifest entries and the documented per-shard re-spill
+    # granularity never exists
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        i = futs[done[0]]
+        n = int(ray.get(done[0]))
+        mgr.record(f"{stage}/shard_{i}", keys=n)
+        total += n
     mgr.record(stage, num_shards=len(shards), keys=total)
     return {"num_shards": len(shards), "keys": total, "dir": out_dir}
 

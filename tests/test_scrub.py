@@ -207,3 +207,92 @@ def test_prefilter_all_unique_routes_nothing(ray_session):
     assert len(out) == 40
     assert (out["n_spans"] == 0).all()
     assert out["text"].tolist() == texts
+
+
+def test_prefilter_periodic_within_doc_repeats(ray_session):
+    """Regression (review finding): periodic/adjacent self-repeats
+    ('a'*200, 'ab'*100, 'xyz '*60) collapse to ONE windowed-min run, so a
+    run-count multiplicity missed them — occurrence counts in the raw
+    rolling-hash stream must route them, and the prefiltered scrub must
+    match full fanout exactly."""
+    import pyarrow as pa
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    texts = [
+        "a" * 200,
+        "ab" * 100,
+        "xyz " * 60,
+        "one ordinary unique sentence with no internal repetition at all",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    full = (
+        scrub_spans(ray.data.from_arrow(tbl), num_partitions=4, prefilter=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pre = (
+        scrub_spans(ray.data.from_arrow(tbl), num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert full.equals(pre)
+    assert (pre.loc[:2, "n_bytes_removed"] > 0).all()  # periodic docs scrubbed
+    assert pre.loc[3, "n_bytes_removed"] == 0
+
+
+def test_prefilter_min_len_guard(ray_session):
+    """Explicit prefilter=True below the guarantee raises; the default
+    auto-disables (full fanout) and still finds sub-guarantee spans."""
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from deduplicatr_ray.stages.scrub import scrub_spans
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "shared thirty byte run here!! plus tail one",
+                    "prefix two shared thirty byte run here!!",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    with pytest.raises(ValueError):
+        scrub_spans(
+            ray.data.from_arrow(tbl), min_len=30, prefilter=True, num_partitions=4
+        )
+    # default auto-disables the prefilter below the guarantee: identical
+    # to explicit full fanout (sub-guarantee spans are only found via
+    # coincidental co-location, so equivalence — not recall — is the
+    # contract here)
+    auto = (
+        scrub_spans(ray.data.from_arrow(tbl), min_len=30, num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    full = (
+        scrub_spans(
+            ray.data.from_arrow(tbl),
+            min_len=30,
+            num_partitions=4,
+            prefilter=False,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert auto.equals(full)
