@@ -68,15 +68,22 @@ def knn_brute(embeddings, query_ids: list[int], k: int = 5):
         def __call__(self, batch: pa.Table) -> pa.Table:
             vm = _normalize(_emb_matrix(batch))
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            # pre-sort rows by vec_id: the STABLE argsort below then breaks
+            # exact-cosine ties at the k boundary by neighbor_id ascending —
+            # the same total order (sim desc, neighbor_id asc) the global
+            # merge uses, so local top-k selection is deterministic and the
+            # merge never needs a dropped tie candidate (r3 advice).
+            vorder = np.argsort(vids, kind="stable")
+            vm, vids = vm[vorder], vids[vorder]
             sims = vm @ self.qm.T  # (batch, n_queries)
             # self-matches sink below any cosine so they never rank
             sims[vids[:, None] == self.qids[None, :]] = -2.0
-            # one argpartition along axis 0 selects every query's local
+            # one column-wise stable argsort selects every query's local
             # top-k at once — no per-query Python loop (O(batch x queries)
             # iterations at a large query set otherwise)
             nq = sims.shape[1]
             kk = min(self.k, len(vids))
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, nq)
             cols = np.arange(nq)
             cand_s = sims[top, cols]
             keep = cand_s > -1.5  # drop the sunk self-matches
@@ -199,6 +206,10 @@ def ann_ivf_knn(
         def __call__(self, batch: pa.Table) -> pa.Table:
             vm = _normalize(_emb_matrix(batch))
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            # vec_id pre-sort + stable argsort = deterministic boundary-tie
+            # handling, same rationale as LocalTopK (r3 advice)
+            vorder = np.argsort(vids, kind="stable")
+            vm, vids = vm[vorder], vids[vorder]
             cells = np.argmax(vm @ self.centroids.T, axis=1)
             # invert the probe lists once: cell -> queries probing it. The
             # fine pass then loops over the batch's DISTINCT CELLS (bounded
@@ -221,7 +232,9 @@ def ann_ivf_knn(
                 sims = vm[rows] @ self.qm[qs].T  # (r, q)
                 sims[vids[rows][:, None] == self.qids[qs][None, :]] = -2.0
                 kk = min(self.k, len(rows))
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                # rows are vid-ascending (batch pre-sort), so stable sort
+                # breaks sim ties by neighbor_id ascending
+                top = np.argsort(-sims, axis=0, kind="stable")[:kk]
                 cand_s = sims[top, np.arange(len(qs))]
                 keep = cand_s > -1.5
                 qid_m = np.broadcast_to(self.qids[qs], (kk, len(qs)))
