@@ -258,8 +258,14 @@ def cmd_mix(args: argparse.Namespace) -> int:
             if not sep or not s:
                 raise ValueError
             weights[s] = float(w)
+            if weights[s] < 0:  # fail clean pre-Ray, not a deep traceback
+                raise ValueError
         except ValueError:
-            raise SystemExit(f"--weight expects SOURCE=FLOAT, got {spec!r}")
+            raise SystemExit(
+                f"--weight expects SOURCE=FLOAT with FLOAT >= 0, got {spec!r}"
+            )
+    if args.default is not None and args.default < 0:
+        raise SystemExit(f"--default must be >= 0, got {args.default!r}")
 
     _init_ray(args.num_cpus, args.address)
     try:

@@ -211,12 +211,21 @@ def dedup_pipeline_partitioned(
     )
 
 
-# Historical knob: before the key-only band shuffle, "driver" mode pulled
-# url strings and this threshold switched it off. The driver now NEVER
-# sees url strings (components always run over 16 B/edge uint64 hashes),
-# so driver/hashes are the same implementation; the env var is kept as a
-# no-op compat knob for existing configs.
-DRIVER_EDGE_MAX = int(__import__("os").environ.get("GRAFT_DRIVER_EDGE_MAX", 5_000_000))
+# auto-mode driver budget: above this forest-edge count, ``auto`` routes to
+# the never-on-driver "shuffle" path instead of pulling 16 B/edge hash
+# arrays (and broadcasting the clustered-doc key arrays) through the driver.
+# 5M forest edges ~= 80 MB driver arrays + <=160 MB broadcast — comfortably
+# inside one node; past it the driver/broadcast payloads grow linearly with
+# dup content while the shuffle path stays O(corpus/P) per task (r3 verdict
+# item 2). Read at call time so tests/configs can force the route.
+def driver_edge_budget() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_DRIVER_EDGE_MAX", 5_000_000))
+
+
+# import-time compat alias (historical knob name; prefer driver_edge_budget())
+DRIVER_EDGE_MAX = driver_edge_budget()
 
 
 def cluster_from_signatures(
@@ -252,16 +261,19 @@ def cluster_from_signatures(
       strings ever land on the driver (the two names are kept for
       config/test compat — the key-only path made them the same
       implementation);
-    * ``"distributed"`` — NOTHING touches the driver: min-label
-      propagation as partition-grouped vectorized rounds
-      (``distributed_components``, fixpoint via a distributed Sum) and a
-      hash-partitioned shuffle join for corpus assignment
-      (``assign_clusters_shuffle``) instead of a broadcast. The path for
-      edge lists beyond driver memory (~10^9+ forest edges); costs one
-      corpus-wide shuffle, so it is explicit opt-in rather than part of
-      ``auto``;
-    * ``"auto"`` — pick driver vs hashes by the materialized forest-edge
-      count.
+    * ``"shuffle"`` — NOTHING touches the driver, over the SAME keys-only
+      edges: min-label propagation rounds (``distributed_labels``) +
+      hash-partitioned shuffle joins that recover canonical min-urls from
+      the corpus (``assign_clusters_shuffle_labels``). No url strings in
+      any shuffle, no broadcast, no driver edge pull — the 10^9+-edge
+      path;
+    * ``"distributed"`` — the url-bearing never-on-driver variant
+      (``distributed_components`` + ``assign_clusters_shuffle``): member
+      urls ride the band shuffle instead of being recovered from the
+      corpus. Kept as explicit opt-in (costs a url-bearing all-to-all);
+    * ``"auto"`` — driver when the materialized forest-edge count is
+      within ``driver_edge_budget()`` (env ``GRAFT_DRIVER_EDGE_MAX``,
+      default 5M), else ``shuffle``.
 
     The reporting ``pairs`` artifact is lazy and built from an
     ``emit="all"`` pass — it is the FULL verified-pair set (D3/D4
@@ -335,25 +347,45 @@ def cluster_from_signatures(
             or 0
         )
         docs_in_clusters = members.count()
-    elif mode in ("auto", "driver", "hashes"):
+    elif mode in ("auto", "driver", "hashes", "shuffle"):
         bands = band_stage(sigs, cfg, keys_only=True)
         forest_pairs = candidate_pairs_stage(bands, cfg, emit="forest")
         # ONE band shuffle carries near + exact evidence (EXACT_BAND_ID
         # rows); the forest reduction dedups near edges repeated across
         # the 32 bands. Materialized once: consumed by driver components
-        # AND the roots reduce.
+        # AND the roots reduce (or by the distributed label rounds).
         edge_src = forest_reduce_stage(forest_pairs).materialize()
         n_edges = edge_src.count()
         if mode == "auto":
-            mode = "driver" if n_edges <= DRIVER_EDGE_MAX else "hashes"
-        # driver holds uint64 arrays only (16 B/edge); min-url per component
-        # is a distributed corpus reduce + ONE fused broadcast assignment (J1)
-        keys, root_h = components_hashes(edge_src)
-        clusters, n_clusters = assign_clusters_corpus_roots(url_ds, keys, root_h)
+            mode = "driver" if n_edges <= driver_edge_budget() else "shuffle"
+        if mode == "shuffle":
+            # never-on-driver tail over the SAME keys-only edges: label
+            # propagation rounds + shuffle-join assignment — no 16 B/edge
+            # driver pull, no (keys, root_h) broadcast (r3 verdict item 2)
+            import numpy as np
+
+            from ..state.unionfind import distributed_labels
+            from ..stages.cluster import assign_clusters_shuffle_labels
+            from ..stages.lsh import default_num_partitions
+
+            P = int(
+                np.clip(n_edges // 250_000 + 4, 4, default_num_partitions())
+            )
+            labels = distributed_labels(edge_src, num_partitions=P)
+            clusters, n_clusters, docs_in_clusters = (
+                assign_clusters_shuffle_labels(url_ds, labels, num_partitions=P)
+            )
+        else:
+            # driver holds uint64 arrays only (16 B/edge); min-url per
+            # component is a distributed corpus reduce + ONE fused broadcast
+            # assignment (J1)
+            keys, root_h = components_hashes(edge_src)
+            clusters, n_clusters = assign_clusters_corpus_roots(
+                url_ds, keys, root_h
+            )
+            docs_in_clusters = int(len(keys))
     else:
         raise ValueError(f"unknown components mode: {components!r}")
-    if mode != "distributed":
-        docs_in_clusters = int(len(keys))
     if checkpoint_dir is not None:
         from .checkpoint import checkpoint_dataset
 

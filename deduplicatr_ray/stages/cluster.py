@@ -389,6 +389,168 @@ def assign_clusters_corpus_roots(url_ds, keys, root_h):
     return clusters, len(roots_tbl)
 
 
+def assign_clusters_shuffle_labels(url_ds, labels, *, num_partitions: int | None = None):
+    """Never-on-driver assignment from KEYS-ONLY component labels.
+
+    ``labels`` is ``distributed_labels`` output over hash-only edges —
+    ``(part, h uint64, v uint64=root)``, no url strings anywhere. The url
+    strings the cluster ids need are recovered from the CORPUS, entirely
+    with hash-partitioned shuffle joins (no ``ray.put`` broadcast, no
+    ``.to_pandas()`` root table — this is the piece the broadcast path
+    ``assign_clusters_corpus_roots`` keeps on the driver):
+
+    1. co-partition corpus urls with labels by ``hash(url) % P``; matched
+       rows become the member table ``(h, root_h, url)`` — bounded by
+       clustered-doc count, not corpus size;
+    2. distributed ``groupby(root_h) -> (Min(url), Count)`` root table;
+    3. co-partition members with roots by ``root_h % P`` to attach
+       ``(cluster_id, cluster_size)``;
+    4. ``assign_clusters_shuffle`` joins the corpus against the resolved
+       members (urls absent from the member table are singletons).
+
+    Returns ``(clusters Dataset, n_clusters, docs_in_clusters)``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.hashing import hash_columns_u64
+    from ..stages.lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+    PU = np.uint64(P)
+
+    # ---- pass 1: member urls via corpus x labels co-partition join ----
+    def tag_corpus(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["url"])
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(h, pa.uint64()),
+                "v": pa.nulls(len(b), pa.uint64()),
+                "url": b["url"],
+            }
+        )
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": b["part"],
+                "h": b["h"],
+                "v": b["v"],
+                "url": pa.nulls(len(b), pa.string()),
+            }
+        )
+
+    def member_join(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_c = pc.is_valid(g["url"]).to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        l_h, l_root = h[~is_c], g["v"].to_numpy(zero_copy_only=False)[~is_c]
+        order = np.argsort(l_h)
+        l_h, l_root = l_h[order], l_root[order]
+        gc = g.filter(pa.array(is_c))
+        c_h = h[is_c]
+        if len(l_h):
+            pos = np.minimum(np.searchsorted(l_h, c_h), len(l_h) - 1)
+            hit = l_h[pos] == c_h
+        else:
+            pos = np.zeros(len(c_h), np.int64)
+            hit = np.zeros(len(c_h), bool)
+        take = pa.array(np.flatnonzero(hit), pa.int64())
+        # int64 bit-view keeps the root groupby off the uint64 pickled-
+        # object fallback (same trick as distributed_components)
+        return pa.table(
+            {
+                "h": pa.array(c_h[hit], pa.uint64()),
+                "root_h": pa.array(l_root[pos[hit]].view(np.int64), pa.int64()),
+                "url": gc["url"].take(take),
+            }
+        )
+
+    members = (
+        url_ds.select_columns(["url"])
+        .map_batches(tag_corpus, batch_format="pyarrow", zero_copy_batch=True)
+        .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(member_join, batch_format="pyarrow")
+        .materialize()  # small: clustered docs only; consumed twice below
+    )
+    docs_in_clusters = members.count()
+
+    # ---- pass 2: distributed root table (min url + size per component) ----
+    roots = (
+        members.groupby("root_h")
+        .aggregate(Min("url", alias_name="cluster_id"), Count(alias_name="cluster_size"))
+        .materialize()
+    )
+    n_clusters = roots.count()
+
+    # ---- pass 3: attach (cluster_id, size) to members by root_h % P ----
+    def tag_members(b: pa.Table) -> pa.Table:
+        rh = b["root_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((rh % PU).astype(np.int32), pa.int32()),
+                "root_h": b["root_h"],
+                "h": b["h"],
+                "url": b["url"],
+                "cluster_id": pa.nulls(n, pa.string()),
+                "cluster_size": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_roots(b: pa.Table) -> pa.Table:
+        rh = b["root_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((rh % PU).astype(np.int32), pa.int32()),
+                "root_h": b["root_h"],
+                "h": pa.nulls(n, pa.uint64()),
+                "url": pa.nulls(n, pa.string()),
+                "cluster_id": b["cluster_id"],
+                "cluster_size": pa.array(
+                    b["cluster_size"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+            }
+        )
+
+    def root_join(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_m = pc.is_valid(g["url"]).to_numpy(zero_copy_only=False)
+        rh = g["root_h"].to_numpy(zero_copy_only=False)
+        gr = g.filter(pa.array(~is_m))
+        r_h = rh[~is_m]
+        r_cid = np.asarray(gr["cluster_id"].to_pylist(), dtype=object)
+        r_sz = gr["cluster_size"].to_numpy(zero_copy_only=False)
+        order = np.argsort(r_h)
+        r_h, r_cid, r_sz = r_h[order], r_cid[order], r_sz[order]
+        gm = g.filter(pa.array(is_m))
+        pos = np.searchsorted(r_h, rh[is_m])  # every member root is in roots
+        return pa.table(
+            {
+                "h": gm["h"],
+                "url": gm["url"],
+                "cluster_id": pa.array(r_cid[pos], pa.string()),
+                "cluster_size": pa.array(r_sz[pos].astype(np.int64), pa.int64()),
+            }
+        )
+
+    members2 = (
+        members.map_batches(tag_members, batch_format="pyarrow", zero_copy_batch=True)
+        .union(roots.map_batches(tag_roots, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(root_join, batch_format="pyarrow")
+    )
+
+    # ---- pass 4: corpus assignment (singletons fall out of the join) ----
+    clusters = assign_clusters_shuffle(url_ds, members2, num_partitions=P)
+    return clusters, n_clusters, docs_in_clusters
+
+
 def assign_clusters_shuffle(url_ds, members, *, num_partitions: int | None = None):
     """Never-on-driver corpus assignment: hash-partitioned shuffle join.
 

@@ -514,7 +514,11 @@ def spill_index(
     unboundedly-growing index actors: snapshot between ingest rounds, kill
     the actors (or lose the node), ``restore_index`` resumes with identical
     first-arrival state. Each shard writes atomically and records its own
-    manifest key, so a crash mid-spill re-spills only missing shards.
+    manifest key, so re-running after a crash mid-spill re-spills ONLY the
+    missing shards. Consequently a ``(run_id, stage)`` snapshot id is
+    immutable once begun — to snapshot again after further ingest, use a
+    fresh ``stage``/``run_id`` (recorded shards would otherwise be skipped,
+    not refreshed).
 
     On a multi-node cluster point ``checkpoint_dir`` at shared storage —
     each shard actor writes from whatever node hosts it.
@@ -525,16 +529,23 @@ def spill_index(
     mgr = CheckpointManager(checkpoint_dir, run_id, cfg or CANONICAL)
     out_dir = mgr.stage_dir(stage)
     os.makedirs(out_dir, exist_ok=True)
-    futs = {
-        s.spill.remote(os.path.join(out_dir, f"shard_{i}.parquet")): i
-        for i, s in enumerate(shards)
-    }
     total = 0
+    futs = {}
+    for i, s in enumerate(shards):
+        # re-spill granularity: skip shards a previous (crashed) spill
+        # already recorded, provided the file still exists (r3 advice —
+        # the docstring promised this; now the code does it)
+        path = os.path.join(out_dir, f"shard_{i}.parquet")
+        prior = mgr.entry(f"{stage}/shard_{i}")
+        if prior is not None and os.path.exists(path):
+            total += int(prior.get("keys", 0))
+            continue
+        futs[s.spill.remote(path)] = i
     pending = list(futs)
     # record each shard's manifest entry AS ITS WRITE COMPLETES (ray.wait
     # loop, not one ray.get barrier) — otherwise a crash mid-spill leaves
-    # zero manifest entries and the documented per-shard re-spill
-    # granularity never exists
+    # zero manifest entries and the per-shard re-spill granularity above
+    # never exists
     while pending:
         done, pending = ray.wait(pending, num_returns=1)
         i = futs[done[0]]

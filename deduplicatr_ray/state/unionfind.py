@@ -404,6 +404,146 @@ def _part_join(left, right, fn, *, P: int):
     )
 
 
+def distributed_labels(pairs_ds, *, num_partitions=None, max_rounds: int = 50):
+    """Pairs/edges Dataset -> labels Dataset ``(part, h, v)`` with ``v`` the
+    component root hash per node — the min-label-propagation core of
+    ``distributed_components``, exposed on its own so KEYS-ONLY edge lists
+    (``(ha, hb)`` uint64 rows, no url strings) can be clustered with NOTHING
+    ever landing on the driver. Round mechanics documented on
+    ``distributed_components`` (which now delegates here)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.hashing import hash_columns_u64
+    from ..stages.lsh import default_num_partitions
+
+    P = int(num_partitions or default_num_partitions())
+    PU = np.uint64(P)
+    K_EDGE, K_LABEL, K_OFFER = 0, 1, 2
+
+    # ---- pass 0: symmetric uint64 edge list (both directions, keyed by
+    # src % P, so every node sees all its edges in its own partition) ----
+    def to_edges(b: pa.Table) -> pa.Table:
+        if "ha" in b.column_names:  # emitted at pair creation
+            ha = b["ha"].to_numpy(zero_copy_only=False)
+            hb = b["hb"].to_numpy(zero_copy_only=False)
+        else:
+            ha = hash_columns_u64(b, ["url_a"])
+            hb = hash_columns_u64(b, ["url_b"])
+        src = np.concatenate([ha, hb])
+        dst = np.concatenate([hb, ha])
+        return pa.table(
+            {
+                "part": pa.array((src % PU).astype(np.int32), pa.int32()),
+                "h": pa.array(src, pa.uint64()),
+                "v": pa.array(dst, pa.uint64()),
+                "kind": pa.array(np.full(len(src), K_EDGE, np.int8), pa.int8()),
+                "changed": pa.array(np.zeros(len(src), np.int64), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "h": pa.array([], pa.uint64()),
+                    "v": pa.array([], pa.uint64()),
+                }
+            )
+        )
+
+    def round_pass(g: pa.Table, first: bool) -> pa.Table:
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        part = int(g["part"][0].as_py())
+        e = kind == K_EDGE
+        src, dst = h[e], v[e]
+        if first:
+            l_node = np.unique(src)
+            l_val = l_node.copy()
+        else:
+            lm = kind == K_LABEL
+            order = np.argsort(h[lm])
+            l_node = h[lm][order]
+            l_val = v[lm][order].copy()
+        start_val = l_val.copy()
+        om = kind == K_OFFER
+        if om.any():
+            np.minimum.at(l_val, np.searchsorted(l_node, h[om]), v[om])
+        si = np.searchsorted(l_node, src)
+        dl = (dst % PU).astype(np.int32) == part
+        if dl.any():
+            di_l, si_l = np.searchsorted(l_node, dst[dl]), si[dl]
+            for _ in range(64):
+                before = l_val[di_l]
+                np.minimum.at(l_val, di_l, l_val[si_l])
+                if np.array_equal(before, l_val[di_l]):
+                    break
+        changed = l_val != start_val
+        xm = (~dl) & (changed[si] | first)
+        off_dst, off_val = dst[xm], l_val[si[xm]]
+        keep = off_val < off_dst
+        off_dst, off_val = off_dst[keep], off_val[keep]
+        if len(off_dst):
+            o = np.lexsort((off_val, off_dst))
+            off_dst, off_val = off_dst[o], off_val[o]
+            firsts = np.concatenate([[True], off_dst[1:] != off_dst[:-1]])
+            off_dst, off_val = off_dst[firsts], off_val[firsts]
+        n_l, n_o = len(l_node), len(off_dst)
+        return pa.concat_tables(
+            [
+                g.filter(pa.array(e)),
+                pa.table(
+                    {
+                        "part": pa.array(np.full(n_l, part, np.int32), pa.int32()),
+                        "h": pa.array(l_node, pa.uint64()),
+                        "v": pa.array(l_val, pa.uint64()),
+                        "kind": pa.array(np.full(n_l, K_LABEL, np.int8), pa.int8()),
+                        "changed": pa.array(changed.astype(np.int64), pa.int64()),
+                    }
+                ),
+                pa.table(
+                    {
+                        "part": pa.array(
+                            (off_dst % PU).astype(np.int32), pa.int32()
+                        ),
+                        "h": pa.array(off_dst, pa.uint64()),
+                        "v": pa.array(off_val, pa.uint64()),
+                        "kind": pa.array(np.full(n_o, K_OFFER, np.int8), pa.int8()),
+                        "changed": pa.array(np.ones(n_o, np.int64), pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    state = edges
+    first = True
+    for _ in range(max_rounds):
+        rp = (lambda f: lambda g: round_pass(g, f))(first)
+        state = (
+            state.groupby("part").map_groups(rp, batch_format="pyarrow").materialize()
+        )
+        n_changed = state.sum("changed")  # distributed fixpoint scalar
+        first = False
+        if not n_changed:
+            break
+
+    def keep_labels(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(b["kind"], K_LABEL)).select(["part", "h", "v"])
+
+    return state.map_batches(
+        keep_labels, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def distributed_components(
     pairs_ds, max_rounds: int = 50, num_partitions=None, full: bool = False
 ):
@@ -460,37 +600,11 @@ def distributed_components(
     P = int(num_partitions or default_num_partitions())
     PU = np.uint64(P)
 
-    # state row kinds: edge (h=src, v=dst), label (h=node, v=label),
-    # offer (h=dst node, v=offered label)
-    K_EDGE, K_LABEL, K_OFFER = 0, 1, 2
-
-    # ---- pass 0: symmetric uint64 edge list (both directions, keyed by
-    # src % P, so every node sees all its edges in its own partition) ----
-    def to_edges(b: pa.Table) -> pa.Table:
-        if "ha" in b.column_names:  # emitted at pair creation
-            ha = b["ha"].to_numpy(zero_copy_only=False)
-            hb = b["hb"].to_numpy(zero_copy_only=False)
-        else:
-            ha = hash_columns_u64(b, ["url_a"])
-            hb = hash_columns_u64(b, ["url_b"])
-        src = np.concatenate([ha, hb])
-        dst = np.concatenate([hb, ha])
-        return pa.table(
-            {
-                "part": pa.array((src % PU).astype(np.int32), pa.int32()),
-                "h": pa.array(src, pa.uint64()),
-                "v": pa.array(dst, pa.uint64()),
-                "kind": pa.array(
-                    np.full(len(src), K_EDGE, np.int8), pa.int8()
-                ),
-                "changed": pa.array(np.zeros(len(src), np.int64), pa.int64()),
-            }
-        )
-
-    edges = pairs_ds.map_batches(
-        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    # propagation rounds (shared with the keys-only flagship path)
+    labels = distributed_labels(
+        pairs_ds, num_partitions=P, max_rounds=max_rounds
     ).materialize()
-    if edges.count() == 0:
+    if labels.count() == 0:
         cols = {"url": pa.array([], pa.string()),
                 "cluster_id": pa.array([], pa.string())}
         if full:
@@ -520,115 +634,6 @@ def distributed_components(
     # groupby shuffle vs materializing a deduped node table)
     nodes = pairs_ds.map_batches(
         to_nodes, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    # ---- rounds: one kind-tagged groupby pass per round ----
-    def round_pass(g: pa.Table, first: bool) -> pa.Table:
-        kind = g["kind"].to_numpy(zero_copy_only=False)
-        h = g["h"].to_numpy(zero_copy_only=False)
-        v = g["v"].to_numpy(zero_copy_only=False)
-        part = int(g["part"][0].as_py())
-        e = kind == K_EDGE
-        src, dst = h[e], v[e]
-        if first:
-            # bootstrap: label(v) = v over this partition's nodes (every
-            # node appears as src of its reversed edge in its own part)
-            l_node = np.unique(src)
-            l_val = l_node.copy()
-        else:
-            lm = kind == K_LABEL
-            order = np.argsort(h[lm])
-            l_node = h[lm][order]
-            l_val = v[lm][order].copy()
-        start_val = l_val.copy()
-        # 1. fold pending offers
-        om = kind == K_OFFER
-        if om.any():
-            np.minimum.at(l_val, np.searchsorted(l_node, h[om]), v[om])
-        # 2. local fixpoint over intra-partition edges
-        si = np.searchsorted(l_node, src)
-        dl = (dst % PU).astype(np.int32) == part
-        if dl.any():
-            di_l, si_l = np.searchsorted(l_node, dst[dl]), si[dl]
-            for _ in range(64):
-                before = l_val[di_l]
-                np.minimum.at(l_val, di_l, l_val[si_l])
-                if np.array_equal(before, l_val[di_l]):
-                    break
-        changed = l_val != start_val
-        # 3. delta offers for cross-partition edges whose src label
-        # changed this round (all of them in round 1); offers that cannot
-        # lower anything (label(dst) <= dst always) are dropped, and the
-        # rest dedup to the per-dst min before entering the shuffle
-        xm = (~dl) & (changed[si] | first)
-        off_dst, off_val = dst[xm], l_val[si[xm]]
-        keep = off_val < off_dst
-        off_dst, off_val = off_dst[keep], off_val[keep]
-        if len(off_dst):
-            o = np.lexsort((off_val, off_dst))
-            off_dst, off_val = off_dst[o], off_val[o]
-            firsts = np.concatenate([[True], off_dst[1:] != off_dst[:-1]])
-            off_dst, off_val = off_dst[firsts], off_val[firsts]
-        n_l, n_o = len(l_node), len(off_dst)
-        return pa.concat_tables(
-            [
-                g.filter(pa.array(e)),  # edges pass through untouched
-                pa.table(
-                    {
-                        "part": pa.array(
-                            np.full(n_l, part, np.int32), pa.int32()
-                        ),
-                        "h": pa.array(l_node, pa.uint64()),
-                        "v": pa.array(l_val, pa.uint64()),
-                        "kind": pa.array(
-                            np.full(n_l, K_LABEL, np.int8), pa.int8()
-                        ),
-                        "changed": pa.array(
-                            changed.astype(np.int64), pa.int64()
-                        ),
-                    }
-                ),
-                pa.table(
-                    {
-                        "part": pa.array(
-                            (off_dst % PU).astype(np.int32), pa.int32()
-                        ),
-                        "h": pa.array(off_dst, pa.uint64()),
-                        "v": pa.array(off_val, pa.uint64()),
-                        "kind": pa.array(
-                            np.full(n_o, K_OFFER, np.int8), pa.int8()
-                        ),
-                        # in-flight offers keep the fixpoint sum nonzero so
-                        # the loop cannot stop before they are folded
-                        "changed": pa.array(np.ones(n_o, np.int64), pa.int64()),
-                    }
-                ),
-            ]
-        )
-
-    state = edges
-    first = True
-    for _ in range(max_rounds):
-        rp = (lambda f: lambda g: round_pass(g, f))(first)
-        state = (
-            state.groupby("part")
-            .map_groups(rp, batch_format="pyarrow")
-            .materialize()
-        )
-        n_changed = state.sum("changed")  # distributed fixpoint scalar
-        first = False
-        if not n_changed:
-            break
-
-    def keep_labels(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return b.filter(pc.equal(b["kind"], K_LABEL)).select(
-            ["part", "h", "v"]
-        )
-
-    labels = state.map_batches(
-        keep_labels, batch_format="pyarrow", zero_copy_batch=True
     )
 
     # ---- resolve cluster ids: min url per component, all distributed ----

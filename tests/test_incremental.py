@@ -160,6 +160,49 @@ def test_exact_index_spill_restore(ray_session, tmp_path):
     assert out["canonical_id"].to_pylist() == [1, 2, 12]
 
 
+def test_spill_resume_skips_recorded_shards(ray_session, tmp_path):
+    """Crash mid-spill: a re-run re-spills ONLY shards missing from the
+    manifest — recorded shards' files are left untouched (ADVICE r3: the
+    docstring promised this; the manifest entries now drive it)."""
+    import json
+    import os
+
+    import ray
+
+    from deduplicatr_ray.state.incremental import restore_index, spill_index
+
+    shards = [DedupIndexShard.remote() for _ in range(4)]
+    ingest(ray.data.from_arrow(_docs([(1, "aa"), (2, "bb"), (3, "cc")])), shards)
+    info = spill_index(shards, str(tmp_path), stage="exact_index")
+    assert info["keys"] == 3
+
+    # simulate a crash that lost shard_0's write + manifest entry (and the
+    # stage-level summary entry, which lands last)
+    manifest_path = tmp_path / "index0" / "_lineage.json"
+    m = json.loads(manifest_path.read_text())
+    del m["entries"]["exact_index/shard_0"]
+    del m["entries"]["exact_index"]
+    manifest_path.write_text(json.dumps(m))
+    shard0 = tmp_path / "index0" / "exact_index" / "shard_0.parquet"
+    os.remove(shard0)
+    mtimes = {
+        i: os.path.getmtime(tmp_path / "index0" / "exact_index" / f"shard_{i}.parquet")
+        for i in range(1, 4)
+    }
+
+    info2 = spill_index(shards, str(tmp_path), stage="exact_index")
+    assert info2["keys"] == 3 and shard0.exists()
+    for i, mt in mtimes.items():
+        path = tmp_path / "index0" / "exact_index" / f"shard_{i}.parquet"
+        assert os.path.getmtime(path) == mt, f"shard_{i} was re-spilled"
+
+    for s in shards:
+        ray.kill(s)
+    restored = restore_index(DedupIndexShard, str(tmp_path), stage="exact_index")
+    out = ingest(ray.data.from_arrow(_docs([(9, "aa"), (10, "zz")])), restored)
+    assert out["canonical_id"].to_pylist() == [1, 10]
+
+
 def test_near_index_spill_restore(ray_session, tmp_path):
     """Near-index restart: post-restore ingest assigns exactly what an
     uninterrupted shard set assigns (sketches round-trip the spill)."""

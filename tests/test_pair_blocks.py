@@ -243,8 +243,36 @@ def test_distributed_mode_matches_driver_full_corpus(ray_session):
         return res, df.sort_values("url").reset_index(drop=True)
 
     res_d, want = run("driver")
-    for mode in ("hashes", "distributed"):
+    for mode in ("hashes", "distributed", "shuffle"):
         res_m, got = run(mode)
         assert got.equals(want), f"{mode} clusters diverge from driver"
         assert res_m.stats["n_clusters"] == res_d.stats["n_clusters"]
         assert res_m.stats["docs_in_clusters"] == res_d.stats["docs_in_clusters"]
+
+
+def test_auto_routes_to_shuffle_past_driver_budget(ray_session, monkeypatch):
+    """components='auto' must route to the never-on-driver shuffle path when
+    the forest-edge count exceeds the driver budget, with output identical
+    to the driver path (VERDICT r3 item 2)."""
+    import ray.data as rd
+
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+    from deduplicatr_ray.sources.synthetic import gen_corpus
+
+    pages, _ = gen_corpus("mixed")
+    cols = ["url", "cluster_id", "cluster_size", "is_canonical"]
+
+    def run():
+        res = dedup_pipeline(rd.from_arrow(pages), components="auto")
+        df = res.clusters.to_pandas()[cols]
+        return res, df.sort_values("url").reset_index(drop=True)
+
+    res_d, want = run()
+    assert res_d.stats["components_mode"] == "driver"  # default budget
+
+    monkeypatch.setenv("GRAFT_DRIVER_EDGE_MAX", "0")  # force the route
+    res_s, got = run()
+    assert res_s.stats["components_mode"] == "shuffle"
+    assert got.equals(want), "auto/shuffle clusters diverge from driver"
+    assert res_s.stats["n_clusters"] == res_d.stats["n_clusters"]
+    assert res_s.stats["docs_in_clusters"] == res_d.stats["docs_in_clusters"]
