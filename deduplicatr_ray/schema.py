@@ -60,7 +60,8 @@ SIGNATURES_FULL = SIGNATURES.insert(
 )
 
 # Exploded LSH band keys (1 row per band per doc; minhash bands use
-# band_id 0..bands-1, simhash blocks use bands..bands+blocks-1).
+# band_id 0..bands-1, SimHash combination tables use
+# bands..bands+C(simhash_blocks, simhash_combo)-1).
 BAND_KEYS = pa.schema(
     [
         pa.field("band_id", pa.int32()),

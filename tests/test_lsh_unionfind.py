@@ -28,14 +28,79 @@ def test_band_explode_counts_and_ids():
     sigs = _sig_batch(texts)
     bands = band_explode_batch(sigs)
     cfg = CANONICAL
-    # doc 0: 32 minhash bands + 4 simhash blocks; doc 1 (< w tokens): simhash only
+    # doc 0: 32 minhash bands + C(blocks, combo) simhash tables;
+    # doc 1 (< w tokens): simhash tables only
+    ntab = cfg.num_simhash_tables
     ids = np.array(bands["band_id"].to_pylist())
     urls = bands["url"].to_pylist()
-    assert (np.array(urls) == "u/0").sum() == cfg.bands + cfg.simhash_blocks
-    assert (np.array(urls) == "u/1").sum() == cfg.simhash_blocks
+    assert (np.array(urls) == "u/0").sum() == cfg.bands + ntab
+    assert (np.array(urls) == "u/1").sum() == ntab
     assert set(ids[np.array(urls) == "u/1"]) <= set(
-        range(cfg.bands, cfg.bands + cfg.simhash_blocks)
+        range(cfg.bands, cfg.bands + ntab)
     )
+
+
+def _fake_sig_batch(simhashes: np.ndarray) -> pa.Table:
+    """Signature rows with NO shingles (minhash bands suppressed) and a
+    chosen simhash per row — isolates the SimHash blocking path."""
+    n = len(simhashes)
+    cfg = CANONICAL
+    return pa.table(
+        {
+            "url": pa.array([f"s/{i}" for i in range(n)]),
+            "n_shingles": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "sig8": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.zeros(n * cfg.sketch_width, np.uint8), pa.uint8()),
+                cfg.sketch_width,
+            ),
+            "simhash": pa.array(simhashes.astype(np.uint64), pa.uint64()),
+            "text_sha1": pa.array(
+                [i.to_bytes(20, "big") for i in range(n)], pa.binary(20)
+            ),
+        }
+    )
+
+
+def test_simhash_combination_tables_guarantee_hamming_radius():
+    """Pigeonhole recall: every pair within Hamming (blocks - combo) of the
+    fingerprint shares >= 1 combination-table key (Manku WWW'07)."""
+    cfg = CANONICAL
+    radius = cfg.simhash_blocks - cfg.simhash_combo
+    assert radius >= cfg.hamming_threshold
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.integers(1, 2**63, size=64, dtype=np.uint64)
+    flips = [
+        np.bitwise_xor.reduce(
+            (np.uint64(1) << rng.choice(64, size=k, replace=False).astype(np.uint64))
+        )
+        for k in rng.integers(1, radius + 1, size=64)
+    ]
+    pairs = np.stack([base, base ^ np.array(flips, np.uint64)])
+    bands = band_explode_batch(_fake_sig_batch(pairs.T.reshape(-1)))
+    tbl = bands.to_pandas()
+    tbl["doc"] = tbl["url"].str.split("/").str[1].astype(int) // 2
+    shared = tbl.groupby(["doc", "band_id", "band_hash"]).size()
+    collided = set(shared[shared == 2].index.get_level_values("doc"))
+    assert collided == set(range(64))
+
+
+def test_simhash_hot_block_no_longer_saturates_cap():
+    """r3 verdict weak #1: a corpus where every doc shares ONE hot bit block
+    (boilerplate signature) used to form a single giant group per block
+    table and silently fall to the exact path via band_group_cap. With
+    combination keys, every table mixes in >= 2 other (random) blocks, so
+    groups stay tiny and the cap never trips."""
+    cfg = CANONICAL
+    n = cfg.band_group_cap * 4
+    rng = np.random.Generator(np.random.PCG64(11))
+    widths = cfg.simhash_block_widths()
+    sh = rng.integers(1, 2**63, size=n, dtype=np.uint64)
+    # pin block 0 (the low widths[0] bits) to one hot value for every doc
+    mask = np.uint64((1 << widths[0]) - 1)
+    sh = (sh & ~mask) | np.uint64(0x2A5)
+    bands = band_explode_batch(_fake_sig_batch(sh)).to_pandas()
+    gsizes = bands.groupby(["band_id", "band_hash"]).size()
+    assert gsizes.max() <= cfg.band_group_cap
 
 
 def test_identical_docs_share_all_bands():
