@@ -169,11 +169,13 @@ def run_partitioned(
             rows_per_sec=round(rows / wall, 1) if wall > 0 else None,
             **extra,
         )
-    # read_parquet takes one dir or a list of FILES (not a list of dirs)
+    # read_parquet takes one dir or a list of FILES (not a list of dirs);
+    # partitioning=None: dir names are manifest keys ("part=00000"), not
+    # hive partitions — inference would graft a stray int32 "part" column
     part_files = [
         os.path.join(d, f)
         for d in dirs
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
-    return rd.read_parquet(part_files)
+    return rd.read_parquet(part_files, partitioning=None)

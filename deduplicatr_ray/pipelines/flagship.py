@@ -114,6 +114,89 @@ def pairs_from_signatures(sigs, cfg: DedupConfig = CANONICAL):
     return distinct_pairs_stage(candidate_pairs_stage(bands, cfg))
 
 
+def pairs_partitioned(
+    sigs,
+    cfg: DedupConfig = CANONICAL,
+    *,
+    checkpoint_dir: str,
+    run_id: str = "run0",
+    num_groups: int = 4,
+):
+    """PARTITION-LEVEL checkpointed pair stage (S5 past the signature
+    prefix; r3 verdict item 7).
+
+    The band-key space is sliced into ``num_groups`` deterministic resume
+    groups (hash of (band_id, band_hash) mod G — independent of the
+    cluster-sized shuffle partition count, so resume on a different
+    cluster recomputes exactly the missing groups). Each group runs its
+    own bounded band shuffle over the checkpointed signatures and lands
+    in its own Parquet dir + manifest entry with per-group pair counts
+    and throughput; a killed run recomputes only missing groups, and each
+    group's shuffle working set is ~1/G of the whole — the bound that
+    matters at 100 TB, where one giant pair shuffle would have to finish
+    in one attempt.
+
+    A pair discovered by bands in DIFFERENT groups appears in both group
+    files (exactly like a pair discovered in two bands pre-dates the A4
+    distinct), so the returned Dataset applies a final lazy distinct over
+    the union; per-group files are already group-locally distinct.
+
+    ``sigs`` is re-executed once per group — pass the CHECKPOINTED
+    signature Dataset (a Parquet re-read), never a streaming plan.
+    """
+    import os
+    import time
+
+    import ray.data as rd
+
+    from .checkpoint import CheckpointManager, _atomic_write
+
+    mgr = CheckpointManager(checkpoint_dir, run_id, cfg)
+    dirs = []
+    for g in range(num_groups):
+        key = f"pairs/group={g:04d}"
+        out_dir = mgr.stage_dir(key)
+        dirs.append(out_dir)
+        done = mgr.entry(key)
+        if done is not None:
+            if done.get("num_groups") != num_groups:
+                raise ValueError(
+                    f"pairs checkpoint group layout mismatch: manifest has "
+                    f"num_groups={done.get('num_groups')}, caller asked "
+                    f"{num_groups} — use a new run_id"
+                )
+            continue
+        t0 = time.monotonic()
+        grp = distinct_pairs_stage(
+            candidate_pairs_stage(
+                band_stage(sigs, cfg), cfg, emit="all", part_select=(g, num_groups)
+            )
+        )
+        rows = _atomic_write(grp, out_dir)
+        wall = time.monotonic() - t0
+        mgr.record(
+            key,
+            rows=rows,
+            wall_sec=round(wall, 3),
+            pairs_per_sec=round(rows / wall, 1) if wall > 0 else None,
+            num_groups=num_groups,
+        )
+    part_files = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not part_files:
+        from ..stages.lsh import _EMPTY_PAIRS
+
+        return rd.from_arrow(_EMPTY_PAIRS.drop_columns(["ha", "hb"]))
+    # partitioning=None: the dir names are manifest keys ("group=0000"),
+    # not hive partitions — inference would graft a stray "group" column
+    return distinct_pairs_stage(rd.read_parquet(part_files, partitioning=None))
+
+
 def dedup_pipeline(
     pages,
     cfg: DedupConfig = CANONICAL,
@@ -176,11 +259,15 @@ def dedup_pipeline_partitioned(
     checkpoint_dir: str,
     run_id: str = "run0",
     num_partitions: int = 8,
+    pairs_groups: int = 4,
 ) -> DedupResult:
     """Flagship with a PARTITION-LEVEL checkpointed signature prefix (S5):
     each input-file group lands in its own Parquet dir + manifest entry with
     per-partition throughput AND exact-dup-rate metrics (BASELINE.json:6);
-    a killed run recomputes only missing partitions."""
+    a killed run recomputes only missing partitions. The pair stage past the
+    prefix is checkpointed per band-key resume group the same way
+    (``pairs_partitioned``; set ``pairs_groups=0`` for the old whole-stage
+    pair checkpoint)."""
     from .checkpoint import run_partitioned
 
     def sig_metrics(ds) -> dict:
@@ -207,7 +294,11 @@ def dedup_pipeline_partitioned(
         metrics_fn=sig_metrics,
     )
     return cluster_from_signatures(
-        sigs, cfg, checkpoint_dir=checkpoint_dir, run_id=run_id
+        sigs,
+        cfg,
+        checkpoint_dir=checkpoint_dir,
+        run_id=run_id,
+        pairs_groups=pairs_groups,
     )
 
 
@@ -236,6 +327,7 @@ def cluster_from_signatures(
     run_id: str = "run0",
     url_source=None,
     components: str = "auto",
+    pairs_groups: int | None = None,
 ) -> DedupResult:
     """SIGNATURES Dataset -> DedupResult (the pipeline tail after the
     checkpointable signature prefix).
@@ -292,15 +384,26 @@ def cluster_from_signatures(
     )
     # full verified-pair reporting artifact (ADVICE r1: forest edges are
     # connectivity-equivalent but NOT the documented pairs semantics)
-    pairs = distinct_pairs_stage(
-        candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="all")
-    )
-    if checkpoint_dir is not None:
-        from .checkpoint import checkpoint_dataset
-
-        pairs = checkpoint_dataset(
-            pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
+    if checkpoint_dir is not None and pairs_groups:
+        # partition-level pair checkpoints: a killed run recomputes only
+        # the missing band-key resume groups (r3 verdict item 7)
+        pairs = pairs_partitioned(
+            sigs,
+            cfg,
+            checkpoint_dir=checkpoint_dir,
+            run_id=run_id,
+            num_groups=pairs_groups,
         )
+    else:
+        pairs = distinct_pairs_stage(
+            candidate_pairs_stage(band_stage(sigs, cfg), cfg, emit="all")
+        )
+        if checkpoint_dir is not None:
+            from .checkpoint import checkpoint_dataset
+
+            pairs = checkpoint_dataset(
+                pairs, checkpoint_dir, stage="pairs", run_id=run_id, cfg=cfg
+            )
 
     mode = components
     if mode == "distributed":

@@ -507,6 +507,7 @@ def candidate_pairs_stage(
     *,
     emit: str = "all",
     num_partitions: int | None = None,
+    part_select: tuple[int, int] | None = None,
 ):
     """BAND_KEYS -> verified candidate PAIRS (SHUFFLE #1).
 
@@ -516,11 +517,26 @@ def candidate_pairs_stage(
     total (instead of one per band group). Each partition must fit in a
     worker's heap: size ``num_partitions`` ~ total_band_bytes / 32 MiB on
     real data (default: 2 x cluster CPUs, floor 16).
+
+    ``part_select=(g, G)`` restricts the stage to the band groups whose
+    key mix lands in resume-slice g of G — the seam for partition-level
+    pair checkpoints (``pipelines.flagship.pairs_partitioned``). The slice
+    assignment depends only on (band_id, band_hash) and G, NOT on
+    ``num_partitions``, so a resumed run on a different cluster size
+    recomputes exactly the missing slices. Band groups never straddle
+    slices, so unioning all G slices reproduces the unsliced pair stream
+    (up to cross-slice repeats of pairs found in multiple bands — the
+    same repeats A4 distinct already removes across bands).
     """
     import pyarrow.compute as pc
 
     P = num_partitions or default_num_partitions()
     pu64 = np.uint64(P)
+    if part_select is not None:
+        sel_g, sel_G = part_select
+        if not (0 <= sel_g < sel_G):
+            raise ValueError(f"part_select {part_select}: need 0 <= g < G")
+        sel_g64, sel_G64 = np.uint64(sel_g), np.uint64(sel_G)
 
     def combine_and_part(b: pa.Table) -> pa.Table:
         # local combiner: collapse same-content rows of the same band group
@@ -562,7 +578,12 @@ def candidate_pairs_stage(
         bh = b["band_hash"].to_numpy(zero_copy_only=False)
         bi = b["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         with np.errstate(over="ignore"):
-            part = (splitmix64(bh ^ (bi * _POLY)) % pu64).astype(np.int32)
+            mix = splitmix64(bh ^ (bi * _POLY))
+        if part_select is not None:
+            keep = mix % sel_G64 == sel_g64
+            b = b.filter(pa.array(keep))
+            mix = mix[keep]
+        part = (mix % pu64).astype(np.int32)
         return b.append_column("part", pa.array(part, pa.int32()))
 
     def emit_fn(g: pa.Table, _mode=emit) -> pa.Table:
