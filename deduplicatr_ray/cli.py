@@ -179,6 +179,16 @@ def cmd_export(args: argparse.Namespace) -> int:
 
     from .pipelines.training import training_export
 
+    tokenizer = None
+    if args.merges is not None:
+        from .functions.tokenizers import bpe_factory, load_merges
+
+        try:
+            load_merges(args.merges)  # validate BEFORE ray.init
+        except (OSError, ValueError) as e:
+            raise SystemExit(f"--merges: {e}")
+        tokenizer = bpe_factory(args.merges)
+
     _init_ray(args.num_cpus, args.address)
     try:
         t0 = time.monotonic()
@@ -187,6 +197,7 @@ def cmd_export(args: argparse.Namespace) -> int:
             chunk_tokens=args.chunk_tokens,
             shard_chunks=args.shard_chunks,
             out_dir=args.output,
+            tokenizer=tokenizer,
         )
         from ray.data.aggregate import Count, Max, Sum
 
@@ -362,6 +373,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("--output", required=True, help="export parquet out dir")
     pe.add_argument("--chunk-tokens", type=int, default=512)
     pe.add_argument("--shard-chunks", type=int, default=64)
+    pe.add_argument(
+        "--merges",
+        default=None,
+        help="BPE merges.txt (GPT-2/HF layout) to count tokens under; "
+        "default: the [a-z0-9]+ regex lexer",
+    )
     pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser(

@@ -90,6 +90,23 @@ class DedupConfig:
     #     the byte-per-lane sketch. ---
     bbit_bits: int = 4
 
+    # --- tokenizer for sequence packing / export (functions/tokenizers.py):
+    #     None = the corpus-standard [a-z0-9]+ regex lexer (SQL-oracle-
+    #     expressible); a path = user-supplied BPE merges.txt, loaded once
+    #     per map actor. Recorded here so checkpoint lineage hashes the
+    #     vocab choice — resuming a packing run under a different vocab is
+    #     a config mismatch, not silent corruption. ---
+    tokenizer_merges_path: str | None = None
+
+    def tokenizer_factory(self):
+        """None (regex-lexer default) or a zero-arg BPE factory bound to
+        ``tokenizer_merges_path`` — the form ``token_chunk_stage`` takes."""
+        if self.tokenizer_merges_path is None:
+            return None
+        from .functions.tokenizers import bpe_factory
+
+        return bpe_factory(self.tokenizer_merges_path)
+
     @property
     def sketch_width(self) -> int:
         """Bytes per packed verification sketch (num_perm lanes, b bits each)."""

@@ -85,3 +85,46 @@ def bpe_fixture() -> BPETokenizer:
     """Factory for the frozen-vocab BPE fixture (pass as
     ``token_chunk_stage(..., tokenizer=bpe_fixture)``)."""
     return BPETokenizer()
+
+
+def load_merges(path: str) -> tuple[tuple[str, str], ...]:
+    """Read a user-supplied BPE merge table (the GPT-2 / HuggingFace
+    ``merges.txt`` layout: optional ``#``-comment header lines, then one
+    space-separated pair per line, rank = line order).
+
+    The no-network sandbox means no real vocab ships with the repo — this
+    is the seam a production run drops its trained merge table into
+    (r3 verdict missing #3). Parsing is strict: a line that is not exactly
+    two whitespace-separated symbols raises instead of silently skewing
+    every downstream token count."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, raw in enumerate(f, 1):
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right' merge pair, "
+                    f"got {line!r}"
+                )
+            merges.append((parts[0], parts[1]))
+    if not merges:
+        raise ValueError(f"{path}: no merge pairs found")
+    return tuple(merges)
+
+
+def bpe_factory(merges_path: str | None = None):
+    """Zero-arg tokenizer FACTORY for ``token_chunk_stage``: loads the
+    user-supplied merge table from ``merges_path`` (fixture when None).
+    The file is read inside the factory call — i.e. once per map actor in
+    ``__init__``, never per batch — so a multi-MB vocab costs one read
+    per actor."""
+
+    def make() -> BPETokenizer:
+        if merges_path is None:
+            return BPETokenizer()
+        return BPETokenizer(load_merges(merges_path))
+
+    return make

@@ -55,6 +55,7 @@ def training_export(
     bloom: bool | None = None,
     bloom_eval_docs: int = 10_000,
     scrub: bool = False,
+    tokenizer=None,
 ):
     """-> Dataset of kept docs with their training-chunk layout:
 
@@ -68,6 +69,11 @@ def training_export(
     With ``out_dir`` set the layout is also written as Parquet partitioned
     by ``chunk_shard`` (= first_chunk // ``shard_chunks``): one directory
     per contiguous chunk range, the resumable-output unit.
+
+    ``tokenizer``: zero-arg counting factory for the packing stage (see
+    ``functions/tokenizers.py``); e.g. ``bpe_factory(path)`` to count
+    under a user-supplied merges.txt vocab, or
+    ``cfg.tokenizer_factory()``. None = the regex lexer.
     """
     import pyarrow.compute as pc
 
@@ -202,7 +208,9 @@ def training_export(
             ["doc_id", "text"]
         )
 
-    layout = token_chunk_stage(kept_docs, chunk_tokens=chunk_tokens)
+    layout = token_chunk_stage(
+        kept_docs, chunk_tokens=chunk_tokens, tokenizer=tokenizer
+    )
 
     def with_shard(b: pa.Table) -> pa.Table:
         shard = b["first_chunk"].to_numpy(zero_copy_only=False) // shard_chunks
