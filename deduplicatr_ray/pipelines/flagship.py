@@ -40,7 +40,11 @@ __all__ = [
 @dataclass
 class DedupResult:
     clusters: Any          # Dataset (CLUSTERS schema)
-    pairs: Any             # Dataset (PAIRS schema, distinct; lazy)
+    # Dataset (PAIRS schema, distinct). LAZY: consuming it re-executes the
+    # signature prefix + band shuffle with full pair emission. Callers that
+    # consume pairs more than once (or alongside clusters) should pass
+    # checkpoint_dir= to the pipeline so pairs come off Parquet instead.
+    pairs: Any
     stats: dict[str, Any] = field(default_factory=dict)
     _mapping: dict[str, str] | None = None
 
