@@ -106,30 +106,22 @@ def q_top_docs_by_chars(sf_dir: str):
 
 
 def q_exact_dup_assign(sf_dir: str):
-    """A2/D1 exact dedup: every doc -> canonical (min doc_id of its md5 group)."""
+    """A2/D1 exact dedup: every doc -> canonical (min doc_id of its md5
+    group). Vectorized segment-min per hash partition (keyed_min_assign) —
+    NOT per-group map_groups, which costs one Python call per unique doc."""
     import pyarrow as pa
+
+    from deduplicatr_ray.stages.relational import keyed_min_assign
 
     def add_md5(b: pa.Table) -> pa.Table:
         h = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
         return pa.table({"doc_id": b["doc_id"], "text_md5": pa.array(h, pa.string())})
 
-    def assign(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        canon = pc.min(g["doc_id"]).as_py()
-        return pa.table(
-            {
-                "doc_id": g["doc_id"],
-                "canonical_id": pa.array([canon] * len(g), pa.int64()),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_md5, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(assign, batch_format="pyarrow")
-        .select_columns(["doc_id", "canonical_id"])
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_md5, batch_format="pyarrow"
+    )
+    return keyed_min_assign(keyed, key="text_md5").select_columns(
+        ["doc_id", "canonical_id"]
     )
 
 
@@ -140,29 +132,19 @@ def q_sampled_hash_assign(sf_dir: str):
 
     k = _SAMPLED_K
 
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
     def add_key(b: pa.Table) -> pa.Table:
         keys = []
         for t in b["text"].to_pylist():
             keys.append(t if len(t) <= 2 * k else t[:k] + t[-k:] + str(len(t)))
         return pa.table({"doc_id": b["doc_id"], "skey": pa.array(keys, pa.string())})
 
-    def assign(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        canon = pc.min(g["doc_id"]).as_py()
-        return pa.table(
-            {
-                "doc_id": g["doc_id"],
-                "canonical_id": pa.array([canon] * len(g), pa.int64()),
-            }
-        )
-
-    return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(add_key, batch_format="pyarrow")
-        .groupby("skey")
-        .map_groups(assign, batch_format="pyarrow")
-        .select_columns(["doc_id", "canonical_id"])
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    return keyed_min_assign(keyed, key="skey").select_columns(
+        ["doc_id", "canonical_id"]
     )
 
 

@@ -326,3 +326,61 @@ def test_quantile_sketch_bounded_error_when_trimmed(ray_session):
     bound = blocks * (int(np.ceil(n / blocks / S)) // 2 + 1)
     assert abs(out["p50"].iloc[0] - (n // 2 - 1)) <= bound
     assert abs(out["p90"].iloc[0] - (int(np.ceil(0.9 * n)) - 1)) <= bound
+
+
+def test_keyed_min_assign_matches_per_group_oracle(ray_session):
+    """min(id) OVER (PARTITION BY key) — vectorized segment-min vs a pandas
+    groupby-min oracle, across duplicate families, singletons, and ids
+    arriving out of order."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    n = 2000
+    keys = [f"k{int(v)}" for v in rng.integers(0, 600, n)]  # ~3.3 rows/key
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "key": pa.array(keys, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    out = (
+        keyed_min_assign(ds, key="key", num_partitions=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["canonical_id"] = df.groupby("key")["doc_id"].transform("min")
+    exp = df[["doc_id", "canonical_id"]].sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["canonical_id"].tolist() == exp["canonical_id"].tolist()
+    # every row present exactly once; singletons self-canonical
+    assert len(out) == n
+
+
+def test_keyed_min_assign_all_unique_and_all_same(ray_session):
+    import ray
+
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    uniq = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9], pa.int64()),
+            "key": pa.array(["a", "b", "c"], pa.string()),
+        }
+    )
+    out = (
+        keyed_min_assign(ray.data.from_arrow(uniq), key="key")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["canonical_id"].tolist() == out["doc_id"].tolist()
+
+    same = pa.table(
+        {
+            "doc_id": pa.array([7, 2, 4], pa.int64()),
+            "key": pa.array(["x", "x", "x"], pa.string()),
+        }
+    )
+    out2 = keyed_min_assign(ray.data.from_arrow(same), key="key").to_pandas()
+    assert sorted(out2["canonical_id"].tolist()) == [2, 2, 2]
