@@ -45,6 +45,13 @@ def cmd_run(args: argparse.Namespace) -> int:
     from .pipelines.flagship import dedup_pipeline, dedup_pipeline_partitioned
     from .sources.pages import read_pages
 
+    from .config import CANONICAL, DedupConfig
+
+    cfg = (
+        DedupConfig.tuned(args.threshold)
+        if getattr(args, "threshold", None) is not None
+        else CANONICAL
+    )
     _init_ray(args.num_cpus, args.address)
     try:
         t0 = time.monotonic()
@@ -60,6 +67,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             )
             res = dedup_pipeline_partitioned(
                 files,
+                cfg,
                 checkpoint_dir=args.ckpt,
                 run_id=args.run_id,
                 num_partitions=args.partitions,
@@ -68,6 +76,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             pages = read_pages(args.input, lang=args.lang)
             res = dedup_pipeline(
                 pages,
+                cfg,
                 checkpoint_dir=args.ckpt,
                 run_id=args.run_id,
                 components=args.components,
@@ -324,6 +333,15 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--run-id", default="run0")
     pr.add_argument("--output", default=None, help="clusters parquet out dir")
     pr.add_argument("--lang", default=None, help="optional lang filter pushdown")
+    pr.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="target Jaccard threshold: banding (bands x rows) is "
+        "auto-tuned to catch threshold-pairs with p >= 0.99 while "
+        "minimizing sub-threshold collisions (config.optimal_bands); "
+        "default keeps the frozen canonical config (tau=0.7, 32x4)",
+    )
     pr.add_argument(
         "--components",
         default="auto",

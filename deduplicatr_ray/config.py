@@ -16,6 +16,8 @@ import hashlib
 import json
 from dataclasses import asdict, dataclass, field
 
+import numpy as np
+
 
 @dataclass(frozen=True)
 class DedupConfig:
@@ -153,6 +155,79 @@ class DedupConfig:
         """Stable hash of the config for checkpoint lineage (BASELINE.json:6)."""
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha1(payload).hexdigest()[:16]
+
+    @classmethod
+    def tuned(cls, threshold: float, *, num_perm: int = 128,
+              fn_weight: float = 10.0, **overrides) -> "DedupConfig":
+        """Config with (bands, rows) auto-tuned to ``threshold`` via
+        :func:`optimal_bands`. ``fn_weight`` defaults recall-heavy (10:1)
+        because the pipeline's gate is dup-pair recall >= 0.99
+        (BASELINE.json:2); pass 1.0 for balanced precision/recall."""
+        b, r = optimal_bands(threshold, num_perm=num_perm, fn_weight=fn_weight)
+        return cls(
+            num_perm=num_perm,
+            bands=b,
+            rows_per_band=r,
+            jaccard_threshold=threshold,
+            **overrides,
+        )
+
+
+def optimal_bands(
+    threshold: float,
+    *,
+    num_perm: int = 128,
+    fp_weight: float = 1.0,
+    fn_weight: float = 10.0,
+    min_recall: float = 0.99,
+    steps: int = 1000,
+) -> tuple[int, int]:
+    """Choose the LSH banding (bands b, rows r) for a target Jaccard
+    ``threshold``: among bandings whose S-curve P(s) = 1 - (1 - s^r)^b
+    already catches a pair sitting exactly AT the threshold with
+    probability >= ``min_recall`` (the engine's hard gate — dup-pair
+    recall >= 0.99, BASELINE.json:2; a pair missed by banding is
+    unrecoverable downstream), minimize the weighted FP/FN area under the
+    S-curve (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+    §3.4.3 — the criterion datasketch's public ``_optimal_param`` uses):
+
+      FP area = integral_0^t      P(s) ds   (pairs below t that collide)
+      FN area = integral_t^1 (1 - P(s)) ds  (pairs above t that miss)
+
+    The bare area criterion alone is NOT enough here: at t=0.7 it picks
+    (16 bands x 8 rows), which catches a J=0.7 pair with p=0.61 — fine
+    for balanced precision/recall, fatal for a recall-gated dedup. The
+    recall floor prunes those candidates first; if no banding meets the
+    floor (tiny num_perm, high threshold), the highest-P(t) banding wins.
+
+    Candidates are the exact divisor pairs b*r == num_perm (DedupConfig
+    requires every permutation be used by exactly one band, so lineage
+    hashes stay a pure function of config — no silently dropped perms).
+    Deterministic trapezoid integration — no RNG, so a tuned config
+    hashes stably.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    s = np.linspace(0.0, 1.0, steps + 1)
+    below = s <= threshold
+    feasible: tuple[float, int, int] | None = None
+    fallback: tuple[float, int, int] | None = None
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - s**r) ** b
+        p_at_t = 1.0 - (1.0 - threshold**r) ** b
+        fp = np.trapz(p[below], s[below])
+        fn = np.trapz(1.0 - p[~below], s[~below])
+        err = fp_weight * fp + fn_weight * fn
+        if p_at_t >= min_recall and (feasible is None or err < feasible[0]):
+            feasible = (err, b, r)
+        if fallback is None or -p_at_t < fallback[0]:
+            fallback = (-p_at_t, b, r)
+    best = feasible or fallback
+    assert best is not None
+    return best[1], best[2]
 
 
 CANONICAL = DedupConfig()

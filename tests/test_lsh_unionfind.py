@@ -224,3 +224,53 @@ def test_pack_sketch_roundtrip_and_eq():
     got8 = sketch_eq_mean(pack_sketch(a, cfg8), pack_sketch(b, cfg8), cfg8)
     want8 = ((a & 0xFF) == (b & 0xFF)).mean(axis=1)
     assert np.allclose(got8, want8)
+
+
+# --- LSH banding auto-tune (config.optimal_bands) ---------------------------
+
+
+def test_optimal_bands_recall_floor_and_divisors():
+    """Every tuned banding is an exact divisor pair and catches a pair AT
+    the threshold with p >= the recall floor (when any divisor can)."""
+    from deduplicatr_ray.config import optimal_bands
+
+    for t in (0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95):
+        b, r = optimal_bands(t, num_perm=128)
+        assert b * r == 128
+        p_at_t = 1.0 - (1.0 - t**r) ** b
+        assert p_at_t >= 0.99, (t, b, r, p_at_t)
+
+
+def test_optimal_bands_monotone_rows_in_threshold():
+    """Higher threshold -> longer bands (rows non-decreasing): selective
+    banding for near-identical targets, permissive for loose ones."""
+    from deduplicatr_ray.config import optimal_bands
+
+    prev_rows = 0
+    for t in (0.3, 0.5, 0.7, 0.9, 0.95):
+        _, r = optimal_bands(t)
+        assert r >= prev_rows, (t, r, prev_rows)
+        prev_rows = r
+
+
+def test_tuned_config_reproduces_canonical_banding():
+    """DedupConfig.tuned(0.7) independently lands on the frozen canonical
+    32x4 banding — the hand-picked default is the optimum under the
+    engine's own recall gate."""
+    from deduplicatr_ray.config import CANONICAL, DedupConfig
+
+    c = DedupConfig.tuned(CANONICAL.jaccard_threshold)
+    assert (c.bands, c.rows_per_band) == (CANONICAL.bands, CANONICAL.rows_per_band)
+    assert c.num_perm == CANONICAL.num_perm
+    # tuned configs hash stably (pure function of inputs)
+    assert c.config_hash() == DedupConfig.tuned(0.7).config_hash()
+
+
+def test_optimal_bands_infeasible_falls_back_to_max_recall():
+    """When no divisor pair can reach the floor, the highest-P(t) banding
+    (most bands, shortest rows) is returned rather than an arbitrary one."""
+    from deduplicatr_ray.config import optimal_bands
+
+    b, r = optimal_bands(0.99, num_perm=4, min_recall=0.999999)
+    p = lambda bb, rr: 1.0 - (1.0 - 0.99**rr) ** bb  # noqa: E731
+    assert p(b, r) == max(p(bb, 4 // bb) for bb in (1, 2, 4))
