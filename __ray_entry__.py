@@ -1087,6 +1087,125 @@ def q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_source(_docs(sf_dir, ["doc_id", "source", "text"]))
 
 
+def _synth_urls_batch(b):
+    """Deterministic URL per doc (the sf corpora carry no URL column):
+    scheme/port/case/tracking-param variety keyed off doc_id so the
+    canonicalizer has real work to do, path keyed off doc_id % 13 so
+    distinct raw URLs genuinely collide post-canonicalization. The SQL
+    twin is _SYNTH_URL_SQL — keep the two in lockstep."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+    even = pa.array(ids % 2 == 0)
+    scheme = pc.if_else(even, "http://WWW.", "https://")
+    port = pc.if_else(even, ":80", ":443")
+    path_id = pa.array((ids % 13).astype("int64"))
+    url = pc.binary_join_element_wise(
+        scheme,
+        pc.cast(b["source"], pa.string()),
+        ".Example.com",
+        port,
+        "/p/",
+        pc.cast(path_id, pa.string()),
+        "?utm_campaign=c",
+        pc.cast(b["doc_id"], pa.string()),
+        "#sec",
+        "",
+    )
+    return pa.table({"doc_id": b["doc_id"], "url": url})
+
+
+_SYNTH_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'http://WWW.' ELSE 'https://' END"
+    " || source || '.Example.com'"
+    " || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END"
+    " || '/p/' || CAST(doc_id % 13 AS VARCHAR)"
+    " || '?utm_campaign=c' || CAST(doc_id AS VARCHAR) || '#sec'"
+)
+
+
+def _url_canon_sql(expr: str = "url") -> str:
+    from deduplicatr_ray.functions.urls import canonicalize_sql
+
+    return canonicalize_sql(expr)
+
+
+def _url_host_sql(expr: str = "url") -> str:
+    from deduplicatr_ray.functions.urls import host_sql
+
+    return host_sql(expr)
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup — the FIRST dedup any crawl pipeline runs: doc ->
+    min doc_id of its canonical-URL group (functions/urls.py canonical
+    form: fragment/tracking-param strip, scheme+host case-fold, www +
+    default-port strip). One hash-partition shuffle on the canonical key
+    (keyed_min_assign); the canonicalizer itself is pure Arrow regex
+    kernels, no Python per row."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.functions.urls import canonicalize_urls
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    def canon(b: pa.Table) -> pa.Table:
+        t = _synth_urls_batch(b)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "canonical_url": canonicalize_urls(t["url"]),
+            }
+        )
+
+    keyed = _docs(sf_dir, ["doc_id", "source"]).map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return keyed_min_assign(keyed, key="canonical_url").select_columns(
+        ["doc_id", "canonical_id"]
+    )
+
+
+def q_url_host_stats(sf_dir: str):
+    """Per-host crawl summary (host extraction over canonicalized URLs):
+    pages per host + distinct canonical URLs per host — the partition
+    key a 100-TB crawl shards on (per-host politeness / dedup scope)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+    from deduplicatr_ray.functions.urls import canonicalize_urls, host_of
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = _synth_urls_batch(b)
+        return pa.table(
+            {
+                "host": host_of(t["url"]),
+                "canonical_url": canonicalize_urls(t["url"]),
+            }
+        )
+
+    # distinct (host, canonical_url) first, carrying per-pair page counts —
+    # then one small per-host rollup (pre-aggregation keeps the second
+    # shuffle payload at O(distinct urls), not O(pages))
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["host", "canonical_url"])
+        .aggregate(Count(alias_name="n_pages"))
+    )
+    return (
+        pairs.groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Count(alias_name="n_urls"),
+        )
+        .sort("host")
+    )
+
+
 def q_word_repetition(sf_dir: str):
     """Gopher-style per-doc repetition quality stats (dup-token /
     top-token / top-bigram fractions) — the standard web-scale
@@ -1304,6 +1423,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_dup_assign": q_canonical_dup_assign,
         "cluster_summary": q_cluster_summary,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "url_dedup": q_url_dedup,
+        "url_host_stats": q_url_host_stats,
         # -- substring / span dedup -----------------------------------------
         "suffix_dups": q_suffix_dups,
         "suffix_array_dups": q_suffix_array_dups,
@@ -2022,6 +2143,34 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - (count(DISTINCT text) / CAST(count(*) AS DOUBLE))
                      AS dup_rate
             FROM documents GROUP BY source ORDER BY source
+        """,
+        # q_url_dedup / q_url_host_stats: the canonicalization expression is
+        # GENERATED from the same spec list the Arrow kernel compiles from
+        # (functions/urls.py canonicalize_sql/host_sql) — single source of
+        # truth, the oracle cannot drift from the engine.
+        "url_dedup": f"""
+            WITH u AS (
+              SELECT doc_id, {_url_canon_sql()} AS canonical_url
+              FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+            )
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY canonical_url)
+                     AS canonical_id
+            FROM u
+        """,
+        "url_host_stats": f"""
+            WITH u AS (
+              SELECT {_url_host_sql()} AS host,
+                     {_url_canon_sql()} AS canonical_url
+              FROM (SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents)
+            ),
+            pairs AS (
+              SELECT host, canonical_url, count(*) AS n_pages
+              FROM u GROUP BY host, canonical_url
+            )
+            SELECT host, CAST(sum(n_pages) AS BIGINT) AS n_pages,
+                   count(*) AS n_urls
+            FROM pairs GROUP BY host ORDER BY host
         """,
         # q_word_repetition: same tokenizer as text_quality; float columns
         # use single-division expression trees identical to the numpy ones
