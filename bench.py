@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "token_chunks",          # sequence packing (distributed prefix scan)
     "scrub_spans",           # ExactSubstr span-level duplicate removal
     "training_export",       # composed end-to-end export (reuses clusters)
+    "url_dedup",             # canonical-URL dedup (Arrow regex + keyed min)
+    "sampled_hash_assign",   # M2 sampled-hash prefilter (keyed_min_assign)
 ]
 
 FLAGSHIP = "dedup_clusters"

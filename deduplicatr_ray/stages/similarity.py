@@ -42,6 +42,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _merge_topk(local, k: int):
+    """Global top-k per query from per-batch local candidates: ONE
+    hash-partition shuffle on query_id + a vectorized per-partition rank
+    kernel (grouped_top_k) under the same total order the local stages
+    emit (sim desc, neighbor_id asc). A per-group map_groups merge here
+    costs one Python call per QUERY — fatal for wide query sets (the
+    _wide variants use every vector as a query)."""
+    from .relational import grouped_top_k
+
+    return grouped_top_k(
+        local,
+        by="query_id",
+        order_by="sim",
+        k=k,
+        descending=True,
+        tie_by="neighbor_id",
+    ).select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def knn_brute(embeddings, query_ids: list[int], k: int = 5):
     """Exact cosine top-k neighbors for each query id; returns a Dataset
     (query_id, neighbor_id, rank) with rank 1..k, ties broken by id."""
@@ -108,23 +127,7 @@ def knn_brute(embeddings, query_ids: list[int], k: int = 5):
         num_cpus=1,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")],
-        )
-        g = group.take(order[:k])
-        return pa.table(
-            {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
-            }
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(local, k)
 
 
 def _spherical_kmeans(
@@ -270,23 +273,7 @@ def ann_ivf_knn(
         num_cpus=1,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("sim", "descending"), ("neighbor_id", "ascending")],
-        )
-        g = group.take(order[:k])
-        return pa.table(
-            {
-                "query_id": g["query_id"],
-                "neighbor_id": g["neighbor_id"],
-                "rank": pa.array(np.arange(1, len(g) + 1), pa.int64()),
-            }
-        )
-
-    return local.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+    return _merge_topk(local, k)
 
 
 def _block_pair_sims(
