@@ -368,6 +368,10 @@ def keyed_min_assign(
     ``groupby(key).map_groups(...)`` alternative costs one Python call per
     DISTINCT key — at web scale that is one call per unique document, so
     this is the only shape of this operator that survives 100 TB.
+
+    ``key`` must be non-null (it is always a derived hash/canonical-form
+    column here); null keys would sort together at the end and silently
+    form a group, so they are rejected up front.
     """
     import pyarrow.compute as pc
 
@@ -377,6 +381,10 @@ def keyed_min_assign(
     P = num_partitions or default_num_partitions()
 
     def with_part(b: pa.Table) -> pa.Table:
+        if b[key].null_count:
+            raise ValueError(
+                f"keyed_min_assign: null values in key column {key!r}"
+            )
         return add_hash_part(b, [key], P)
 
     def block(g: pa.Table) -> pa.Table:
