@@ -35,6 +35,14 @@ class DedupConfig:
     # --- MinHash ---
     num_perm: int = 128         # permutations; h_i(x) = (x ^ b_i) * a_i (odd a)
     perm_seed: int = 42         # PCG64 seed for the a,b tables
+    # "kperm" = classic num_perm independent hashes (the frozen canonical;
+    # goldens pin it). "oph" = one-permutation hashing with rotation
+    # densification (Li/Owen/Zhang NIPS'12 + Shrivastava/Li ICML'14):
+    # ONE hash pass per shingle instead of num_perm — the documented
+    # scale path for the signature stage (the flagship's dominant compute
+    # phase). Signatures differ between schemes, so the choice is part of
+    # checkpoint lineage via config_hash.
+    minhash_scheme: str = "kperm"
 
     # --- LSH banding: num_perm = bands * rows ---
     bands: int = 32
@@ -134,6 +142,15 @@ class DedupConfig:
         return comb(self.simhash_blocks, self.simhash_combo)
 
     def __post_init__(self) -> None:
+        if self.minhash_scheme not in ("kperm", "oph"):
+            raise ValueError(
+                f"minhash_scheme must be 'kperm' or 'oph', got "
+                f"{self.minhash_scheme!r}"
+            )
+        if self.minhash_scheme == "oph" and self.num_perm & (self.num_perm - 1):
+            raise ValueError(
+                f"OPH needs a power-of-two num_perm, got {self.num_perm}"
+            )
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError(
                 f"bands*rows ({self.bands}x{self.rows_per_band}) != num_perm ({self.num_perm})"

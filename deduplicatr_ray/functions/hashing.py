@@ -233,6 +233,69 @@ def minhash_segments(
     return out
 
 
+def oph_minhash_segments(
+    shingles: np.ndarray,
+    seg_starts: np.ndarray,
+    num_perm: int,
+    seed: int,
+) -> np.ndarray:
+    """One-Permutation Hashing MinHash with rotation densification.
+
+    Same contract as :func:`minhash_segments` (concatenated non-empty
+    per-doc shingle segments -> (n_docs, num_perm) uint64), but ONE hash
+    pass over the shingle stream instead of ``num_perm``: each shingle is
+    rehashed once, its top log2(num_perm) bits pick a bin, and the bin
+    keeps the minimum rehash (Li/Owen/Zhang, "One Permutation Hashing",
+    NIPS 2012). Empty bins borrow from the nearest filled bin to their
+    LEFT (circular) offset by hops * C — densification via rotation
+    (Shrivastava & Li, ICML 2014) — so the standard matching-lane Jaccard
+    estimator, banding, and b-bit sketches work unchanged. k-perm does
+    O(num_perm * n_shingles) multiply+min work per batch; OPH does O(n)
+    scatter-min + an O(n_docs * num_perm) fill — the signature stage is
+    the flagship's dominant compute phase, so this is the documented
+    scale path (``DedupConfig.minhash_scheme = "oph"``).
+
+    ``num_perm`` must be a power of two (bin = top bits, validated in
+    DedupConfig).
+    """
+    if num_perm & (num_perm - 1):
+        raise ValueError(f"OPH needs power-of-two num_perm, got {num_perm}")
+    n_docs = len(seg_starts)
+    out_flat = np.full(n_docs * num_perm, np.iinfo(np.uint64).max, dtype=_U64)
+    n = len(shingles)
+    if n == 0:
+        return out_flat.reshape(n_docs, num_perm)
+    a, b = make_permutations(1, seed)
+    kbits = num_perm.bit_length() - 1
+    with np.errstate(over="ignore"):
+        h = (shingles ^ b[0]) * a[0]
+    bins = (h >> _U64(64 - kbits)).astype(np.int64)
+    seg_lens = np.diff(np.concatenate([seg_starts, [n]])).astype(np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), seg_lens)
+    np.minimum.at(out_flat, doc_of * num_perm + bins, h)
+    out = out_flat.reshape(n_docs, num_perm)
+
+    filled = out != np.iinfo(np.uint64).max
+    if filled.all():
+        return out
+    # rotation densification, vectorized: for each empty bin j, find the
+    # nearest filled bin at-or-before j (circular) via a max-accumulate
+    # over a doubled index row, then add hops * C (odd constant) so bins
+    # that borrowed from the same source at different distances stay
+    # distinct. Every doc has >= 1 shingle (callers filter empty docs),
+    # so every row has >= 1 filled bin and the fill always resolves.
+    P = num_perm
+    pos = np.where(filled, np.arange(P, dtype=np.int64)[None, :], -1)
+    ff = np.maximum.accumulate(np.concatenate([pos, pos], axis=1), axis=1)
+    src_pos = ff[:, P:]                      # (n_docs, P), in [0, 2P)
+    hops = (np.arange(P, dtype=np.int64)[None, :] + P) - src_pos
+    src_bin = src_pos % P
+    rows = np.arange(n_docs, dtype=np.int64)[:, None]
+    with np.errstate(over="ignore"):
+        borrowed = out[rows, src_bin] + hops.astype(_U64) * _POLY_M
+    return np.where(filled, out, borrowed)
+
+
 # ---------------------------------------------------------------------------
 # SimHash (M8): 64-bit, token-tf weights.
 # ---------------------------------------------------------------------------

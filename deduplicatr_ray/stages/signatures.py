@@ -128,9 +128,16 @@ class SignatureActor:
             starts = np.concatenate(
                 [[0], np.cumsum(n_shingles[nonempty])[:-1]]
             ).astype(np.int64)
-            minhash[nonempty] = minhash_segments(
-                sh_flat, starts, self.perm_a, self.perm_b
-            )
+            if cfg.minhash_scheme == "oph":
+                from ..functions.hashing import oph_minhash_segments
+
+                minhash[nonempty] = oph_minhash_segments(
+                    sh_flat, starts, cfg.num_perm, cfg.perm_seed
+                )
+            else:
+                minhash[nonempty] = minhash_segments(
+                    sh_flat, starts, self.perm_a, self.perm_b
+                )
 
         # --- SimHash: tf-weighted sign-of-sum == sum over token OCCURRENCES,
         # so no per-doc unique: unpack bits of every token hash and reduceat.

@@ -135,3 +135,24 @@ def test_short_and_empty_docs_only_exact(ray_session):
     assert res.mapping.get("u/a") == res.mapping.get("u/b") == "u/a"
     assert "u/c" not in res.mapping  # 1-token edit on a short doc: not near-dup
     assert "u/d" not in res.mapping
+
+
+@pytest.mark.parametrize("name", ["exact", "near", "mixed"])
+def test_recall_gate_oph_scheme(ray_session, name):
+    """The OPH signature scheme (minhash_scheme='oph': one hash pass per
+    shingle + rotation densification) holds the same recall >= 0.99 gate
+    as the canonical k-perm scheme."""
+    import ray.data as rd
+
+    from deduplicatr_ray.config import DedupConfig
+
+    pages, truth = gen_corpus(name)
+    res = dedup_pipeline(
+        rd.from_arrow(pages), DedupConfig(minhash_scheme="oph")
+    )
+    got = implied_pairs(res.mapping)
+    want = _truth_pairs_above_tau(truth)
+    if not want:
+        return
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"{name}/oph: recall {recall:.4f} < 0.99"
