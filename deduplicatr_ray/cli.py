@@ -52,6 +52,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         if getattr(args, "threshold", None) is not None
         else CANONICAL
     )
+    if getattr(args, "scheme", None):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, minhash_scheme=args.scheme)
     _init_ray(args.num_cpus, args.address)
     try:
         t0 = time.monotonic()
@@ -341,6 +345,15 @@ def main(argv: list[str] | None = None) -> int:
         "auto-tuned to catch threshold-pairs with p >= 0.99 while "
         "minimizing sub-threshold collisions (config.optimal_bands); "
         "default keeps the frozen canonical config (tau=0.7, 32x4)",
+    )
+    pr.add_argument(
+        "--scheme",
+        default=None,
+        choices=["kperm", "oph"],
+        help="MinHash scheme: kperm = frozen canonical (num_perm "
+        "independent hashes); oph = one-permutation hashing with "
+        "rotation densification — one hash pass per shingle, ~8x faster "
+        "signature kernel at equal estimator variance (the scale path)",
     )
     pr.add_argument(
         "--components",
