@@ -200,6 +200,262 @@ def weighted_jaccard_all(
     )
 
 
+def weighted_jaccard_pairs(
+    docs,
+    cand_pairs,
+    *,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+):
+    """EXACT tf-weighted Jaccard over CANDIDATE PAIRS only (the verify leg
+    of the candidates-then-verify pattern; cf. ``ngram_verify_join``).
+
+    ``weighted_jaccard_all`` restricted to candidate DOCS is still
+    quadratic inside every shared-token posting run — template-heavy
+    candidate sets (exactly the docs a near-dup pass surfaces) make the
+    common-token runs span thousands of docs, so the triu expansion blows
+    up even though the final pair set is tiny (profiled: 177 s over 4.2 k
+    candidate docs at sf0.1 vs <2 s here). This operator is linear in
+    ``|pairs| x doc_len`` instead.
+
+    Identity used: multiset (weighted) Jaccard == plain SET Jaccard over
+    occurrence-expanded elements ``{mix(token, k) : 0 <= k < tf}`` —
+    ``|A ∩ B| = sum(min(tf_a, tf_b))`` and ``|A| = total_a`` exactly, so
+    ``n_min``/``n_union`` stay bit-exact integers vs the DuckDB oracle
+    (modulo 64-bit hash collisions, the same exposure as every hashed
+    -token path in this engine).
+
+    Shape: broadcast the distinct candidate-id column (the small side —
+    scales with near-dup content, not corpus size), one streaming pass
+    builds each candidate doc's occurrence set, then two hash-partition
+    joins co-locate pairs with their A- then B-side sets (verify.py's
+    pass-A/pass-B layout keyed on int64 ids); the per-block intersection
+    is one lexsort + adjacent-equality count. Nothing quadratic anywhere.
+
+    Output ``(id_a, id_b, n_min, n_union)`` with
+    ``den * n_min >= num * n_union``.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.hashing import hash_columns_u64, splitmix64
+    from .lsh import default_num_partitions
+    from .textstats import term_counts_batch
+
+    P = int(num_partitions or default_num_partitions())
+    PU = _U64(P)
+    NUM, DEN = int(threshold_num), int(threshold_den)
+
+    _EMPTY_OUT = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_min": pa.array([], pa.int64()),
+            "n_union": pa.array([], pa.int64()),
+        }
+    )
+
+    # consumed twice (id broadcast + the pair-side shuffle feed): pin the
+    # blocks so the candidate pipeline doesn't re-execute. Pairs are 16 B
+    # each — object-store resident, distributed, bounded by dup content.
+    cand_pairs = cand_pairs.materialize()
+
+    # --- broadcast distinct candidate ids (small side) ---
+    id_parts: list[np.ndarray] = []
+    for b in cand_pairs.select_columns(["id_a", "id_b"]).iter_batches(
+        batch_size=1 << 18, batch_format="pyarrow"
+    ):
+        id_parts.append(b["id_a"].to_numpy(zero_copy_only=False))
+        id_parts.append(b["id_b"].to_numpy(zero_copy_only=False))
+    if not id_parts or not sum(len(p) for p in id_parts):
+        return rd.from_arrow(_EMPTY_OUT)
+    id_set = pa.array(np.unique(np.concatenate(id_parts)), pa.int64())
+
+    def occ_sets(batch: pa.Table):
+        """candidate docs -> (key=doc_id, occ list<uint64>) occurrence sets."""
+        batch = batch.filter(pc.is_in(batch[id_col], value_set=id_set))
+        if id_col != "doc_id":
+            batch = batch.rename_columns(
+                ["doc_id" if c == id_col else c for c in batch.column_names]
+            )
+        t = term_counts_batch(batch)
+        if len(t) == 0:
+            return
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        th = hash_columns_u64(t, ["token"])
+        # occurrence expansion: token row with tf=w -> w elements mix(t, k)
+        total = int(tf.sum())
+        reps = np.repeat(th, tf)
+        ends = np.cumsum(tf)
+        k = np.arange(total, dtype=np.int64) - np.repeat(ends - tf, tf)
+        with np.errstate(over="ignore"):
+            vals = splitmix64(reps ^ ((k.astype(_U64) + _U64(1)) * _GOLD))
+        # per-doc list boundaries (term_counts_batch rows are doc-major)
+        starts = np.flatnonzero(np.diff(doc, prepend=doc[0] - 1))
+        udoc = doc[starts]
+        doc_lens = np.add.reduceat(tf, starts)
+        offsets = np.concatenate([[0], np.cumsum(doc_lens)]).astype(np.int64)
+        occ = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(vals, pa.uint64())
+        )
+        yield pa.table({"key": pa.array(udoc, pa.int64()), "occ": occ})
+
+    sets = docs.map_batches(
+        occ_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    occ_type = pa.large_list(pa.uint64())
+
+    def tag_pair(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["id_a"])
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "key": b["id_a"],
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "occ": pa.nulls(n, occ_type),
+                "occ_a": pa.nulls(n, occ_type),
+            }
+        )
+
+    def tag_set(b: pa.Table) -> pa.Table:
+        h = hash_columns_u64(b, ["key"])
+        n = len(b)
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "key": b["key"],
+                "id_a": pa.nulls(n, pa.int64()),
+                "id_b": pa.nulls(n, pa.int64()),
+                "occ": b["occ"].cast(occ_type),
+                "occ_a": pa.nulls(n, occ_type),
+            }
+        )
+
+    def _attach(g: pa.Table, out_key: str):
+        """Within one co-partition: gather each pair row's set by id match.
+        Misses (doc without text) become empty sets."""
+        is_set = pc.is_valid(g["occ"]).to_numpy(zero_copy_only=False)
+        gs = g.filter(pa.array(is_set))
+        gp = g.filter(pa.array(~is_set))
+        if len(gp) == 0:
+            return gp, None
+        occ_col = gs["occ"].combine_chunks()
+        ks = gs["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ks, kind="stable")
+        ks = ks[order]
+        q = gp[out_key].to_numpy(zero_copy_only=False)
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, q), len(ks) - 1)
+            hit = ks[pos] == q
+            take_idx = np.where(hit, order[pos], -1)
+        else:
+            take_idx = np.full(len(gp), -1, np.int64)
+        mask = take_idx >= 0
+        gather = occ_col.take(pa.array(np.where(mask, take_idx, 0), pa.int64()))
+        goffs = gather.offsets.to_numpy(zero_copy_only=False)
+        lens = np.where(mask, np.diff(goffs), 0)
+        if not mask.all():
+            vals = gather.flatten().to_numpy(zero_copy_only=False)
+            starts = goffs[:-1] - goffs[0]
+            src = (
+                np.concatenate(
+                    [vals[s : s + l] for s, l in zip(starts, lens) if l]
+                )
+                if lens.sum()
+                else np.empty(0, np.uint64)
+            )
+            gather = pa.LargeListArray.from_arrays(
+                pa.array(
+                    np.concatenate([[0], np.cumsum(lens)]).astype(np.int64),
+                    pa.int64(),
+                ),
+                pa.array(src, pa.uint64()),
+            )
+        return gp, gather
+
+    def pass_a(g: pa.Table) -> pa.Table:
+        gp, occ_a = _attach(g, "id_a")
+        n = len(gp)
+        if n == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "key": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "occ": pa.nulls(0, occ_type),
+                    "occ_a": pa.nulls(0, occ_type),
+                }
+            )
+        h = hash_columns_u64(gp, ["id_b"])
+        return pa.table(
+            {
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
+                "key": gp["id_b"],
+                "id_a": gp["id_a"],
+                "id_b": gp["id_b"],
+                "occ": pa.nulls(n, occ_type),
+                "occ_a": occ_a,
+            }
+        )
+
+    def pass_b(g: pa.Table) -> pa.Table:
+        gp, occ_b = _attach(g, "id_b")
+        n = len(gp)
+        if n == 0:
+            return _EMPTY_OUT
+        occ_a = gp["occ_a"].combine_chunks().cast(occ_type)
+        len_a = np.diff(occ_a.offsets.to_numpy(zero_copy_only=False))
+        len_b = np.diff(occ_b.offsets.to_numpy(zero_copy_only=False))
+        val_a = occ_a.flatten().to_numpy(zero_copy_only=False)
+        val_b = occ_b.flatten().to_numpy(zero_copy_only=False)
+        pidx = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), len_a),
+                np.repeat(np.arange(n, dtype=np.int64), len_b),
+            ]
+        )
+        vals = np.concatenate([val_a, val_b])
+        order = np.lexsort((vals, pidx))
+        pidx, vals = pidx[order], vals[order]
+        dup = (pidx[1:] == pidx[:-1]) & (vals[1:] == vals[:-1])
+        inter = np.zeros(n, np.int64)
+        np.add.at(inter, pidx[1:][dup], 1)
+        union = len_a + len_b - inter
+        keep = (union > 0) & (DEN * inter >= NUM * union)
+        if not keep.any():
+            return _EMPTY_OUT
+        sel = pa.array(keep)
+        return pa.table(
+            {
+                "id_a": gp["id_a"],
+                "id_b": gp["id_b"],
+                "n_min": pa.array(inter, pa.int64()),
+                "n_union": pa.array(union, pa.int64()),
+            }
+        ).filter(sel)
+
+    pairs_a = (
+        cand_pairs.map_batches(
+            tag_pair, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(sets.map_batches(tag_set, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(pass_a, batch_format="pyarrow")
+    )
+    return (
+        pairs_a.union(sets.map_batches(tag_set, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(pass_b, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Consistent Weighted Sampling (Ioffe, "Improved Consistent Sampling,
 # Weighted Minhash and L1 Sketching", ICML 2010)
@@ -273,6 +529,7 @@ def wminhash_near_dups(
     group_cap: int = 1024,
     num_partitions: int | None = None,
     seed: int = 1234,
+    emit: str = "est",
 ):
     """Weighted-MinHash near-dup pairs: CWS signatures -> banded LSH over
     the first ``bands * band_rows`` samples -> bias-corrected byte-packed
@@ -293,6 +550,13 @@ def wminhash_near_dups(
     sqrt(J(1-J)/num_perm) ~= 0.029 at the defaults, so accepts sit within
     ~2 sd below ``threshold`` — measured at sf0.01: recall 1.0 vs the
     exact anchor).
+
+    ``emit="distinct"`` returns DISTINCT ``(id_a, id_b)`` pairs only,
+    deduped by a pair-hash partition + per-partition lexsort (Ray's
+    generic 2-key ``aggregate(Max)`` costs 20-30 s on the ~500 k partial
+    pairs a margin-lowered candidate cut produces — profiled at sf0.1;
+    the vectorized dedup is <1 s). This is the candidate feed for
+    ``wminhash_verified``, which re-scores pairs exactly anyway.
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Max
@@ -400,12 +664,54 @@ def wminhash_near_dups(
             }
         )
 
-    return (
+    scored = (
         docs.map_batches(signatures, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(verify_block, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Max("jw_est", alias_name="jw_est"))
+    )
+    if emit == "distinct":
+
+        def pair_part(b: pa.Table) -> pa.Table:
+            h = hash_columns_u64(b, ["id_a", "id_b"])
+            return pa.table(
+                {
+                    "id_a": b["id_a"],
+                    "id_b": b["id_b"],
+                    "part": pa.array((h % _U64(P)).astype(np.int32), pa.int32()),
+                }
+            )
+
+        def distinct_block(g: pa.Table) -> pa.Table:
+            ia = g["id_a"].to_numpy(zero_copy_only=False)
+            ib = g["id_b"].to_numpy(zero_copy_only=False)
+            if len(ia) == 0:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                    }
+                )
+            order = np.lexsort((ib, ia))
+            ia, ib = ia[order], ib[order]
+            new = np.concatenate(
+                [[True], (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])]
+            )
+            return pa.table(
+                {
+                    "id_a": pa.array(ia[new], pa.int64()),
+                    "id_b": pa.array(ib[new], pa.int64()),
+                }
+            )
+
+        return (
+            scored.map_batches(
+                pair_part, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("part")
+            .map_groups(distinct_block, batch_format="pyarrow")
+        )
+    return scored.groupby(["id_a", "id_b"]).aggregate(
+        Max("jw_est", alias_name="jw_est")
     )
 
 
@@ -424,48 +730,33 @@ def wminhash_verified(
 
     Stage 1 runs the sub-quadratic CWS/LSH sketch pass with the estimate
     cut LOWERED by ``est_margin`` (the 256-sample estimator's sd is ~0.029
-    at J=0.7, so 0.15 is a ~5-sigma recall margin). Stage 2 pulls only the
-    candidate DOC-ID column to the driver (the small side — scales with
-    near-dup content, not corpus size; same broadcast policy as
-    ``ngram_verify_join``), filters the corpus to candidate docs, and runs
-    the exact integer-threshold postings join over just those docs.
+    at J=0.7, so 0.15 is a ~5-sigma recall margin), emitting DISTINCT
+    candidate pairs. Stage 2 re-scores exactly those PAIRS with the exact
+    per-pair occurrence-set join (``weighted_jaccard_pairs``) — verify
+    work is linear in ``|pairs| x doc_len``. (An earlier revision ran
+    ``weighted_jaccard_all`` over the candidate DOCS instead; on
+    template-heavy candidate sets that re-quadratizes inside shared-token
+    posting runs — 177 s vs <2 s at sf0.1.)
 
     Output ``(id_a, id_b, n_min, n_union)`` — bit-identical to
     ``weighted_jaccard_all`` whenever the banding recalls every
     ``J_w >= threshold`` pair (measured 1.0 at sf0.01), so the same DuckDB
     oracle verifies BOTH the anchor and this scale path.
     """
-    import pyarrow.compute as pc
-
     est_cut = threshold_num / threshold_den - est_margin
-    cands = wminhash_near_dups(docs, threshold=est_cut, **cws_kwargs)
-
-    ids: set[int] = set()
-    for b in cands.select_columns(["id_a", "id_b"]).iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
-    ):
-        ids.update(b["id_a"].to_pylist())
-        ids.update(b["id_b"].to_pylist())
-    if not ids:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "n_min": pa.array([], pa.int64()),
-                    "n_union": pa.array([], pa.int64()),
-                }
-            )
-        )
-    id_set = pa.array(sorted(ids), pa.int64())
-
-    cand_docs = docs.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=id_set)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # wider banding than the est variant's 16: P(no band collides | J=0.7)
+    # is 1.2e-2 at 16x4 but 1.5e-4 at 32x4, and the per-pair verify makes
+    # the extra candidates cheap (measured at sf0.1: 598 -> 603 pairs
+    # recovered for +4.5 s; 603 == the exact all-pairs join over the
+    # candidate docs, the superset check).
+    cws_kwargs.setdefault("bands", 32)
+    cands = wminhash_near_dups(
+        docs, threshold=est_cut, emit="distinct", **cws_kwargs
     )
-    return weighted_jaccard_all(
-        cand_docs, threshold_num=threshold_num, threshold_den=threshold_den
+    return weighted_jaccard_pairs(
+        docs,
+        cands,
+        threshold_num=threshold_num,
+        threshold_den=threshold_den,
+        id_col=id_col,
     )

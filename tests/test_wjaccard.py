@@ -108,3 +108,85 @@ def test_wminhash_recall_vs_exact_anchor(ray_session):
     for _, r in got_df.iterrows():
         jw = _exact_jw(texts[int(r.id_a) - 1], texts[int(r.id_b) - 1])
         assert jw >= 0.7 - 2 * np.sqrt(0.25 / 256)
+
+
+def test_weighted_jaccard_pairs_exact(ray_session):
+    """Per-pair verify: bit-exact (n_min, n_union) on requested pairs only,
+    sub-threshold candidates dropped, pairs naming a missing doc dropped."""
+    import ray
+
+    from deduplicatr_ray.stages.wjaccard import weighted_jaccard_pairs
+
+    texts = [
+        "spam spam spam spam eggs",      # 1
+        "spam spam spam spam eggs",      # 2
+        "spam eggs",                     # 3: vs 1 -> 0.4 (sub-threshold)
+        "a b c d e f g",                 # 4
+        "a b c d e f g x x x",           # 5: vs 4 -> 7/10 exactly
+    ]
+    docs = ray.data.from_arrow(_docs(texts))
+    cand = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 1, 4, 9], pa.int64()),
+                "id_b": pa.array([2, 3, 5, 10], pa.int64()),
+            }
+        )
+    )
+    out = (
+        weighted_jaccard_pairs(docs, cand, num_partitions=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 2), (4, 5)}
+    r12 = out[(out.id_a == 1) & (out.id_b == 2)].iloc[0]
+    assert r12["n_min"] == 5 and r12["n_union"] == 5
+    r45 = out[(out.id_a == 4) & (out.id_b == 5)].iloc[0]
+    assert r45["n_min"] == 7 and r45["n_union"] == 10
+
+
+def test_wminhash_verified_matches_anchor(ray_session):
+    """The production candidates->per-pair-verify path reproduces the exact
+    anchor bit-for-bit on a planted near-dup corpus (recall + exactness)."""
+    import ray
+
+    from deduplicatr_ray.stages.wjaccard import wminhash_verified
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(vocab, size=40).tolist()) for _ in range(30)]
+    variants = [" ".join(t.split()[3:]) for t in base[:10]]
+    texts = base + variants
+    ds = lambda: ray.data.from_arrow(_docs(texts))
+    exact = (
+        weighted_jaccard_all(ds(), num_partitions=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    got = (
+        wminhash_verified(ds(), num_partitions=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) >= 10
+    assert exact[["id_a", "id_b", "n_min", "n_union"]].equals(
+        got[["id_a", "id_b", "n_min", "n_union"]]
+    )
+
+
+def test_wminhash_distinct_emit(ray_session):
+    """emit='distinct' returns each candidate pair once, id-only schema."""
+    import ray
+
+    texts = ["q r s t u v w"] * 4 + ["completely different tokens here"]
+    ds = ray.data.from_arrow(_docs(texts))
+    out = wminhash_near_dups(
+        ds, num_partitions=4, emit="distinct"
+    ).to_pandas()
+    assert list(out.columns) == ["id_a", "id_b"]
+    pairs = list(zip(out["id_a"], out["id_b"]))
+    assert len(pairs) == len(set(pairs)) == 6  # C(4,2) exact clones
+    assert all(a < b for a, b in pairs)
