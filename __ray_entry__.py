@@ -125,6 +125,44 @@ def q_exact_dup_assign(sf_dir: str):
     )
 
 
+def q_dup_weights(sf_dir: str):
+    """SoftDeDup-style duplication weights: instead of DROPPING duplicates,
+    down-weight them — each doc's sampling weight is 1 / |its exact-dup
+    group| so every distinct content contributes unit mass to the training
+    mixture ("SoftDeDup", arXiv:2401.04578 commonness reweighting, with
+    exact-group size as the commonness measure). Rides the same key-only
+    ``keyed_min_assign`` shuffle as exact dedup: the segment pass emits
+    group size per row for free (no second shuffle, no text movement)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    def add_md5(b: pa.Table) -> pa.Table:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "text_md5": pa.array(h, pa.string())})
+
+    keyed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_md5, batch_format="pyarrow"
+    )
+    assigned = keyed_min_assign(keyed, key="text_md5", size_col="group_size")
+
+    def weigh(b: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pa.scalar(1.0, pa.float64()),
+            pc.cast(b["group_size"], pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "group_size": b["group_size"],
+                "weight": w,
+            }
+        )
+
+    return assigned.map_batches(weigh, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_sampled_hash_assign(sf_dir: str):
     """M2: the reference's sampled big-file hash (ends + length) as a cheap
     dedup prefilter (hash.clj:~25-45 precedent)."""
@@ -1421,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dup_groups": q_exact_dup_groups,
         "sampled_hash_assign": q_sampled_hash_assign,
         "canonical_dup_assign": q_canonical_dup_assign,
+        "dup_weights": q_dup_weights,
         "cluster_summary": q_cluster_summary,
         "dup_rate_by_source": q_dup_rate_by_source,
         "url_dedup": q_url_dedup,
@@ -1545,6 +1584,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dup_assign": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+            FROM documents
+        """,
+        "dup_weights": """
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY md5(text)) AS group_size,
+                   CAST(1.0 AS DOUBLE)
+                     / count(*) OVER (PARTITION BY md5(text)) AS weight
             FROM documents
         """,
         "exact_dup_groups": """

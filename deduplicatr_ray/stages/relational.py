@@ -358,6 +358,7 @@ def keyed_min_assign(
     key: str,
     id_col: str = "doc_id",
     out_col: str = "canonical_id",
+    size_col: str | None = None,
     num_partitions: int | None = None,
 ):
     """Every row -> min(``id_col``) of its ``key`` group (the A2/D1
@@ -368,6 +369,11 @@ def keyed_min_assign(
     ``groupby(key).map_groups(...)`` alternative costs one Python call per
     DISTINCT key — at web scale that is one call per unique document, so
     this is the only shape of this operator that survives 100 TB.
+
+    ``size_col``: when set, also emit the group size per row
+    (``count(*) OVER (PARTITION BY key)``) — same segment pass, zero extra
+    shuffle. This is the SoftDeDup-style duplication-weight input: a doc's
+    sampling weight is ``1 / |its exact-dup group|``.
 
     ``key`` must be non-null (it is always a derived hash/canonical-form
     column here); null keys would sort together at the end and silently
@@ -391,9 +397,10 @@ def keyed_min_assign(
         ids_t = g[id_col].type
         n = len(g)
         if n == 0:
-            return pa.table(
-                {id_col: pa.array([], ids_t), out_col: pa.array([], ids_t)}
-            )
+            cols = {id_col: pa.array([], ids_t), out_col: pa.array([], ids_t)}
+            if size_col:
+                cols[size_col] = pa.array([], pa.int64())
+            return pa.table(cols)
         g = g.take(
             pc.sort_indices(
                 g, sort_keys=[(key, "ascending"), (id_col, "ascending")]
@@ -408,9 +415,11 @@ def keyed_min_assign(
         seg[starts] = 1
         seg_id = np.cumsum(seg) - 1
         ids = g[id_col].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {id_col: g[id_col], out_col: pa.array(ids[starts][seg_id], ids_t)}
-        )
+        cols = {id_col: g[id_col], out_col: pa.array(ids[starts][seg_id], ids_t)}
+        if size_col:
+            sizes = np.diff(np.append(starts, n))
+            cols[size_col] = pa.array(sizes[seg_id], pa.int64())
+        return pa.table(cols)
 
     return (
         ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)

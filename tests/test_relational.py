@@ -384,3 +384,36 @@ def test_keyed_min_assign_all_unique_and_all_same(ray_session):
     )
     out2 = keyed_min_assign(ray.data.from_arrow(same), key="key").to_pandas()
     assert sorted(out2["canonical_id"].tolist()) == [2, 2, 2]
+
+
+def test_keyed_min_assign_size_col(ray_session):
+    """size_col emits count(*) OVER (PARTITION BY key) per row in the same
+    segment pass — the SoftDeDup dup-weight input."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 1500
+    keys = [f"k{int(v)}" for v in rng.integers(0, 400, n)]
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "key": pa.array(keys, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    out = (
+        keyed_min_assign(ds, key="key", size_col="group_size", num_partitions=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["canonical_id"] = df.groupby("key")["doc_id"].transform("min")
+    df["group_size"] = df.groupby("key")["doc_id"].transform("size")
+    exp = (
+        df[["doc_id", "canonical_id", "group_size"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert out["canonical_id"].tolist() == exp["canonical_id"].tolist()
+    assert out["group_size"].tolist() == exp["group_size"].tolist()
