@@ -530,11 +530,23 @@ def wminhash_near_dups(
     num_partitions: int | None = None,
     seed: int = 1234,
     emit: str = "est",
+    length_bound: tuple[int, int] | None = None,
 ):
     """Weighted-MinHash near-dup pairs: CWS signatures -> banded LSH over
     the first ``bands * band_rows`` samples -> bias-corrected byte-packed
     agreement estimate over all ``num_perm`` samples, keep
     ``jw_est >= threshold``.
+
+    ``length_bound=(num, den)``: exact length-ratio prefilter at pair
+    emission. ``J_w = sum(min tf)/sum(max tf) <= min(|A|,|B|)/max(|A|,|B|)``
+    (total token counts), so a pair with ``den*min_len < num*max_len`` can
+    NEVER reach ``J_w >= num/den`` — pruning it loses zero recall at that
+    FINAL threshold. The verified path passes its exact threshold here: on
+    the margin-lowered candidate cut this removes the (dominant) mass of
+    length-mismatched template pairs BEFORE the byte-agreement estimate
+    and the per-pair exact verify (measured at sf0.1: 630 k -> ~180 k
+    candidates, same 603 verified pairs). Costs 8 B/band-row in the
+    shuffle (the doc's total token count rides next to the 256 B sketch).
 
     Scale shape: one streaming signature pass (doc x num_perm work), one
     hash-partition band groupby whose rows carry the band key, the doc id
@@ -572,6 +584,7 @@ def wminhash_near_dups(
     assert B * ROWS <= K
     # byte-collision bias inversion: E[byte_eq] = J + (1 - J)/256
     _COLL = 1.0 / 256.0
+    LB_NUM, LB_DEN = (int(length_bound[0]), int(length_bound[1])) if length_bound else (0, 1)
 
     def signatures(batch: pa.Table):
         t = term_counts_batch(batch)
@@ -580,15 +593,17 @@ def wminhash_near_dups(
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         udoc, inv = np.unique(doc, return_inverse=True)
         th = hash_columns_u64(t, ["token"])
+        tf = t["tf"].to_numpy(zero_copy_only=False)
         sig = cws_signatures(
             inv,
             th,
-            t["tf"].to_numpy(zero_copy_only=False),
+            tf,
             len(udoc),
             num_perm=K,
             seed=seed,
         )
         n = len(udoc)
+        ntot = np.bincount(inv, weights=tf).astype(np.int64)  # total tokens/doc
         sig8 = (sig & _U64(0xFF)).astype(np.uint8)  # (n, K) estimate payload
         out_doc = np.repeat(udoc, B)
         bkey = np.zeros((n, B), np.uint64)
@@ -603,6 +618,7 @@ def wminhash_near_dups(
             {
                 "bkey": pa.array(flat_key.view(np.int64), pa.int64()),
                 "doc_id": pa.array(out_doc, pa.int64()),
+                "n_tot": pa.array(np.repeat(ntot, B), pa.int64()),
                 "sig8": pa.Array.from_buffers(
                     pa.binary(K),
                     n * B,
@@ -623,6 +639,7 @@ def wminhash_near_dups(
         g = g.take(order)
         bk = g["bkey"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
+        ntot = g["n_tot"].to_numpy(zero_copy_only=False)
         sig8_arr = g["sig8"].combine_chunks()
         # zero-copy view of the fixed-size-binary data buffer
         off = sig8_arr.offset * K
@@ -640,6 +657,15 @@ def wminhash_near_dups(
             if len(ud) < 2:
                 continue
             i, j = np.triu_indices(len(ud), 1)
+            if LB_NUM:
+                # exact prune BEFORE the (dominant) byte-agreement kernel:
+                # J_w <= min_len/max_len, so den*min < num*max can't verify
+                lu = ntot[s + ui]
+                la, lb = lu[i], lu[j]
+                ok = LB_DEN * np.minimum(la, lb) >= LB_NUM * np.maximum(la, lb)
+                if not ok.any():
+                    continue
+                i, j = i[ok], j[ok]
             sa = sig[s + ui]
             raw = (sa[i] == sa[j]).mean(axis=1)
             je = (raw - _COLL) / (1.0 - _COLL)
@@ -750,6 +776,9 @@ def wminhash_verified(
     # recovered for +4.5 s; 603 == the exact all-pairs join over the
     # candidate docs, the superset check).
     cws_kwargs.setdefault("bands", 32)
+    # exact length-ratio prune at the FINAL threshold: zero recall loss for
+    # the verified output, ~3.5x fewer candidates on template-heavy corpora
+    cws_kwargs.setdefault("length_bound", (threshold_num, threshold_den))
     cands = wminhash_near_dups(
         docs, threshold=est_cut, emit="distinct", **cws_kwargs
     )
