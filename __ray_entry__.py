@@ -342,6 +342,32 @@ def q_wminhash_near_dups(sf_dir: str):
     return wminhash_verified(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_reservoir_sample(sf_dir: str):
+    """Deterministic k-per-group reservoir sample: rank every doc within its
+    lang by md5(doc_id) and keep the k smallest — a balanced subset (eval
+    slices, per-class calibration sets) that is stable across runs, cluster
+    sizes and partitionings, unlike ray.data.Dataset.random_sample. One
+    key-only shuffle via grouped_top_k's segment-rank kernel; md5 of the ID
+    string (not our splitmix64) solely so DuckDB reproduces the ranking."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.stages.relational import grouped_top_k
+
+    def add_key(b: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in b["doc_id"].to_pylist()
+        ]
+        return b.append_column("rkey", pa.array(h, pa.string()))
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    return grouped_top_k(
+        ds, by="lang", order_by="rkey", k=25, descending=False, tie_by="doc_id"
+    ).select_columns(["lang", "doc_id", "n_chars", "rank"])
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID evaluation: confusion counts of the stopword-argmax lang
     heuristic against the table's labeled lang (the calibration table one
@@ -1523,6 +1549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "sample_docs": q_sample_docs,
         "stratified_sample": q_stratified_sample,
+        "reservoir_sample": q_reservoir_sample,
         "en_long_docs": q_en_long_docs,
         "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
@@ -1916,6 +1943,15 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE doc_id % (CASE WHEN lang = 'en' THEN 2 ELSE 8 END) = 0
+        """,
+        "reservoir_sample": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS rank
+            FROM documents
+            QUALIFY rank <= 25
         """,
         "doc_len_quantiles_sketch": """
             SELECT lang, count(*) AS n,
