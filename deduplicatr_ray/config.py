@@ -73,8 +73,21 @@ class DedupConfig:
     hamming_threshold: int = 3       # SimHash near-dup iff Hamming distance <= 3
 
     # --- skew handling (SURVEY.md §4.2) ---
-    band_group_cap: int = 256   # groups larger than this are routed to the
-                                # exact-hash path instead of O(m^2) pairing
+    band_group_cap: int = 256   # O(m^2) triu pairing only below this size
+    # Hot DISTINCT-CONTENT bands (> cap after representative collapse) are
+    # SALT-SPLIT, not dropped: members sub-split by successive b-bit sketch
+    # lanes outside the band's own rows (content-derived, deterministic,
+    # x2^bbit_bits alphabet per level) until sub-groups fit the cap; a
+    # sub-group still hot after ``band_salt_depth`` levels (thousands of
+    # docs agreeing on band rows + salt lanes = one near-identical family)
+    # is connected by a VERIFIED STAR around its min-url member — O(m)
+    # edges, union-find only needs connectivity. Worst case per hot group
+    # is O(m * cap) pair verifications instead of O(m^2) — or the old
+    # behavior's silent recall hole (drop). Salting costs recall only
+    # within one band (pairs split apart re-collide in the other bands,
+    # each salted by DIFFERENT lanes): P(pair survives a salted band |
+    # J=tau) ~= (tau + (1-tau)/2^b)^depth per level taken.
+    band_salt_depth: int = 2
 
     # --- exact-band key width (ADVICE r1): 64 = sha1 prefix subdivided by
     #     simhash (~128 correlated content bits, probabilistic 'exact');

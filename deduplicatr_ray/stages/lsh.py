@@ -5,10 +5,13 @@ verified candidate PAIRS. This is SHUFFLE #1 of the flagship pipeline; the
 one place a naive groupby falls over at web scale, so skew is handled
 explicitly:
 
-* **giant-band cap** (``cfg.band_group_cap``): a band with more members than
-  the cap is near-certainly an exact-dup cluster (boilerplate / mirrored
-  pages) that the exact-hash path (A2/D1) already catches; its O(m^2)
-  pairing is skipped and the event is counted in the emitted metrics.
+* **giant-band salting** (``cfg.band_group_cap`` / ``band_salt_depth``):
+  identical-content members collapse to one representative first (the
+  exact-hash path already connects them); a band still hot with DISTINCT
+  contents is salt-split on sketch lanes outside its own rows until
+  sub-groups fit the cap, and sub-groups hot past the salt depth are
+  connected by a verified star — O(m * cap) worst-case pairing per hot
+  group, never O(m^2), and never a dropped group (``_hot_group_pairs``).
 * **b-bit verification sketch**: band rows carry the low ``bbit_bits`` of
   each minhash (64 B/row packed at the default b=4) instead of the full
   1 KiB signature, so per-group verification happens in-block with no
@@ -320,6 +323,69 @@ def _triu(m: int) -> tuple[np.ndarray, np.ndarray]:
     return iu[keep], ju[keep]
 
 
+def _sketch_lane(seg8: np.ndarray, lane: int, cfg: DedupConfig) -> np.ndarray:
+    """Values of one b-bit sketch lane across rows of a packed sketch
+    matrix (lanes-per-byte = 8 // bbit_bits, low lane in the low bits)."""
+    lpb = 8 // cfg.bbit_bits
+    sh = (lane % lpb) * cfg.bbit_bits
+    return (seg8[:, lane // lpb] >> sh) & ((1 << cfg.bbit_bits) - 1)
+
+
+def _hot_group_pairs(
+    band_id: int, rep_seg8: np.ndarray | None, m: int, cfg: DedupConfig
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate (i, j) local pair indices for a hot band group (m >
+    ``band_group_cap`` DISTINCT contents): the explicit salting /
+    skew-splitting of hot bands (north-star requirement) instead of the
+    old drop-the-group recall hole.
+
+    MinHash groups sub-split recursively on sketch lanes OUTSIDE the
+    band's own rows (members agree on those by construction, so they
+    carry no information); leaves <= cap get full triu pairing, leaves
+    still hot after ``band_salt_depth`` levels get a star around the
+    min-url member. SimHash groups go straight to the star (their spare
+    bits live in blocks the Hamming budget may dirty). Every emitted pair
+    still passes the normal estimate / Hamming verification downstream —
+    salting affects which pairs are CONSIDERED, never precision.
+
+    Local indices are into the group's (url-sorted) rep rows, so i < j
+    preserves the url_a < url_b convention; recursion order is
+    content-derived and deterministic.
+    """
+    cap = cfg.band_group_cap
+    r = cfg.rows_per_band
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    is_minhash = band_id < cfg.bands and rep_seg8 is not None
+
+    def rec(ids: np.ndarray, depth: int) -> None:
+        mm = len(ids)
+        if mm < 2:
+            return
+        if mm <= cap:
+            iu, ju = _triu(mm)
+            out_i.append(ids[iu])
+            out_j.append(ids[ju])
+            return
+        if is_minhash and depth < cfg.band_salt_depth:
+            lane = (band_id * r + r + depth) % cfg.num_perm
+            if band_id * r <= lane < band_id * r + r:
+                lane = (lane + r) % cfg.num_perm
+            vals = _sketch_lane(rep_seg8[ids], lane, cfg)
+            for v in np.unique(vals):
+                rec(ids[vals == v], depth + 1)
+            return
+        # depth exhausted (or simhash): verified star around min-url member
+        out_i.append(np.full(mm - 1, ids[0], np.int64))
+        out_j.append(ids[1:])
+
+    rec(np.arange(m, dtype=np.int64), 0)
+    if not out_i:
+        z = np.empty(0, np.int64)
+        return z, z
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
 def emit_pairs_block(
     block: pa.Table, cfg: DedupConfig = CANONICAL, emit: str = "all"
 ) -> pa.Table:
@@ -340,7 +406,9 @@ def emit_pairs_block(
     duplicates are already connected by the exact-hash path, so pairing
     them again in every one of the 32 bands only floods the shuffle. The
     ``cfg.band_group_cap`` therefore applies to DISTINCT-content members;
-    a band hot purely from mirrored pages no longer trips it.
+    a band hot purely from mirrored pages no longer trips it, and a band
+    hot with distinct contents is salt-split (``_hot_group_pairs``), not
+    dropped.
     """
     import pyarrow.compute as pc
 
@@ -417,9 +485,18 @@ def emit_pairs_block(
         _, first_idx = np.unique(sha64[s:e], return_index=True)
         reps = np.sort(first_idx) + s
         m = len(reps)
-        if m < 2 or m > cfg.band_group_cap:
+        if m < 2:
             continue
-        iu0, ju0 = _triu(m)
+        if m <= cfg.band_group_cap:
+            iu0, ju0 = _triu(m)
+        else:
+            # hot band: salted sub-split + verified star (never dropped)
+            rep_seg8 = (
+                sig8[reps - n_exact] if bid[s] < cfg.bands else None
+            )
+            iu0, ju0 = _hot_group_pairs(int(bid[s]), rep_seg8, m, cfg)
+            if len(iu0) == 0:
+                continue
         iu, ju = reps[iu0] - s, reps[ju0] - s
         # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
         seg8 = sig8[s - n_exact : e - n_exact]

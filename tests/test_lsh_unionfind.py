@@ -120,7 +120,13 @@ def test_empty_doc_emits_no_bands():
     assert len(band_explode_batch(sigs)) == 0
 
 
-def test_emit_pairs_cap_routes_giant_groups():
+def test_emit_pairs_hot_group_salted_star_not_dropped():
+    """A giant DISTINCT-content band group is salt-split, not dropped: with
+    identical sketches every salt lane agrees, so after band_salt_depth
+    levels the still-hot leaf is connected by a verified star around the
+    min-url member (m-1 edges at est 1.0). The old behavior (0 pairs) was
+    the recall hole the north-star's 'salting/skew-splitting of hot bands'
+    requirement exists to close."""
     cfg = CANONICAL
     m = cfg.band_group_cap + 1
     group = pa.table(
@@ -134,8 +140,75 @@ def test_emit_pairs_cap_routes_giant_groups():
             "simhash": pa.array(np.zeros(m, np.uint64)),
         }
     )
-    assert len(emit_pairs_group(group)) == 0          # routed to exact path
+    out = emit_pairs_group(group)
+    assert len(out) == m - 1                           # verified star
+    assert set(out["url_a"].to_pylist()) == {"u/0000"}  # hub = min url
+    assert set(out["method"].to_pylist()) == {"minhash"}
     assert len(emit_pairs_group(group.slice(0, 3))) == 3  # under cap: all pairs
+
+
+def test_hot_group_salt_split_separates_families():
+    """Two near-dup families land in ONE hot band bucket; their sketches
+    differ, so the first salt lane splits them and each family is paired
+    only within itself (triu below cap after the split)."""
+    from deduplicatr_ray.stages.signatures import pack_sketch
+
+    cfg = CANONICAL
+    half = cfg.band_group_cap  # 2*half > cap -> hot group
+    rng = np.random.Generator(np.random.PCG64(17))
+    lanes_a = rng.integers(0, 1 << 16, cfg.num_perm).astype(np.uint64)
+    lanes_b = rng.integers(0, 1 << 16, cfg.num_perm).astype(np.uint64)
+    s_a = pack_sketch(lanes_a[None, :], cfg)[0]
+    s_b = pack_sketch(lanes_b[None, :], cfg)[0]
+    m = 2 * half
+    sk = np.concatenate([np.tile(s_a, half), np.tile(s_b, half)])
+    # urls interleave the families so the split is not positional
+    urls, fam = [], []
+    for i in range(half):
+        urls.append(f"u/a{i:04d}")
+        fam.append("a")
+    for i in range(half):
+        urls.append(f"u/b{i:04d}")
+        fam.append("b")
+    group = pa.table(
+        {
+            "band_id": pa.array([0] * m, pa.int32()),
+            "band_hash": pa.array([7] * m, pa.uint64()),
+            "url": pa.array(urls),
+            "sig8": pa.FixedSizeListArray.from_arrays(
+                pa.array(sk), cfg.sketch_width
+            ),
+            "simhash": pa.array(np.zeros(m, np.uint64)),
+        }
+    )
+    out = emit_pairs_group(group).to_pandas()
+    fam_of = dict(zip(urls, fam))
+    assert len(out) > 0
+    assert (
+        out["url_a"].map(fam_of) == out["url_b"].map(fam_of)
+    ).all()  # no cross-family pair survives
+    # each family fully paired (identical sketches -> est 1.0 -> all kept)
+    per_fam = out["url_a"].map(fam_of).value_counts()
+    exp = half * (half - 1) // 2
+    assert per_fam.get("a", 0) == exp and per_fam.get("b", 0) == exp
+
+
+def test_hot_group_pairs_deterministic_and_bounded():
+    from deduplicatr_ray.stages.lsh import _hot_group_pairs
+
+    cfg = CANONICAL
+    m = 4 * cfg.band_group_cap
+    rng = np.random.Generator(np.random.PCG64(23))
+    seg8 = rng.integers(0, 256, (m, cfg.sketch_width)).astype(np.uint8)
+    i1, j1 = _hot_group_pairs(0, seg8, m, cfg)
+    i2, j2 = _hot_group_pairs(0, seg8, m, cfg)
+    assert np.array_equal(i1, i2) and np.array_equal(j1, j2)
+    assert (i1 < j1).all()
+    # worst case O(m * cap), never O(m^2)
+    assert len(i1) <= m * cfg.band_group_cap
+    # simhash band (band_id >= bands): straight star
+    si, sj = _hot_group_pairs(cfg.bands + 3, None, m, cfg)
+    assert len(si) == m - 1 and (si == 0).all()
 
 
 def test_emit_pairs_jaccard_filter():
