@@ -373,8 +373,13 @@ def ann_lsh_pairs(
 
     For cos(theta) >= threshold, P[same bucket in one table] =
     (1 - theta/pi)^bits; with ``tables`` independent tables the miss prob is
-    (1 - p)^tables. Groups above ``group_cap`` are skipped (skew policy,
-    SURVEY.md §4.2). Exact cosine verifies within buckets.
+    (1 - p)^tables. Groups above ``group_cap`` are salt-split with extra
+    hyperplane bits (2 bits/level, 2 levels, per-table seeds) and leaves
+    still hot are connected by an exact-cosine-verified star around the
+    min-id member — the no-dropped-groups hot-bucket policy of
+    ``lsh._hot_group_pairs`` (SURVEY.md §4.2), here with hyperplane signs
+    as the content-derived salt. Exact cosine verifies every considered
+    pair either way.
     """
     import ray
 
@@ -459,13 +464,54 @@ def ann_lsh_pairs(
         vm = _normalize(_emb_matrix(g))
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
         out_a, out_b = [], []
+
+        def hot_bucket_pairs(
+            vseg: np.ndarray, table: int
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """Salt-split on extra hyperplane sign bits; star past depth 2."""
+            oi: list[np.ndarray] = []
+            oj: list[np.ndarray] = []
+
+            def rec(sub: np.ndarray, depth: int) -> None:
+                mm = len(sub)
+                if mm < 2:
+                    return
+                if mm <= group_cap:
+                    iu, ju = np.triu_indices(mm, 1)
+                    oi.append(sub[iu])
+                    oj.append(sub[ju])
+                    return
+                if depth < 2:
+                    salt_seed = seed + 7919 * (depth + 1) + 104729 * (table + 1)
+                    planes = _lsh_planes(1, 2, vseg.shape[1], salt_seed)
+                    signs = (vseg[sub] @ planes[0].T) > 0
+                    key = signs[:, 0].astype(np.int8) * 2 + signs[:, 1]
+                    for v in np.unique(key):
+                        rec(sub[key == v], depth + 1)
+                    return
+                oi.append(np.full(mm - 1, sub[0], np.int64))  # min-id star
+                oj.append(sub[1:])
+
+            rec(np.arange(len(vseg), dtype=np.int64), 0)
+            if not oi:
+                z = np.empty(0, np.int64)
+                return z, z
+            return np.concatenate(oi), np.concatenate(oj)
+
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > group_cap:
+            if m < 2:
                 continue
-            sims = vm[s:e] @ vm[s:e].T
-            iu, ju = np.triu_indices(m, k=1)
-            keep = sims[iu, ju] >= threshold
+            vseg = vm[s:e]
+            if m <= group_cap:
+                sims = vseg @ vseg.T
+                iu, ju = np.triu_indices(m, k=1)
+                keep = sims[iu, ju] >= threshold
+            else:
+                iu, ju = hot_bucket_pairs(vseg, int(t[s]))
+                if len(iu) == 0:
+                    continue
+                keep = np.einsum("ij,ij->i", vseg[iu], vseg[ju]) >= threshold
             if keep.any():
                 out_a.append(ids[s + iu[keep]])
                 out_b.append(ids[s + ju[keep]])

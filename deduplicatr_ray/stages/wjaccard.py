@@ -531,6 +531,7 @@ def wminhash_near_dups(
     seed: int = 1234,
     emit: str = "est",
     length_bound: tuple[int, int] | None = None,
+    salt_depth: int = 2,
 ):
     """Weighted-MinHash near-dup pairs: CWS signatures -> banded LSH over
     the first ``bands * band_rows`` samples -> bias-corrected byte-packed
@@ -555,8 +556,9 @@ def wminhash_near_dups(
     same b-bit diet as the unweighted minhash path). The first version
     shipped the full 8 B samples per band: 64 bands x 2 KB = 128 KB/doc,
     69 s at sf0.1; this layout ships 16 x (256 B + keys) ~= 4 KB/doc and
-    runs in ~3 s. Buckets above ``group_cap`` are skipped (skew policy,
-    same as ann_lsh).
+    runs in ~3 s. Buckets above ``group_cap`` are salt-split on tail
+    sample bytes and starred past ``salt_depth`` (never dropped — same
+    hot-band policy as ``lsh._hot_group_pairs``).
 
     Output: ``id_a, id_b, jw_est`` (bias-corrected; sd ~=
     sqrt(J(1-J)/num_perm) ~= 0.029 at the defaults, so accepts sit within
@@ -649,14 +651,53 @@ def wminhash_near_dups(
         starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
         lens = np.diff(np.append(starts, n))
         ia_p, ib_p, je_p = [], [], []
+
+        def hot_bucket_pairs(rep_sig: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """Salt-split a hot bucket (same policy as lsh._hot_group_pairs):
+            sub-split on TAIL sample bytes (bands key on the FIRST
+            bands*band_rows samples, so tail lanes stay informative), star
+            the leaves still hot after ``salt_depth`` levels. Never O(m^2),
+            never a dropped bucket; the est (and, in the verified path, the
+            exact re-score) still gates every considered pair."""
+            oi: list[np.ndarray] = []
+            oj: list[np.ndarray] = []
+
+            def rec(ids: np.ndarray, depth: int) -> None:
+                mm = len(ids)
+                if mm < 2:
+                    return
+                if mm <= group_cap:
+                    iu, ju = np.triu_indices(mm, 1)
+                    oi.append(ids[iu])
+                    oj.append(ids[ju])
+                    return
+                if depth < salt_depth:
+                    vals = rep_sig[ids, K - 1 - depth]
+                    for v in np.unique(vals):
+                        rec(ids[vals == v], depth + 1)
+                    return
+                oi.append(np.full(mm - 1, ids[0], np.int64))  # min-id star
+                oj.append(ids[1:])
+
+            rec(np.arange(len(rep_sig), dtype=np.int64), 0)
+            if not oi:
+                z = np.empty(0, np.int64)
+                return z, z
+            return np.concatenate(oi), np.concatenate(oj)
+
         for s, m in zip(starts, lens):
-            if m < 2 or m > group_cap:
+            if m < 2:
                 continue
             # dedupe same doc reaching one bucket via several bands
             ud, ui = np.unique(doc[s : s + m], return_index=True)
             if len(ud) < 2:
                 continue
-            i, j = np.triu_indices(len(ud), 1)
+            if len(ud) <= group_cap:
+                i, j = np.triu_indices(len(ud), 1)
+            else:
+                i, j = hot_bucket_pairs(sig[s + ui])
+                if len(i) == 0:
+                    continue
             if LB_NUM:
                 # exact prune BEFORE the (dominant) byte-agreement kernel:
                 # J_w <= min_len/max_len, so den*min < num*max can't verify

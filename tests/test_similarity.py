@@ -153,3 +153,32 @@ def test_semdedup_bucketed_is_high_recall_subset(ray_session):
     # seeded k-means occasionally splits a true cluster across two cells;
     # 0.88 observed on this fixture — the documented SemDeDup approximation
     assert len(got) >= 0.8 * len(want)
+
+
+def test_ann_lsh_hot_bucket_starred_not_dropped(ray_session):
+    """A bucket with more members than group_cap used to be skipped — a
+    giant tight cluster (near-identical embeddings) produced ZERO pairs
+    from every table. With hyperplane-salt + star it stays connected: the
+    clones can't be split by any plane (identical signs), so the
+    depth-exhausted star emits min-id pairs, exact-cosine-verified."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.similarity import ann_lsh_pairs
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    dim, n = 16, 60
+    center = rng.standard_normal(dim)
+    m = center[None, :] + 1e-4 * rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(m), pa.list_(pa.float64(), dim)),
+        }
+    )
+    out = ann_lsh_pairs(
+        rd.from_arrow(tbl), threshold=0.99, group_cap=8
+    ).to_pandas()
+    got = set(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+    # the star around vec_id 0 must connect every clone in >= 1 table
+    assert {(0, j) for j in range(1, n)} <= got
+    assert (out["id_a"] < out["id_b"]).all()

@@ -190,3 +190,32 @@ def test_wminhash_distinct_emit(ray_session):
     pairs = list(zip(out["id_a"], out["id_b"]))
     assert len(pairs) == len(set(pairs)) == 6  # C(4,2) exact clones
     assert all(a < b for a, b in pairs)
+
+
+def test_wminhash_hot_bucket_starred_not_dropped(ray_session):
+    """A bucket with more than group_cap DISTINCT doc ids used to be
+    skipped entirely (recall 0 on a giant shuffled-clone family whose
+    every bucket is hot). With the salt-split + star policy the family is
+    still connected: identical multisets share every CWS sample, salting
+    can't split them, and the depth-exhausted star emits min-id -> member
+    pairs at est 1.0 which the verified path re-scores exactly."""
+    import ray
+
+    from deduplicatr_ray.stages.wjaccard import wminhash_verified
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    base = [f"tok{i}" for i in range(40)] * 2  # multiset, tf=2 each
+    texts = []
+    for _ in range(40):  # group_cap=8 makes 40 docs 'giant'
+        w = list(base)
+        rng.shuffle(w)
+        texts.append(" ".join(w))
+    ds = ray.data.from_arrow(_docs(texts))
+    out = wminhash_verified(
+        ds, num_partitions=4, group_cap=8, salt_depth=2
+    ).to_pandas()
+    # star around min doc id connects all 40 shuffled clones exactly
+    assert len(out) == 39
+    assert set(out["id_a"]) == {1}
+    assert sorted(out["id_b"]) == list(range(2, 41))
+    assert (out["n_min"] == out["n_union"]).all()  # exact clones: J_w = 1
