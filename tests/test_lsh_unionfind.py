@@ -347,3 +347,41 @@ def test_optimal_bands_infeasible_falls_back_to_max_recall():
     b, r = optimal_bands(0.99, num_perm=4, min_recall=0.999999)
     p = lambda bb, rr: 1.0 - (1.0 - 0.99**rr) ** bb  # noqa: E731
     assert p(b, r) == max(p(bb, 4 // bb) for bb in (1, 2, 4))
+
+
+def test_hot_group_pairs_invariant_to_row_order():
+    """The salted split is content-derived: shuffling the rows of a hot
+    group must yield the identical verified pair set (url pairs)."""
+    from deduplicatr_ray.stages.signatures import pack_sketch
+
+    cfg = CANONICAL
+    rng = np.random.Generator(np.random.PCG64(53))
+    m = cfg.band_group_cap + 40
+    lanes = rng.integers(0, 1 << 16, (7, cfg.num_perm)).astype(np.uint64)
+    rows = np.concatenate(
+        [pack_sketch(lanes[i % 7][None, :], cfg)[0] for i in range(m)]
+    )
+    urls = [f"u/{i:05d}" for i in range(m)]
+
+    def build(order):
+        sk = np.concatenate(
+            [rows[i * cfg.sketch_width : (i + 1) * cfg.sketch_width] for i in order]
+        )
+        return pa.table(
+            {
+                "band_id": pa.array([0] * m, pa.int32()),
+                "band_hash": pa.array([9] * m, pa.uint64()),
+                "url": pa.array([urls[i] for i in order]),
+                "sig8": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sk), cfg.sketch_width
+                ),
+                "simhash": pa.array(np.zeros(m, np.uint64)),
+            }
+        )
+
+    a = emit_pairs_group(build(list(range(m)))).to_pandas()
+    perm = list(rng.permutation(m))
+    b = emit_pairs_group(build(perm)).to_pandas()
+    pa_set = set(zip(a["url_a"], a["url_b"]))
+    pb_set = set(zip(b["url_a"], b["url_b"]))
+    assert pa_set == pb_set and len(pa_set) > 0
