@@ -134,12 +134,31 @@ def band_explode_batch(batch: pa.Table, cfg: DedupConfig = CANONICAL) -> pa.Tabl
 
     row_idx = np.concatenate(row_idx_out)
     take = pa.array(row_idx, pa.int64())
+    # SHUFFLE DIET: the b-bit sketch rides ONLY minhash band rows — simhash
+    # tables verify by Hamming on the 8 B fingerprint and never read it, so
+    # carrying it there was sketch_width x num_simhash_tables dead bytes
+    # per doc (measured 18% of the band table at the defaults on sf0.1
+    # docs). Minhash rows are emitted first, so the null suffix aligns
+    # with the simhash rows.
+    n_mh_rows = len(idx_mh) * cfg.bands if len(idx_mh) else 0
+    if n_mh_rows == len(row_idx):
+        sig8_new = sig8_col.take(take)
+    else:
+        parts = []
+        if n_mh_rows:
+            parts.append(
+                sig8_col.take(
+                    pa.array(row_idx[:n_mh_rows], pa.int64())
+                ).combine_chunks()
+            )
+        parts.append(pa.nulls(len(row_idx) - n_mh_rows, sig8_col.type))
+        sig8_new = pa.concat_arrays(parts) if len(parts) > 1 else parts[0]
     return pa.table(
         {
             "band_id": pa.array(np.concatenate(band_id_out), pa.int32()),
             "band_hash": pa.array(np.concatenate(band_hash_out), pa.uint64()),
             idc: batch[idc].take(take),
-            "sig8": sig8_col.take(take),
+            "sig8": sig8_new,
             "simhash": pa.array(simhash[row_idx], pa.uint64()),
             "sha64": pa.array(sha64[row_idx], pa.uint64()),
         }
@@ -436,17 +455,19 @@ def emit_pairs_block(
     if len(multi) == 0:
         return empty
 
-    # rows are band_id-sorted, so exact-band rows (band_id < 0, NULL sig8)
-    # form a prefix; the sketch matrix covers only the LSH rows after it
+    # rows are band_id-sorted: exact-band rows (band_id < 0, NULL sig8),
+    # then minhash rows (0..bands-1, the ONLY rows carrying a sketch), then
+    # simhash table rows (>= bands, NULL sig8 — they verify by Hamming)
     n_exact = int(np.searchsorted(bid, 0))
-    if n_exact < n:
+    n_mh_end = int(np.searchsorted(bid, cfg.bands))
+    if n_mh_end > n_exact:
         sig8 = (
             block["sig8"]
-            .slice(n_exact)
+            .slice(n_exact, n_mh_end - n_exact)
             .combine_chunks()
             .flatten()
             .to_numpy(zero_copy_only=False)
-        ).reshape(n - n_exact, cfg.sketch_width)
+        ).reshape(n_mh_end - n_exact, cfg.sketch_width)
     else:
         sig8 = np.empty((0, cfg.sketch_width), np.uint8)
     simhash = block["simhash"].to_numpy(zero_copy_only=False)
@@ -498,17 +519,20 @@ def emit_pairs_block(
             if len(iu0) == 0:
                 continue
         iu, ju = reps[iu0] - s, reps[ju0] - s
-        # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
-        seg8 = sig8[s - n_exact : e - n_exact]
-        eq = sketch_eq_mean(seg8[iu], seg8[ju], cfg)
-        est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
         if bid[s] < cfg.bands:
+            # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
+            seg8 = sig8[s - n_exact : e - n_exact]
+            eq = sketch_eq_mean(seg8[iu], seg8[ju], cfg)
+            est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
             keep = est >= tau
             method = "minhash"
         else:
             x = np.bitwise_xor(simhash[s + iu], simhash[s + ju])
             ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
             keep = ham <= cfg.hamming_threshold
+            # simhash rows carry no sketch (shuffle diet): report the
+            # fingerprint agreement itself as the similarity estimate
+            est = 1.0 - ham / float(cfg.simhash_bits)
             method = "simhash"
         if not keep.any():
             continue
