@@ -83,10 +83,12 @@ class DedupConfig:
     # is connected by a VERIFIED STAR around its min-url member — O(m)
     # edges, union-find only needs connectivity. Worst case per hot group
     # is O(m * cap) pair verifications instead of O(m^2) — or the old
-    # behavior's silent recall hole (drop). Salting costs recall only
-    # within one band (pairs split apart re-collide in the other bands,
-    # each salted by DIFFERENT lanes): P(pair survives a salted band |
-    # J=tau) ~= (tau + (1-tau)/2^b)^depth per level taken.
+    # behavior's silent recall hole (drop). Per-band recall trade, not a
+    # completeness guarantee: pairs split apart by salt, and member pairs
+    # of a starred leaf whose hub fails verification, rely on the OTHER
+    # bands (each salted by different lanes) to surface them —
+    # P(pair survives a salted band | J=tau) ~= (tau + (1-tau)/2^b)^depth
+    # per level taken.
     band_salt_depth: int = 2
 
     # --- exact-band key width (ADVICE r1): 64 = sha1 prefix subdivided by

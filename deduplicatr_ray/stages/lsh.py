@@ -367,6 +367,14 @@ def _hot_group_pairs(
     still passes the normal estimate / Hamming verification downstream —
     salting affects which pairs are CONSIDERED, never precision.
 
+    Honest limits of the star: a starred leaf is CONSIDERED through its
+    hub only — member-member pairs are not emitted from this band, and a
+    hub that fails verification against some member leaves that member
+    unconnected HERE. The other bands (each salted on different lanes)
+    are the recovery path, so this is a per-band recall trade, not a
+    guarantee of per-band completeness; it strictly dominates the old
+    behavior (dropping the group emitted nothing at all).
+
     Local indices are into the group's (url-sorted) rep rows, so i < j
     preserves the url_a < url_b convention; recursion order is
     content-derived and deterministic.
@@ -386,9 +394,15 @@ def _hot_group_pairs(
             out_i.append(ids[iu])
             out_j.append(ids[ju])
             return
-        if is_minhash and depth < cfg.band_salt_depth:
+        # salting needs a lane OUTSIDE this band's own rows (members agree
+        # on those by construction); with num_perm == rows_per_band (a
+        # single band covering every lane) no informative lane exists and
+        # the group goes straight to the star
+        if is_minhash and depth < cfg.band_salt_depth and cfg.num_perm > r:
             lane = (band_id * r + r + depth) % cfg.num_perm
             if band_id * r <= lane < band_id * r + r:
+                # stepping one band-width further always leaves the own
+                # range when num_perm > r (range length is exactly r)
                 lane = (lane + r) % cfg.num_perm
             vals = _sketch_lane(rep_seg8[ids], lane, cfg)
             for v in np.unique(vals):
@@ -519,25 +533,48 @@ def emit_pairs_block(
             if len(iu0) == 0:
                 continue
         iu, ju = reps[iu0] - s, reps[ju0] - s
+        # verification kernel, CHUNKED: a salted hot group can carry
+        # O(m * cap) candidate pairs, and `seg8[iu]` materializes a
+        # sketch_width-byte copy per pair — chunking bounds the transient
+        # at ~2 x CHUNK x sketch_width bytes regardless of group size
+        # (kept pairs alone are accumulated across chunks)
+        CHUNK = 1 << 20
+        ki_parts: list[np.ndarray] = []
+        kj_parts: list[np.ndarray] = []
+        ke_parts: list[np.ndarray] = []
         if bid[s] < cfg.bands:
             # bias-corrected b-bit Jaccard (collision prob = J + (1-J)/2^b)
             seg8 = sig8[s - n_exact : e - n_exact]
-            eq = sketch_eq_mean(seg8[iu], seg8[ju], cfg)
-            est = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
-            keep = est >= tau
             method = "minhash"
+            for c0 in range(0, len(iu), CHUNK):
+                a, b2 = iu[c0 : c0 + CHUNK], ju[c0 : c0 + CHUNK]
+                eq = sketch_eq_mean(seg8[a], seg8[b2], cfg)
+                estc = np.clip((eq - c) / (1.0 - c), 0.0, 1.0)
+                kp = estc >= tau
+                if kp.any():
+                    ki_parts.append(a[kp])
+                    kj_parts.append(b2[kp])
+                    ke_parts.append(estc[kp])
         else:
-            x = np.bitwise_xor(simhash[s + iu], simhash[s + ju])
-            ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-            keep = ham <= cfg.hamming_threshold
-            # simhash rows carry no sketch (shuffle diet): report the
-            # fingerprint agreement itself as the similarity estimate
-            est = 1.0 - ham / float(cfg.simhash_bits)
             method = "simhash"
-        if not keep.any():
+            for c0 in range(0, len(iu), CHUNK):
+                a, b2 = iu[c0 : c0 + CHUNK], ju[c0 : c0 + CHUNK]
+                x = np.bitwise_xor(simhash[s + a], simhash[s + b2])
+                ham = np.unpackbits(
+                    x.view(np.uint8).reshape(-1, 8), axis=1
+                ).sum(axis=1)
+                kp = ham <= cfg.hamming_threshold
+                if kp.any():
+                    ki_parts.append(a[kp])
+                    kj_parts.append(b2[kp])
+                    # simhash rows carry no sketch (shuffle diet): report
+                    # the fingerprint agreement as the similarity estimate
+                    ke_parts.append(1.0 - ham[kp] / float(cfg.simhash_bits))
+        if not ki_parts:
             continue
-        ki, kj = iu[keep], ju[keep]
-        kest = est[keep]
+        ki = np.concatenate(ki_parts)
+        kj = np.concatenate(kj_parts)
+        kest = np.concatenate(ke_parts)
         if emit == "forest" and len(ki) > 1:
             # spanning forest of the kept graph: deterministic because rows
             # are url-sorted and (iu, ju) enumerate in fixed order

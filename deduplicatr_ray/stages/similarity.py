@@ -507,14 +507,20 @@ def ann_lsh_pairs(
                 sims = vseg @ vseg.T
                 iu, ju = np.triu_indices(m, k=1)
                 keep = sims[iu, ju] >= threshold
+                if keep.any():
+                    out_a.append(ids[s + iu[keep]])
+                    out_b.append(ids[s + ju[keep]])
             else:
                 iu, ju = hot_bucket_pairs(vseg, int(t[s]))
-                if len(iu) == 0:
-                    continue
-                keep = np.einsum("ij,ij->i", vseg[iu], vseg[ju]) >= threshold
-            if keep.any():
-                out_a.append(ids[s + iu[keep]])
-                out_b.append(ids[s + ju[keep]])
+                # chunked exact-cosine verify: a salted hot bucket carries
+                # O(m * cap) pairs and vseg[iu] copies dim floats per pair
+                CHUNK = 1 << 20
+                for c0 in range(0, len(iu), CHUNK):
+                    a, b2 = iu[c0 : c0 + CHUNK], ju[c0 : c0 + CHUNK]
+                    kp = np.einsum("ij,ij->i", vseg[a], vseg[b2]) >= threshold
+                    if kp.any():
+                        out_a.append(ids[s + a[kp]])
+                        out_b.append(ids[s + b2[kp]])
         if not out_a:
             return _EMPTY
         a = np.concatenate(out_a)

@@ -605,7 +605,6 @@ def wminhash_near_dups(
             seed=seed,
         )
         n = len(udoc)
-        ntot = np.bincount(inv, weights=tf).astype(np.int64)  # total tokens/doc
         sig8 = (sig & _U64(0xFF)).astype(np.uint8)  # (n, K) estimate payload
         out_doc = np.repeat(udoc, B)
         bkey = np.zeros((n, B), np.uint64)
@@ -616,21 +615,22 @@ def wminhash_near_dups(
                 acc = splitmix64(sig[:, b * ROWS + rr] ^ acc)
             bkey[:, b] = acc
         flat_key = bkey.reshape(-1)
-        yield pa.table(
-            {
-                "bkey": pa.array(flat_key.view(np.int64), pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-                "n_tot": pa.array(np.repeat(ntot, B), pa.int64()),
-                "sig8": pa.Array.from_buffers(
-                    pa.binary(K),
-                    n * B,
-                    [None, pa.py_buffer(np.repeat(sig8, B, axis=0).tobytes())],
-                ),
-                "part": pa.array(
-                    (flat_key % _U64(P)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
+        cols = {
+            "bkey": pa.array(flat_key.view(np.int64), pa.int64()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "sig8": pa.Array.from_buffers(
+                pa.binary(K),
+                n * B,
+                [None, pa.py_buffer(np.repeat(sig8, B, axis=0).tobytes())],
+            ),
+            "part": pa.array(
+                (flat_key % _U64(P)).astype(np.int32), pa.int32()
+            ),
+        }
+        if LB_NUM:  # length column only shipped when the bound is active
+            ntot = np.bincount(inv, weights=tf).astype(np.int64)
+            cols["n_tot"] = pa.array(np.repeat(ntot, B), pa.int64())
+        yield pa.table(cols)
 
     def verify_block(g: pa.Table) -> pa.Table:
         g = g.drop_columns(["part"])
@@ -641,7 +641,11 @@ def wminhash_near_dups(
         g = g.take(order)
         bk = g["bkey"].to_numpy(zero_copy_only=False)
         doc = g["doc_id"].to_numpy(zero_copy_only=False)
-        ntot = g["n_tot"].to_numpy(zero_copy_only=False)
+        ntot = (
+            g["n_tot"].to_numpy(zero_copy_only=False)
+            if "n_tot" in g.column_names
+            else None
+        )
         sig8_arr = g["sig8"].combine_chunks()
         # zero-copy view of the fixed-size-binary data buffer
         off = sig8_arr.offset * K
@@ -652,13 +656,20 @@ def wminhash_near_dups(
         lens = np.diff(np.append(starts, n))
         ia_p, ib_p, je_p = [], [], []
 
+        # salting uses TAIL sample bytes (bands key on the FIRST
+        # bands*band_rows samples, so tail lanes stay informative); when
+        # banding consumes every sample (B*ROWS == K) no informative lane
+        # exists and hot buckets go straight to the star
+        eff_salt_depth = min(int(salt_depth), K - B * ROWS)
+
         def hot_bucket_pairs(rep_sig: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             """Salt-split a hot bucket (same policy as lsh._hot_group_pairs):
-            sub-split on TAIL sample bytes (bands key on the FIRST
-            bands*band_rows samples, so tail lanes stay informative), star
-            the leaves still hot after ``salt_depth`` levels. Never O(m^2),
-            never a dropped bucket; the est (and, in the verified path, the
-            exact re-score) still gates every considered pair."""
+            sub-split on tail sample bytes, star the leaves still hot after
+            ``salt_depth`` levels. Never O(m^2), never an unconsidered
+            bucket; the est (and, in the verified path, the exact re-score)
+            still gates every considered pair. Starred leaves are covered
+            through their min-id hub only — member pairs split apart here
+            re-collide in the other bands (different key samples)."""
             oi: list[np.ndarray] = []
             oj: list[np.ndarray] = []
 
@@ -671,7 +682,7 @@ def wminhash_near_dups(
                     oi.append(ids[iu])
                     oj.append(ids[ju])
                     return
-                if depth < salt_depth:
+                if depth < eff_salt_depth:
                     vals = rep_sig[ids, K - 1 - depth]
                     for v in np.unique(vals):
                         rec(ids[vals == v], depth + 1)
@@ -707,14 +718,19 @@ def wminhash_near_dups(
                 if not ok.any():
                     continue
                 i, j = i[ok], j[ok]
+            # chunked: a salted hot bucket can carry O(m * cap) pairs and
+            # sa[i] copies K bytes per pair — bound the transient
             sa = sig[s + ui]
-            raw = (sa[i] == sa[j]).mean(axis=1)
-            je = (raw - _COLL) / (1.0 - _COLL)
-            keep = je >= threshold
-            if keep.any():
-                ia_p.append(ud[i[keep]])
-                ib_p.append(ud[j[keep]])
-                je_p.append(je[keep])
+            CHUNK = 1 << 20
+            for c0 in range(0, len(i), CHUNK):
+                ic, jc = i[c0 : c0 + CHUNK], j[c0 : c0 + CHUNK]
+                raw = (sa[ic] == sa[jc]).mean(axis=1)
+                je = (raw - _COLL) / (1.0 - _COLL)
+                keep = je >= threshold
+                if keep.any():
+                    ia_p.append(ud[ic[keep]])
+                    ib_p.append(ud[jc[keep]])
+                    je_p.append(je[keep])
         if not ia_p:
             return pa.table(
                 {
@@ -806,9 +822,13 @@ def wminhash_verified(
     posting runs — 177 s vs <2 s at sf0.1.)
 
     Output ``(id_a, id_b, n_min, n_union)`` — bit-identical to
-    ``weighted_jaccard_all`` whenever the banding recalls every
+    ``weighted_jaccard_all`` whenever the candidate stage surfaces every
     ``J_w >= threshold`` pair (measured 1.0 at sf0.01), so the same DuckDB
-    oracle verifies BOTH the anchor and this scale path.
+    oracle verifies BOTH the anchor and this scale path. Candidate recall
+    is probabilistic, not guaranteed: the estimator margin is ~5 sigma,
+    and buckets past ``group_cap`` are salt-split with hot leaves covered
+    through a star hub only (see ``wminhash_near_dups``) — member pairs
+    of a starred leaf rely on the other bands to surface them.
     """
     est_cut = threshold_num / threshold_den - est_margin
     # wider banding than the est variant's 16: P(no band collides | J=0.7)
