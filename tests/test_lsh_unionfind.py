@@ -385,3 +385,36 @@ def test_hot_group_pairs_invariant_to_row_order():
     pa_set = set(zip(a["url_a"], a["url_b"]))
     pb_set = set(zip(b["url_a"], b["url_b"]))
     assert pa_set == pb_set and len(pa_set) > 0
+
+
+def test_hot_group_multi_chunk_verify():
+    """A hot group whose salted leaves carry >1M candidate pairs exercises
+    the chunked verification loop (CHUNK = 1<<20): 40 identical-sketch
+    families scattered over 10k rows — all emitted pairs are same-family
+    (precision 1.0 at est 1.0), bounded-memory chunks change nothing."""
+    from deduplicatr_ray.stages.signatures import pack_sketch
+
+    cfg = CANONICAL
+    rng = np.random.Generator(np.random.PCG64(71))
+    fam_lanes = rng.integers(0, 1 << 16, (40, cfg.num_perm)).astype(np.uint64)
+    m = 10_000
+    fam = rng.integers(0, 40, m)
+    sk = np.concatenate(
+        [pack_sketch(fam_lanes[f][None, :], cfg)[0] for f in fam]
+    )
+    group = pa.table(
+        {
+            "band_id": pa.array([0] * m, pa.int32()),
+            "band_hash": pa.array([3] * m, pa.uint64()),
+            "url": pa.array([f"u/{i:06d}" for i in range(m)]),
+            "sig8": pa.FixedSizeListArray.from_arrays(
+                pa.array(sk), cfg.sketch_width
+            ),
+            "simhash": pa.array(np.zeros(m, np.uint64)),
+        }
+    )
+    out = emit_pairs_group(group).to_pandas()
+    fam_of = {f"u/{i:06d}": int(fam[i]) for i in range(m)}
+    assert len(out) > 500_000  # multi-chunk volume
+    assert (out["url_a"].map(fam_of) == out["url_b"].map(fam_of)).all()
+    assert (out["jaccard_est"] == 1.0).all()
