@@ -193,7 +193,10 @@ def cmd_export(args: argparse.Namespace) -> int:
     from .pipelines.training import training_export
 
     tokenizer = None
+    vocab_id = None
     if args.merges is not None:
+        import hashlib
+
         from .functions.tokenizers import bpe_factory, load_merges
 
         try:
@@ -201,6 +204,12 @@ def cmd_export(args: argparse.Namespace) -> int:
         except (OSError, ValueError) as e:
             raise SystemExit(f"--merges: {e}")
         tokenizer = bpe_factory(args.merges)
+        # content digest identifies the vocab for the out_dir marker:
+        # re-exporting into the same dir under a different merges file is
+        # a hard error (mixed chunk boundaries), same file is a no-op
+        vocab_id = hashlib.sha1(
+            open(args.merges, "rb").read()
+        ).hexdigest()[:16]
 
     _init_ray(args.num_cpus, args.address)
     try:
@@ -211,6 +220,7 @@ def cmd_export(args: argparse.Namespace) -> int:
             shard_chunks=args.shard_chunks,
             out_dir=args.output,
             tokenizer=tokenizer,
+            vocab_id=vocab_id,
         )
         from ray.data.aggregate import Count, Max, Sum
 

@@ -118,9 +118,11 @@ class DedupConfig:
     # --- tokenizer for sequence packing / export (functions/tokenizers.py):
     #     None = the corpus-standard [a-z0-9]+ regex lexer (SQL-oracle-
     #     expressible); a path = user-supplied BPE merges.txt, loaded once
-    #     per map actor. Recorded here so checkpoint lineage hashes the
-    #     vocab choice — resuming a packing run under a different vocab is
-    #     a config mismatch, not silent corruption. ---
+    #     per map actor via tokenizer_factory(). Config-hash coverage for
+    #     cfg-carrying pipelines; the EXPORT path's actual vocab-mismatch
+    #     protection is the _vocab.json marker training_export writes to
+    #     out_dir (content digest of the merges file via the CLI) — mixing
+    #     vocabs in one out_dir is a hard error there, not silent. ---
     tokenizer_merges_path: str | None = None
 
     def tokenizer_factory(self):

@@ -285,8 +285,18 @@ def oph_minhash_segments(
     # distinct. Every doc has >= 1 shingle (callers filter empty docs),
     # so every row has >= 1 filled bin and the fill always resolves.
     P = num_perm
-    pos = np.where(filled, np.arange(P, dtype=np.int64)[None, :], -1)
-    ff = np.maximum.accumulate(np.concatenate([pos, pos], axis=1), axis=1)
+    idx = np.arange(P, dtype=np.int64)[None, :]
+    pos = np.where(filled, idx, -1)
+    # the doubled row's SECOND copy must carry idx + P: position P+j then
+    # accumulates max(largest filled index overall [the circular wrap],
+    # P + nearest filled <= j) — i.e. the nearest filled bin at-or-before
+    # j, circularly. With a plain [pos, pos] doubling (the original bug)
+    # every empty bin borrowed from the globally max-index filled bin and
+    # hops exceeded P, collapsing sparse docs' densified lanes to one
+    # value and destroying the estimator for docs with < num_perm
+    # shingles (est ~0.2 for true J ~0.97).
+    pos2 = np.where(filled, idx + P, -1)
+    ff = np.maximum.accumulate(np.concatenate([pos, pos2], axis=1), axis=1)
     src_pos = ff[:, P:]                      # (n_docs, P), in [0, 2P)
     hops = (np.arange(P, dtype=np.int64)[None, :] + P) - src_pos
     src_bin = src_pos % P

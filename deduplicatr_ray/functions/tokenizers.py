@@ -112,6 +112,29 @@ def load_merges(path: str) -> tuple[tuple[str, str], ...]:
             merges.append((parts[0], parts[1]))
     if not merges:
         raise ValueError(f"{path}: no merge pairs found")
+    # BYTE-LEVEL vocab guard: GPT-2/HF byte-level merges.txt entries use
+    # marker symbols (Ġ = leading space, Ċ = newline, byte-escape
+    # alphabet) that this engine's [a-z0-9]+ lowercase pre-tokenization
+    # can NEVER produce — loading one would pass strict parsing while
+    # every such merge stays dead, silently inflating token counts vs the
+    # real tokenizer. Fail loudly instead (code-review finding).
+    reachable = set("abcdefghijklmnopqrstuvwxyz0123456789")
+    dead = [
+        (a, b)
+        for a, b in merges
+        if not (set(a) <= reachable and set(b) <= reachable)
+    ]
+    if dead:
+        a, b = dead[0]
+        raise ValueError(
+            f"{path}: merge pair {a!r} {b!r} contains symbols outside "
+            f"[a-z0-9] — this looks like a BYTE-LEVEL (GPT-2/HF) merge "
+            f"table, which cannot apply under this engine's lowercase "
+            f"[a-z0-9]+ pre-tokenization ({len(dead)}/{len(merges)} pairs "
+            f"would be dead and token counts would silently diverge from "
+            f"the real tokenizer). Supply a char-level merge table over "
+            f"[a-z0-9], or pre-convert the vocab."
+        )
     return tuple(merges)
 
 

@@ -21,9 +21,13 @@ Canonicalization steps (order matters):
   2. case-fold scheme + authority (path/query stay case-sensitive)
   3. strip a leading `www.` from the host
   4. strip default ports (`:80` on http, `:443` on https)
-  5. strip tracking params (utm_*, fbclid, gclid, msclkid) wherever
+  5. fold `http://` to `https://` (AFTER port stripping, which is
+     scheme-keyed) — the same page refetched across an HTTPS migration
+     is the module's motivating dup pair, and scheme-variant fetches of
+     genuinely different content are vanishingly rare on the modern web
+  6. strip tracking params (utm_*, fbclid, gclid, msclkid) wherever
      they sit in the query string
-  6. strip a dangling `?` and a bare root `/`
+  7. strip a dangling `?` and a bare root `/`
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ _REPLACES_POST: list[tuple[str, str]] = [
     (r"^(https?://)www\.", r"\1"),
     (r"^(http://[^/?#:]+):80([/?#].*)?$", r"\1\2"),
     (r"^(https://[^/?#:]+):443([/?#].*)?$", r"\1\2"),
+    (r"^http://", "https://"),
     (rf"&(?:{_TRACK})=[^&#]*", ""),
     (rf"\?(?:{_TRACK})=[^&#]*&", "?"),
     (rf"\?(?:{_TRACK})=[^&#]*$", ""),

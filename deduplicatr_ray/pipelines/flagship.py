@@ -169,7 +169,11 @@ def pairs_partitioned(
                     f"num_groups={done.get('num_groups')}, caller asked "
                     f"{num_groups} — use a new run_id"
                 )
-            continue
+            # manifest entry without its Parquet dir (partial rsync, disk
+            # cleanup) must RECOMPUTE, not silently drop the group's pairs
+            # — same guard as state/incremental.spill_index
+            if os.path.isdir(out_dir):
+                continue
         t0 = time.monotonic()
         grp = distinct_pairs_stage(
             candidate_pairs_stage(

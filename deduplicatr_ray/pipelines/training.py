@@ -56,6 +56,7 @@ def training_export(
     bloom_eval_docs: int = 10_000,
     scrub: bool = False,
     tokenizer=None,
+    vocab_id: str | None = None,
 ):
     """-> Dataset of kept docs with their training-chunk layout:
 
@@ -220,8 +221,29 @@ def training_export(
         with_shard, batch_format="pyarrow", zero_copy_batch=True
     )
     if out_dir is not None:
+        # vocab marker: chunk boundaries depend on the tokenizer, so
+        # shards written under two different vocabs in one out_dir are
+        # silent corruption. Refuse to mix (the marker is the actual
+        # mismatch protection — see functions/tokenizers.py seam docs).
+        import json
+        import os
+
+        vid = vocab_id or ("regex-lexer" if tokenizer is None else "custom")
+        marker = os.path.join(out_dir, "_vocab.json")
+        if os.path.exists(marker):
+            prev = json.load(open(marker)).get("vocab_id")
+            if prev != vid:
+                raise ValueError(
+                    f"{out_dir} was written under vocab_id={prev!r}; this "
+                    f"run uses {vid!r} — chunk boundaries would mix two "
+                    f"tokenizations. Use a fresh out_dir (or the same "
+                    f"--merges file)."
+                )
         # materialize so the write and any caller-side consumption (e.g.
         # the CLI's summary aggregate) execute the plan tail ONCE
         layout = layout.materialize()
         layout.write_parquet(out_dir, partition_cols=["chunk_shard"])
+        os.makedirs(out_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"vocab_id": vid, "chunk_tokens": chunk_tokens}, f)
     return layout

@@ -432,9 +432,15 @@ def assign_clusters_shuffle_labels(url_ds, labels, *, num_partitions: int | None
         )
 
     def tag_labels(b: pa.Table) -> pa.Table:
+        # recompute the partition from h with THIS call's P — the labels'
+        # own part column was computed with distributed_labels' partition
+        # count, and reusing it verbatim silently empties the join
+        # whenever the two counts differ (e.g. cluster resized between
+        # the component pass and the assignment pass)
+        h = b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
         return pa.table(
             {
-                "part": b["part"],
+                "part": pa.array((h % PU).astype(np.int32), pa.int32()),
                 "h": b["h"],
                 "v": b["v"],
                 "url": pa.nulls(len(b), pa.string()),

@@ -42,6 +42,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_select(sims: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-column top-``kk`` under the total order (sim desc, row
+    asc) WITHOUT a full column sort: argpartition finds each column's
+    boundary value, strictly-greater rows are all kept, and ties AT the
+    boundary are taken first-by-row until ``kk`` — the same selection a
+    stable ``argsort(-sims)[:kk]`` makes (rows are pre-sorted by
+    neighbor id), at O(n) selection + O(n*nq) masks instead of
+    O(n log n * nq) (code-review efficiency finding; the _wide variants
+    make every vector a query, so the column count is the batch size).
+
+    Returns ``(rows, cols)`` flat index arrays, column-major.
+    """
+    n, nq = sims.shape
+    if kk >= n:
+        return np.tile(np.arange(n), nq), np.repeat(np.arange(nq), n)
+    part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+    v = sims[part, np.arange(nq)].min(axis=0)  # boundary value per column
+    gt = sims > v[None, :]
+    eq = sims == v[None, :]
+    need = kk - gt.sum(axis=0)
+    pick_eq = eq & (np.cumsum(eq, axis=0) <= need[None, :])
+    cols_k, rows_k = np.nonzero((gt | pick_eq).T)
+    return rows_k, cols_k
+
+
 def _merge_topk(local, k: int):
     """Global top-k per query from per-batch local candidates: ONE
     hash-partition shuffle on query_id + a vectorized per-partition rank
@@ -97,21 +122,18 @@ def knn_brute(embeddings, query_ids: list[int], k: int = 5):
             sims = vm @ self.qm.T  # (batch, n_queries)
             # self-matches sink below any cosine so they never rank
             sims[vids[:, None] == self.qids[None, :]] = -2.0
-            # one column-wise stable argsort selects every query's local
-            # top-k at once — no per-query Python loop (O(batch x queries)
-            # iterations at a large query set otherwise)
-            nq = sims.shape[1]
+            # argpartition + boundary-tie widening selects every query's
+            # local top-k at once (exact same set as the previous stable
+            # argsort, without its O(n log n) per column)
             kk = min(self.k, len(vids))
-            top = np.argsort(-sims, axis=0, kind="stable")[:kk]  # (kk, nq)
-            cols = np.arange(nq)
-            cand_s = sims[top, cols]
+            rows_k, cols_k = _topk_select(sims, kk)
+            cand_s = sims[rows_k, cols_k]
             keep = cand_s > -1.5  # drop the sunk self-matches
-            qid_m = np.broadcast_to(self.qids, (kk, nq))
             return pa.table(
                 {
-                    "query_id": pa.array(qid_m[keep], pa.int64()),
+                    "query_id": pa.array(self.qids[cols_k][keep], pa.int64()),
                     "neighbor_id": pa.array(
-                        vids[top][keep].astype(np.int64), pa.int64()
+                        vids[rows_k][keep].astype(np.int64), pa.int64()
                     ),
                     "sim": pa.array(cand_s[keep], pa.float64()),
                 }
@@ -235,18 +257,19 @@ def ann_ivf_knn(
                 sims = vm[rows] @ self.qm[qs].T  # (r, q)
                 sims[vids[rows][:, None] == self.qids[qs][None, :]] = -2.0
                 kk = min(self.k, len(rows))
-                # rows are vid-ascending (batch pre-sort), so stable sort
-                # breaks sim ties by neighbor_id ascending
-                top = np.argsort(-sims, axis=0, kind="stable")[:kk]
-                cand_s = sims[top, np.arange(len(qs))]
+                # rows are vid-ascending (batch pre-sort), so boundary-tie
+                # widening keeps the (sim desc, neighbor_id asc) selection
+                rows_k, cols_k = _topk_select(sims, kk)
+                cand_s = sims[rows_k, cols_k]
                 keep = cand_s > -1.5
-                qid_m = np.broadcast_to(self.qids[qs], (kk, len(qs)))
                 parts.append(
                     pa.table(
                         {
-                            "query_id": pa.array(qid_m[keep], pa.int64()),
+                            "query_id": pa.array(
+                                self.qids[qs][cols_k][keep], pa.int64()
+                            ),
                             "neighbor_id": pa.array(
-                                vids[rows][top][keep].astype(np.int64),
+                                vids[rows][rows_k][keep].astype(np.int64),
                                 pa.int64(),
                             ),
                             "sim": pa.array(cand_s[keep], pa.float64()),

@@ -532,6 +532,7 @@ def wminhash_near_dups(
     emit: str = "est",
     length_bound: tuple[int, int] | None = None,
     salt_depth: int = 2,
+    id_col: str = "doc_id",
 ):
     """Weighted-MinHash near-dup pairs: CWS signatures -> banded LSH over
     the first ``bands * band_rows`` samples -> bias-corrected byte-packed
@@ -589,6 +590,10 @@ def wminhash_near_dups(
     LB_NUM, LB_DEN = (int(length_bound[0]), int(length_bound[1])) if length_bound else (0, 1)
 
     def signatures(batch: pa.Table):
+        if id_col != "doc_id":
+            batch = batch.rename_columns(
+                ["doc_id" if c == id_col else c for c in batch.column_names]
+            )
         t = term_counts_batch(batch)
         if len(t) == 0:
             return
@@ -841,7 +846,7 @@ def wminhash_verified(
     # the verified output, ~3.5x fewer candidates on template-heavy corpora
     cws_kwargs.setdefault("length_bound", (threshold_num, threshold_den))
     cands = wminhash_near_dups(
-        docs, threshold=est_cut, emit="distinct", **cws_kwargs
+        docs, threshold=est_cut, emit="distinct", id_col=id_col, **cws_kwargs
     )
     return weighted_jaccard_pairs(
         docs,

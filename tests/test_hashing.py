@@ -228,3 +228,59 @@ def test_oph_identical_sets_match_all_lanes():
     starts = np.array([0, len(sh1)], dtype=np.int64)
     sig = oph_minhash_segments(sh, starts, 64, 42)
     assert (sig[0] == sig[1]).all()
+
+
+def test_oph_densified_estimator_on_sparse_docs():
+    """Regression for the rotation-densification index bug: with fewer
+    shingles than bins (every short doc), empty bins must borrow from the
+    NEAREST filled bin to their left (circular), not the globally
+    max-index filled bin — the broken doubling ([pos, pos] instead of
+    [pos, pos+P]) collapsed all densified lanes to one source and drove
+    the matching-lane estimate for true J~0.97 down to ~0.2."""
+    from deduplicatr_ray.functions.hashing import oph_minhash_segments
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    ests = []
+    for t in range(100):
+        sh = rng.integers(1, 2**63, 31, dtype=np.uint64)
+        stream = np.concatenate([sh[:30], sh])  # J = 30/31 ~ 0.968
+        sig = oph_minhash_segments(
+            stream, np.array([0, 30], dtype=np.int64), 128, seed=1234 + t
+        )
+        ests.append(float((sig[0] == sig[1]).mean()))
+    mean = float(np.mean(ests))
+    assert abs(mean - 30 / 31) < 0.03, mean
+
+
+def test_oph_densification_nearest_left_circular():
+    """Structural check of the borrow source: force exactly one filled
+    bin at a known position and verify every empty bin's borrowed value
+    equals filled_value + hops*C with hops = circular left-distance."""
+    from deduplicatr_ray.functions.hashing import (
+        _POLY_M,
+        make_permutations,
+        oph_minhash_segments,
+    )
+
+    P = 8
+    seed = 0
+    a, b = make_permutations(1, seed)
+    # find a shingle landing in bin 5 (top 3 bits of its hash == 5)
+    kbits = 3
+    import itertools
+
+    for cand in itertools.count(1):
+        x = np.uint64(cand)
+        with np.errstate(over="ignore"):
+            h = (x ^ b[0]) * a[0]
+        if int(h) >> (64 - kbits) == 5:
+            break
+    out = oph_minhash_segments(
+        np.array([x], dtype=np.uint64), np.array([0], dtype=np.int64), P, seed
+    )[0]
+    hv = np.uint64(h)
+    for j in range(P):
+        hops = (j - 5) % P
+        with np.errstate(over="ignore"):
+            want = hv if j == 5 else hv + np.uint64(hops) * _POLY_M
+        assert out[j] == want, (j, out[j], want)

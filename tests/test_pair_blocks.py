@@ -276,3 +276,37 @@ def test_auto_routes_to_shuffle_past_driver_budget(ray_session, monkeypatch):
     assert got.equals(want), "auto/shuffle clusters diverge from driver"
     assert res_s.stats["n_clusters"] == res_d.stats["n_clusters"]
     assert res_s.stats["docs_in_clusters"] == res_d.stats["docs_in_clusters"]
+
+
+def test_shuffle_labels_partition_count_mismatch(ray_session):
+    """assign_clusters_shuffle_labels must be self-consistent in P: the
+    labels carry a part column from distributed_labels' OWN partition
+    count, and the assignment used to reuse it verbatim while hashing the
+    corpus with its own P — any mismatch (cluster resized between the two
+    passes) silently emptied the member join and produced all-singleton
+    output. The labels' part is now recomputed with the caller's P."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.cluster import assign_clusters_shuffle_labels
+    from deduplicatr_ray.state.unionfind import distributed_labels
+
+    urls = [f"u/{i:03d}" for i in range(12)]
+    from deduplicatr_ray.functions.hashing import hash_columns_u64
+
+    ut = pa.table({"url": pa.array(urls)})
+    h = hash_columns_u64(ut, ["url"])
+    # chain 0-1-2, pair 5-6; rest singletons
+    edges = pa.table(
+        {
+            "ha": pa.array(h[[0, 1, 5]], pa.uint64()),
+            "hb": pa.array(h[[1, 2, 6]], pa.uint64()),
+        }
+    )
+    labels = distributed_labels(rd.from_arrow(edges), num_partitions=4)
+    clusters, n_clusters, docs_in = assign_clusters_shuffle_labels(
+        rd.from_arrow(ut), labels, num_partitions=7
+    )
+    df = clusters.to_pandas().sort_values("url").reset_index(drop=True)
+    assert n_clusters == 2 and docs_in == 5
+    sizes = df.set_index("url")["cluster_size"]
+    assert sizes["u/000"] == 3 and sizes["u/005"] == 2 and sizes["u/011"] == 1

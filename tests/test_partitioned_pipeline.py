@@ -186,3 +186,49 @@ def test_pairs_partitioned_union_equals_whole_stage(ray_session, mixed_files, tm
         whole[["url_a", "url_b", "jaccard_est", "method"]],
         sliced[["url_a", "url_b", "jaccard_est", "method"]],
     )
+
+
+def test_pairs_partitioned_manifest_entry_without_dir_recomputes(
+    ray_session, mixed_files, tmp_path
+):
+    """A manifest entry whose Parquet dir is GONE (partial rsync, disk
+    cleanup) must recompute the group, not silently drop its pairs from
+    the returned union (code-review finding)."""
+    import shutil
+
+    import pandas as pd
+
+    ckpt = str(tmp_path / "ckpt")
+    res1 = dedup_pipeline_partitioned(
+        mixed_files,
+        checkpoint_dir=ckpt,
+        run_id="r1",
+        num_partitions=2,
+        pairs_groups=3,
+    )
+    p1 = (
+        res1.pairs.to_pandas()
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    man_path = os.path.join(ckpt, "r1", "_lineage.json")
+    man = json.load(open(man_path))
+    group_keys = sorted(k for k in man["entries"] if k.startswith("pairs/group="))
+    # delete a group's DIR but keep its manifest entry
+    victim = group_keys[1]
+    shutil.rmtree(os.path.join(ckpt, "r1", victim))
+
+    res2 = dedup_pipeline_partitioned(
+        mixed_files,
+        checkpoint_dir=ckpt,
+        run_id="r1",
+        num_partitions=2,
+        pairs_groups=3,
+    )
+    assert os.path.isdir(os.path.join(ckpt, "r1", victim))  # recomputed
+    p2 = (
+        res2.pairs.to_pandas()
+        .sort_values(["url_a", "url_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(p1, p2)

@@ -182,3 +182,23 @@ def test_ann_lsh_hot_bucket_starred_not_dropped(ray_session):
     # the star around vec_id 0 must connect every clone in >= 1 table
     assert {(0, j) for j in range(1, n)} <= got
     assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_topk_select_equals_stable_argsort():
+    """_topk_select (argpartition + boundary-tie widening) must select the
+    identical per-column set as the stable argsort it replaced, including
+    under heavy exact-value ties."""
+    from deduplicatr_ray.stages.similarity import _topk_select
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    for trial in range(100):
+        n = int(rng.integers(2, 60))
+        nq = int(rng.integers(1, 20))
+        kk = min(int(rng.integers(1, n + 2)), n)
+        sims = np.round(rng.random((n, nq)) * 5) / 5  # heavy ties
+        want = np.argsort(-sims, axis=0, kind="stable")[:kk]
+        rows_k, cols_k = _topk_select(sims, kk)
+        for c in range(nq):
+            assert set(want[:, c].tolist()) == set(
+                rows_k[cols_k == c].tolist()
+            ), (trial, c)

@@ -850,3 +850,22 @@ def test_window_ops_degenerate_inputs(ray_session):
         .iloc[0]
     )
     assert sc["clean_text"] == "a b"
+
+
+def test_load_merges_rejects_byte_level_vocab(tmp_path):
+    """A GPT-2/HF byte-level merges.txt parses as two-symbol pairs but its
+    Ġ/Ċ-marked merges can never apply under the [a-z0-9]+ lexer — loading
+    one must fail loudly, not silently skew token counts."""
+    import pytest
+
+    from deduplicatr_ray.functions.tokenizers import load_merges
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nĠ t\nĠ a\ni n\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="BYTE-LEVEL"):
+        load_merges(str(p))
+
+    # a char-level table over [a-z0-9] still loads
+    p2 = tmp_path / "ok.txt"
+    p2.write_text("t h\nth e\n", encoding="utf-8")
+    assert load_merges(str(p2)) == (("t", "h"), ("th", "e"))

@@ -123,3 +123,27 @@ def test_training_export_scrub_knob(ray_session):
         s["start_offset"].values[1:]
         == (s["start_offset"] + s["n_tokens"]).values[:-1]
     ).all()
+
+
+def test_training_export_vocab_marker_blocks_mixing(ray_session, tmp_path):
+    """Exporting into an out_dir written under a DIFFERENT vocab must be a
+    hard error (mixed chunk boundaries = silent corruption); same vocab
+    re-export is allowed (code-review finding: the old config-lineage
+    claim had no enforcement)."""
+    import json
+    import os
+
+    import pytest
+
+    from deduplicatr_ray.pipelines.training import training_export
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "exp")
+    training_export(sf, out_dir=out, vocab_id="vocabA")
+    assert json.load(open(os.path.join(out, "_vocab.json")))["vocab_id"] == "vocabA"
+
+    with pytest.raises(ValueError, match="vocab_id"):
+        training_export(sf, out_dir=out, vocab_id="vocabB")
+
+    # same vocab: allowed (resume/re-run)
+    training_export(sf, out_dir=out, vocab_id="vocabA")

@@ -18,11 +18,13 @@ CASES = [
     # (raw, canonical, host)
     (
         "http://WWW.Site.com:80/p/1?utm_source=feed&id=9#frag",
-        "http://site.com/p/1?id=9",
+        "https://site.com/p/1?id=9",
         "site.com",
     ),
+    # the module's motivating pair: scheme-variant refetches collapse
+    ("http://site.com/p/1?id=9", "https://site.com/p/1?id=9", "site.com"),
     ("https://site.com:443/p/1/?fbclid=xyz", "https://site.com/p/1/", "site.com"),
-    ("HTTP://EXAMPLE.ORG/", "http://example.org", "example.org"),
+    ("HTTP://EXAMPLE.ORG/", "https://example.org", "example.org"),
     ("https://example.org", "https://example.org", "example.org"),
     (
         "https://a.b.example.com/path/UPPER?x=1&utm_campaign=c&y=2",

@@ -219,3 +219,25 @@ def test_wminhash_hot_bucket_starred_not_dropped(ray_session):
     assert set(out["id_a"]) == {1}
     assert sorted(out["id_b"]) == list(range(2, 41))
     assert (out["n_min"] == out["n_union"]).all()  # exact clones: J_w = 1
+
+
+def test_wminhash_verified_custom_id_col(ray_session):
+    """id_col must thread through BOTH stages (candidates + verify); it
+    used to reach only the verify stage, so any non-default id column
+    crashed or silently mismatched (code-review finding)."""
+    import ray
+
+    from deduplicatr_ray.stages.wjaccard import wminhash_verified
+
+    texts = ["a b c d e f g h"] * 3 + ["totally different words here now"]
+    t = pa.table(
+        {
+            "page_id": pa.array([10, 20, 30, 40], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = wminhash_verified(
+        ray.data.from_arrow(t), num_partitions=2, id_col="page_id"
+    ).to_pandas()
+    pairs = sorted(zip(out["id_a"], out["id_b"]))
+    assert pairs == [(10, 20), (10, 30), (20, 30)]
