@@ -156,3 +156,48 @@ def test_recall_gate_oph_scheme(ray_session, name):
         return
     recall = len(got & want) / len(want)
     assert recall >= 0.99, f"{name}/oph: recall {recall:.4f} < 0.99"
+
+
+def test_oph_short_doc_near_dups_via_minhash(ray_session):
+    """Short docs (fewer shingles than num_perm bins) are the rotation-
+    densification regime — the broken [pos, pos] doubling collapsed their
+    densified lanes and OPH silently missed every short near-dup pair.
+    Pairs must be found WITH method='minhash' (distinct ranks minhash
+    above simhash, so the attribution proves the OPH estimate passed, not
+    just the Hamming fallback)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from deduplicatr_ray.config import DedupConfig
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i:02d}" for i in range(300)]
+    urls, texts = [], []
+    for i in range(10):
+        base = list(rng.choice(vocab, 60))  # 56 shingles << 128 bins
+        mut = list(base)
+        mut[int(rng.integers(0, 60))] = str(rng.choice(vocab))
+        urls += [f"u/{i:02d}a", f"u/{i:02d}b"]
+        texts += [" ".join(base), " ".join(mut)]
+    pages = pa.table(
+        {
+            "url": pa.array(urls),
+            "warc_ts": pa.nulls(len(urls), pa.int64()),
+            "html": pa.nulls(len(urls), pa.binary()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(urls)),
+        }
+    )
+    res = dedup_pipeline(
+        rd.from_arrow(pages), DedupConfig(minhash_scheme="oph")
+    )
+    pairs = res.pairs.to_pandas()
+    by_pair = {
+        (a, b): m
+        for a, b, m in zip(pairs["url_a"], pairs["url_b"], pairs["method"])
+    }
+    for i in range(10):
+        key = (f"u/{i:02d}a", f"u/{i:02d}b")
+        assert key in by_pair, f"missing short-doc near-dup pair {key}"
+        assert by_pair[key] == "minhash", (key, by_pair[key])
