@@ -21,7 +21,6 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from ..config import CANONICAL, DedupConfig
-from ..stages.cluster import assign_clusters_stage
 from ..stages.exact import exact_pairs_stage
 from ..stages.extract import extract_stage
 from ..stages.lsh import band_stage, candidate_pairs_stage, distinct_pairs_stage

@@ -14,162 +14,6 @@ from collections import Counter
 import pyarrow as pa
 
 
-class ClusterAssigner:
-    """Actor-pool callable: resolves the broadcast mapping once per actor."""
-
-    def __init__(self, mapping_ref) -> None:
-        import ray
-
-        mapping: dict[str, str] = ray.get(mapping_ref)
-        self.mapping = mapping
-        sizes = Counter(mapping.values())
-        self.sizes = sizes
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        mapping, sizes = self.mapping, self.sizes
-        urls = batch["url"].to_pylist()
-        cids = [mapping.get(u, u) for u in urls]
-        return pa.table(
-            {
-                "url": batch["url"],
-                "cluster_id": pa.array(cids, pa.string()),
-                "cluster_size": pa.array(
-                    [sizes.get(c, 1) for c in cids], pa.int64()
-                ),
-                "is_canonical": pa.array(
-                    [u == c for u, c in zip(urls, cids)], pa.bool_()
-                ),
-            }
-        )
-
-
-def assign_clusters_stage(
-    url_ds, mapping: dict[str, str], *, concurrency: int | tuple[int, int] = (2, 8)
-):
-    """Dataset with a ``url`` column + mapping dict -> CLUSTERS Dataset."""
-    import ray
-
-    ref = ray.put(mapping)
-    return url_ds.select_columns(["url"]).map_batches(
-        ClusterAssigner,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
-
-
-class ArrayClusterAssigner:
-    """Vectorized broadcast-join assigner over ClusterMaps arrays.
-
-    The broadcast payload is three numpy arrays + the (small) canonical-url
-    list — ~26 MB at 1.6M clustered docs vs ~200 MB for the url->url dict,
-    and the per-batch lookup is searchsorted + fancy indexing instead of a
-    Python dict probe per row.
-    """
-
-    def __init__(self, maps_ref) -> None:
-        import numpy as np
-        import ray
-
-        keys, root_idx, root_urls, root_sizes = ray.get(maps_ref)
-        self.keys = keys
-        self.root_idx = root_idx
-        self.root_urls = np.asarray(root_urls, dtype=object)
-        self.root_sizes = root_sizes
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        from ..functions.hashing import hash_columns_u64
-
-        n = len(batch)
-        urls = np.asarray(batch["url"].to_pylist(), dtype=object)
-        h = hash_columns_u64(batch, ["url"])
-        if len(self.keys):
-            pos = np.searchsorted(self.keys, h)
-            pos_c = np.minimum(pos, len(self.keys) - 1)
-            matched = self.keys[pos_c] == h
-        else:
-            pos_c = np.zeros(n, dtype=np.int64)
-            matched = np.zeros(n, dtype=bool)
-        cids = urls.copy()
-        sizes = np.ones(n, dtype=np.int64)
-        if matched.any():
-            ri = self.root_idx[pos_c[matched]]
-            cids[matched] = self.root_urls[ri]
-            sizes[matched] = self.root_sizes[ri]
-        return pa.table(
-            {
-                "url": batch["url"],
-                "cluster_id": pa.array(cids, pa.string()),
-                "cluster_size": pa.array(sizes, pa.int64()),
-                "is_canonical": pa.array(urls == cids, pa.bool_()),
-            }
-        )
-
-
-def _label_fn(batch: pa.Table, *, maps_ref) -> pa.Table:
-    """Pass 1: url -> component label (uint64 root hash), vectorized.
-
-    Plain TASK function (no actor pool): ``ray.get`` of the broadcast numpy
-    arrays is zero-copy from the local plasma store per batch, and tasks
-    avoid the pool-spawn latency that dominated this short stage."""
-    import numpy as np
-    import ray
-
-    from ..functions.hashing import hash_columns_u64
-
-    keys, root_h = ray.get(maps_ref)
-    n = len(batch)
-    h = hash_columns_u64(batch, ["url"])
-    if len(keys):
-        pos = np.minimum(np.searchsorted(keys, h), len(keys) - 1)
-        matched = keys[pos] == h
-        root = np.where(matched, root_h[pos], h)
-    else:
-        matched = np.zeros(n, dtype=bool)
-        root = h
-    return pa.table(
-        {
-            "url": batch["url"],
-            "root_h": pa.array(root, pa.uint64()),
-            "in_cluster": pa.array(matched, pa.bool_()),
-        }
-    )
-
-
-def _finalize_fn(batch: pa.Table, *, roots_ref) -> pa.Table:
-    """Pass 2: labeled rows + (small) root table -> CLUSTERS rows."""
-    import numpy as np
-    import ray
-
-    roots, root_urls, root_sizes = ray.get(roots_ref)
-    root_urls = np.asarray(root_urls, dtype=object)
-    n = len(batch)
-    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
-    root = batch["root_h"].to_numpy(zero_copy_only=False)
-    matched = batch["in_cluster"].to_numpy(zero_copy_only=False)
-    cids = urls.copy()
-    sizes = np.ones(n, dtype=np.int64)
-    if matched.any() and len(roots):
-        pos = np.minimum(np.searchsorted(roots, root[matched]), len(roots) - 1)
-        ok = roots[pos] == root[matched]
-        mi = np.flatnonzero(matched)[ok]
-        cids[mi] = root_urls[pos[ok]]
-        sizes[mi] = root_sizes[pos[ok]]
-    return pa.table(
-        {
-            "url": batch["url"],
-            "cluster_id": pa.array(cids, pa.string()),
-            "cluster_size": pa.array(sizes, pa.int64()),
-            "is_canonical": pa.array(urls == cids, pa.bool_()),
-        }
-    )
-
-
 def _assign_fn(batch: pa.Table, *, maps_ref, roots_ref) -> pa.Table:
     """Fused label+finalize: url -> (cluster_id, size) in ONE pass.
 
@@ -207,26 +51,6 @@ def _assign_fn(batch: pa.Table, *, maps_ref, roots_ref) -> pa.Table:
     if "warc_ts" in batch.column_names:  # recency metadata rides along (§2.8)
         cols["warc_ts"] = batch["warc_ts"]
     return pa.table(cols)
-
-
-def assign_clusters_broadcast(url_ds, keys, root_h, roots, root_urls, root_sizes):
-    """Final fused assignment pass with a driver-computed root table
-    (see ``components_with_roots``) — one plan, two broadcast lookups.
-
-    ``url_ds`` must already be projected to ``url`` (+ optional ``warc_ts``,
-    which passes through as cluster recency metadata)."""
-    import numpy as np
-    import ray
-
-    ref1 = ray.put((keys, root_h))
-    ref2 = ray.put((roots, root_urls, np.asarray(root_sizes, np.int64)))
-    return url_ds.map_batches(
-        _assign_fn,
-        fn_kwargs={"maps_ref": ref1, "roots_ref": ref2},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=16384,
-    )
 
 
 def assign_clusters_distributed(url_ds, keys, root_h, edge_src=None):
@@ -655,25 +479,4 @@ def assign_clusters_shuffle(url_ds, members, *, num_partitions: int | None = Non
     )
     return corpus.union(mem).groupby("part").map_groups(
         join_part, batch_format="pyarrow"
-    )
-
-
-def assign_clusters_arrays_stage(
-    url_ds, maps, *, concurrency: int | tuple[int, int] | None = None
-):
-    """Dataset with a ``url`` column + ClusterMaps -> CLUSTERS Dataset."""
-    import ray
-
-    if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(2, cpus // 2), cpus)
-    ref = ray.put((maps.keys, maps.root_idx, maps.root_urls, maps.root_sizes))
-    return url_ds.select_columns(["url"]).map_batches(
-        ArrayClusterAssigner,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=8192,
-        concurrency=concurrency,
-        num_cpus=1,
     )

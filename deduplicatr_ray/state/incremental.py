@@ -102,8 +102,11 @@ def _digest_stage(docs, *, id_col: str, text_col: str):
     import hashlib
 
     def fn(b: pa.Table) -> pa.Table:
+        # NULL text = empty doc (same guard as ingest_near's to_pages);
+        # crawl parquet dumps routinely carry nulls in the text column
         digs = [
-            hashlib.md5(t.encode()).digest() for t in b[text_col].to_pylist()
+            hashlib.md5((t or "").encode()).digest()
+            for t in b[text_col].to_pylist()
         ]
         return pa.table(
             {
@@ -289,9 +292,16 @@ def ingest_near(
         texts = [t if t is not None else "" for t in b[text_col].to_pylist()]
         return pa.table(
             {
-                # zero-padded so the url sort IS numeric id order
+                # bias by 2^63 so the zero-padded string sort IS numeric
+                # id order for the FULL int64 range (plain f"{i:020d}"
+                # sorts negative ids in reverse and trips the downstream
+                # monotonicity guard)
                 "url": pa.array(
-                    [f"{i:020d}" for i in b[id_col].to_pylist()], pa.string()
+                    [
+                        f"{i + (1 << 63):020d}"
+                        for i in b[id_col].to_pylist()
+                    ],
+                    pa.string(),
                 ),
                 "text": pa.array(texts, pa.large_string()),
                 "text_sha1": pa.array(
@@ -309,9 +319,18 @@ def ingest_near(
         keep_minhash=False,
     ).sort("url")  # id order; url is str(doc_id) — re-sorted numerically below
 
-    def est_of(a: np.ndarray, b: np.ndarray) -> float:
-        eq = sketch_eq_mean(a[None, :], b[None, :], cfg)[0]
-        return max(0.0, min(1.0, (eq - c) / (1.0 - c)))
+    def best_verified(my: np.ndarray, cands: dict[int, bytes]) -> int | None:
+        """Min candidate id whose sketch passes the est cut — ONE
+        vectorized sketch_eq_mean over the doc's unique candidates
+        instead of a per-candidate (1, W) call (code-review finding:
+        up to bands scalar round trips per doc on the online hot path)."""
+        cid = np.fromiter(cands.keys(), np.int64, len(cands))
+        mat = np.frombuffer(b"".join(cands.values()), np.uint8).reshape(
+            len(cands), W
+        )
+        eq = sketch_eq_mean(np.broadcast_to(my, mat.shape), mat, cfg)
+        ok = (eq - c) / (1.0 - c) >= tau
+        return int(cid[ok].min()) if ok.any() else None
 
     id_parts: list[np.ndarray] = []
     canon_parts: list[np.ndarray] = []
@@ -320,7 +339,9 @@ def ingest_near(
         n = len(b)
         if n == 0:
             continue
-        ids = np.array([int(u) for u in b["url"].to_pylist()], np.int64)
+        ids = np.array(
+            [int(u) - (1 << 63) for u in b["url"].to_pylist()], np.int64
+        )
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         if last_id is not None and ids[0] < last_id:
@@ -366,13 +387,13 @@ def ingest_near(
                 continue
             best = None
             if nsh[i] > 0:
-                my = sk[i]
+                cands: dict[int, bytes] = {}
                 for k in bkeys[i].tolist():
                     cand = found.get(k) or local.get(k)
-                    if cand is None or (best is not None and cand[0] >= best):
-                        continue
-                    if est_of(my, np.frombuffer(cand[1], np.uint8)) >= tau:
-                        best = cand[0]
+                    if cand is not None:
+                        cands.setdefault(cand[0], cand[1])
+                if cands:
+                    best = best_verified(sk[i], cands)
             if best is not None:
                 canon[i] = best
                 continue

@@ -9,8 +9,11 @@ Two implementations behind one interface (SURVEY.md §4.3):
 * ``distributed_components`` — iterated min-label propagation (hash-to-min)
   expressed as Ray Data groupby rounds, for when pairs no longer fit the
   driver (cf. BTS load-balanced distributed union-find, ICDE 2024;
-  PAPERS.md). Converges in O(log n) rounds; each round is one shuffle over
-  the edge list.
+  PAPERS.md). Labels move one cross-partition hop per round (same-partition
+  sub-chains collapse inside each round's local fixpoint), so rounds scale
+  with each component's PARTITION-HOP diameter — small in practice because
+  band groups emit stars/forests, not long chains; non-convergence inside
+  ``max_rounds`` raises instead of silently splitting a component.
 
 Cluster ids are the lexicographic MIN url of each component — a pure
 function of membership, so output is deterministic under any row order,
@@ -67,42 +70,6 @@ def components_from_pairs(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
         if m is None or x < m:
             min_of_root[r] = x
     return {x: min_of_root[uf.find(x)] for x in uf.parent}
-
-
-from dataclasses import dataclass
-
-
-@dataclass
-class ClusterMaps:
-    """Array-form component mapping for the vectorized broadcast join (J1).
-
-    Member urls are keyed by their 64-bit polars row hash — run-internal
-    only (recomputed each run, never persisted), collision odds n^2/2^65
-    (~1e-7 at 1.6M dup docs; for 10^12-doc deployments widen to a 128-bit
-    key via two lexsorted arrays — noted scale path). Payload is ~26 MB at
-    1.6M members vs ~200 MB for the url->url dict it replaces.
-    """
-
-    keys: "np.ndarray"        # sorted uint64 member-url hashes
-    root_idx: "np.ndarray"    # int32 component index aligned to keys
-    root_urls: list[str]      # component index -> canonical (min) url
-    root_sizes: "np.ndarray"  # component index -> member count
-    member_urls: "np.ndarray" # object array aligned to keys (driver-side only)
-
-    @property
-    def n_clusters(self) -> int:
-        return len(self.root_urls)
-
-    @property
-    def n_members(self) -> int:
-        return len(self.keys)
-
-    def mapping_dict(self) -> dict[str, str]:
-        """url -> cluster_id dict (compat / test seam); built on demand."""
-        return {
-            u: self.root_urls[i]
-            for u, i in zip(self.member_urls.tolist(), self.root_idx.tolist())
-        }
 
 
 def components_hashes(pairs_ds):
@@ -162,179 +129,6 @@ def components_hashes(pairs_ds):
     return ids, ids[label]
 
 
-def components_with_roots(pairs_ds):
-    """PAIRS Dataset -> (keys, root_h, roots, root_urls, root_sizes).
-
-    Single driver pass: pulls (ha, hb, url_a, url_b) once, runs the numpy
-    min-label propagation, then resolves canonical min-url + size per
-    component with one pandas groupby — one fewer distributed plan than
-    components_hashes + a roots aggregate (each plan costs seconds of
-    barrier latency that the 4N-CPU leg can't hide). Driver work is
-    O(E) numpy + one string groupby; for edge lists beyond driver memory
-    use ``distributed_components`` + the distributed roots aggregate in
-    ``assign_clusters_distributed`` instead.
-    """
-    import numpy as np
-
-    ha_parts, hb_parts, ua_parts, ub_parts = [], [], [], []
-    for b in pairs_ds.select_columns(["ha", "hb", "url_a", "url_b"]).iter_batches(
-        batch_size=1 << 20, batch_format="pyarrow"
-    ):
-        ha_parts.append(b["ha"].to_numpy(zero_copy_only=False))
-        hb_parts.append(b["hb"].to_numpy(zero_copy_only=False))
-        ua_parts.append(np.asarray(b["url_a"].to_pylist(), dtype=object))
-        ub_parts.append(np.asarray(b["url_b"].to_pylist(), dtype=object))
-    empty = (
-        np.empty(0, np.uint64),
-        np.empty(0, np.uint64),
-        np.empty(0, np.uint64),
-        [],
-        np.empty(0, np.int64),
-    )
-    if not ha_parts:
-        return empty
-
-    ha = np.concatenate(ha_parts)
-    hb = np.concatenate(hb_parts)
-    member_h = np.concatenate([ha, hb])
-    # one unique pass serves both the id table AND member dedup indices
-    ids, first_idx = np.unique(member_h, return_index=True)
-    ea = np.searchsorted(ids, ha)
-    eb = np.searchsorted(ids, hb)
-
-    label = np.arange(len(ids), dtype=np.int64)
-    while True:
-        m = np.minimum(label[ea], label[eb])
-        before = label.copy()
-        np.minimum.at(label, ea, m)
-        np.minimum.at(label, eb, m)
-        while True:  # pointer jumping
-            nl = label[label]
-            if np.array_equal(nl, label):
-                break
-            label = nl
-        if np.array_equal(before, label):
-            break
-    root_h = ids[label]
-
-    # canonical min url + size per component (each member appears in >=1
-    # edge endpoint, so the endpoint min IS the member min). Pure numpy:
-    # segment root-sorted members, python min per segment only.
-    urls_flat = np.concatenate(ua_parts + ub_parts)
-    urls_d = urls_flat[first_idx]              # one url per member, ids-aligned
-    order = np.argsort(root_h, kind="stable")
-    rs = root_h[order]
-    us = urls_d[order]
-    bounds = np.flatnonzero(rs[1:] != rs[:-1]) + 1
-    starts = np.concatenate([[0], bounds])
-    ends = np.concatenate([bounds, [len(rs)]])
-    roots = rs[starts]                         # sorted unique roots
-    root_urls = [min(us[s:e].tolist()) for s, e in zip(starts, ends)]
-    counts = (ends - starts).astype(np.int64)  # members per root, root-sorted
-    return ids, root_h, roots, root_urls, counts
-
-
-def components_broadcast(pairs_ds) -> "ClusterMaps":
-    """PAIRS Dataset -> ClusterMaps.
-
-    Fully vectorized driver-side connected components:
-
-    1. workers append 64-bit url hashes to each edge (polars, vectorized);
-       the driver collects numpy arrays — no per-row Python string work in
-       the hot loop;
-    2. min-label propagation with pointer jumping over int32 ids
-       (``np.minimum.at`` + ``label[label]``), O((E+V) log V) numpy ops —
-       converges in a handful of passes on forest-reduced edges;
-    3. canonical min url + component size via one pandas groupby over the
-       deduplicated member list.
-    """
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-
-    from ..functions.hashing import hash_columns_u64
-
-    def with_hashes(b: pa.Table) -> pa.Table:
-        ha = hash_columns_u64(b, ["url_a"])
-        hb = hash_columns_u64(b, ["url_b"])
-        return pa.table(
-            {
-                "url_a": b["url_a"],
-                "url_b": b["url_b"],
-                "ha": pa.array(ha, pa.uint64()),
-                "hb": pa.array(hb, pa.uint64()),
-            }
-        )
-
-    ha_parts, hb_parts, ua_parts, ub_parts = [], [], [], []
-    for b in pairs_ds.map_batches(
-        with_hashes, batch_format="pyarrow", zero_copy_batch=True
-    ).iter_batches(batch_size=262144, batch_format="pyarrow"):
-        ha_parts.append(b["ha"].to_numpy(zero_copy_only=False))
-        hb_parts.append(b["hb"].to_numpy(zero_copy_only=False))
-        ua_parts.append(np.asarray(b["url_a"].to_pylist(), dtype=object))
-        ub_parts.append(np.asarray(b["url_b"].to_pylist(), dtype=object))
-
-    if not ha_parts:
-        return ClusterMaps(
-            keys=np.empty(0, np.uint64),
-            root_idx=np.empty(0, np.int32),
-            root_urls=[],
-            root_sizes=np.empty(0, np.int64),
-            member_urls=np.empty(0, object),
-        )
-
-    ha = np.concatenate(ha_parts)
-    hb = np.concatenate(hb_parts)
-    urls_flat = np.concatenate(ua_parts + ub_parts)
-
-    ids = np.unique(np.concatenate([ha, hb]))          # sorted member hashes
-    ea = np.searchsorted(ids, ha).astype(np.int64)
-    eb = np.searchsorted(ids, hb).astype(np.int64)
-
-    label = np.arange(len(ids), dtype=np.int64)
-    while True:
-        la, lb = label[ea], label[eb]
-        m = np.minimum(la, lb)
-        before = label.copy()
-        np.minimum.at(label, ea, m)
-        np.minimum.at(label, eb, m)
-        while True:                                    # pointer jumping
-            nl = label[label]
-            if np.array_equal(nl, label):
-                break
-            label = nl
-        if np.array_equal(before, label):
-            break
-
-    # member table: one row per (hash, url), deduped; root label per member
-    member_h = np.concatenate([ha, hb])
-    member_root = label[np.concatenate([ea, eb])]
-    df = pd.DataFrame({"h": member_h, "root": member_root, "url": urls_flat})
-    df = df.drop_duplicates("h")
-    agg = df.groupby("root", sort=True).agg(
-        cluster_id=("url", "min"), size=("h", "count")
-    )
-    root_label_to_idx = {r: i for i, r in enumerate(agg.index.to_numpy())}
-    root_urls = agg["cluster_id"].tolist()
-    root_sizes = agg["size"].to_numpy(np.int64)
-
-    order = np.argsort(df["h"].to_numpy())
-    keys = df["h"].to_numpy(np.uint64)[order]
-    root_idx = np.fromiter(
-        (root_label_to_idx[r] for r in df["root"].to_numpy()[order]),
-        dtype=np.int32,
-        count=len(order),
-    )
-    return ClusterMaps(
-        keys=keys,
-        root_idx=root_idx,
-        root_urls=root_urls,
-        root_sizes=root_sizes,
-        member_urls=df["url"].to_numpy()[order],
-    )
-
-
 def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
     """Connectivity-preserving distributed edge reduction.
 
@@ -389,13 +183,14 @@ def forest_reduce_stage(pairs, *, num_partitions: int | None = None):
     )
 
 
-def _part_join(left, right, fn, *, P: int):
+def _part_join(left, right, fn):
     """Co-partitioned vectorized join: union two ``kind``-tagged Datasets
-    that share a ``part`` column, group by PARTITION (not by key!) and run
+    that share a ``part`` column (both sides must have been tagged with
+    the SAME partition count), group by PARTITION (not by key!) and run
     ``fn`` once per partition over the whole Arrow block. This is the
     engine's standard hash-partition + vectorized-block pattern
-    (``stages/lsh.py`` pair emission uses the same shape) — exactly P
-    Python invocations per pass, numpy/searchsorted inside, instead of one
+    (``stages/lsh.py`` pair emission uses the same shape) — one Python
+    invocation per partition, numpy/searchsorted inside, instead of one
     ``map_groups`` call per key."""
     return (
         left.union(right)
@@ -524,6 +319,7 @@ def distributed_labels(pairs_ds, *, num_partitions=None, max_rounds: int = 50):
 
     state = edges
     first = True
+    n_changed = 1
     for _ in range(max_rounds):
         rp = (lambda f: lambda g: round_pass(g, f))(first)
         state = (
@@ -533,6 +329,18 @@ def distributed_labels(pairs_ds, *, num_partitions=None, max_rounds: int = 50):
         first = False
         if not n_changed:
             break
+    if n_changed:
+        # labels propagate ONE cross-partition hop per round (min-label
+        # push, no pointer jumping), so a component whose hash-partition
+        # diameter exceeds max_rounds is NOT converged here — returning
+        # the pending state would silently SPLIT that component into
+        # multiple cluster ids. Fail loudly instead (code-review finding).
+        raise RuntimeError(
+            f"distributed_labels: {n_changed} labels still changing after "
+            f"max_rounds={max_rounds} — a component's partition-hop "
+            f"diameter exceeds the round budget; raise max_rounds (cost "
+            f"is one small shuffle per extra round)"
+        )
 
     def keep_labels(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -688,7 +496,6 @@ def distributed_components(
         nodes.map_batches(tag_nodes, batch_format="pyarrow"),
         labels.map_batches(tag_labels, batch_format="pyarrow"),
         member_pass,
-        P=P,
     ).materialize()
 
     from ray.data.aggregate import Count
@@ -757,5 +564,4 @@ def distributed_components(
         members.map_batches(tag_members2, batch_format="pyarrow"),
         roots.map_batches(tag_roots, batch_format="pyarrow"),
         assign_pass,
-        P=P,
     )

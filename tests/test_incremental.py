@@ -258,3 +258,69 @@ def test_restore_refuses_incomplete_spill(ray_session, tmp_path):
         json.dump(m, f)
     with pytest.raises(FileNotFoundError):
         restore_index(DedupIndexShard, str(tmp_path), stage="exact_index")
+
+
+def test_exact_null_text_treated_as_empty(ray_session):
+    """A NULL text row (routine in crawl parquet) must hash as the empty
+    string, not crash the digest stage (code-review finding)."""
+    import ray
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["aa", None, ""], pa.string()),
+        }
+    )
+    out = (
+        incremental_exact_assign(ray.data.from_arrow(t), num_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # NULL and "" share the empty-string digest: first arrival (id 2) wins
+    assert out["canonical_id"].tolist() == [1, 2, 2]
+
+
+def test_ingest_near_negative_ids(ray_session):
+    """Negative doc ids must survive the id->url encoding: the biased
+    zero-padded form sorts numerically over the full int64 range (plain
+    f'{i:020d}' reversed negative order and tripped the monotonicity
+    guard — code-review finding)."""
+    import ray.data as rd
+
+    from deduplicatr_ray.state.incremental import NearIndexShard, ingest_near
+
+    shards = [NearIndexShard.remote() for _ in range(2)]
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs([(-5, text), (-1, text), (3, text)])
+    out = (
+        ingest_near(rd.from_arrow(docs), shards)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [-5, -1, 3]
+    assert out["canonical_id"].tolist() == [-5, -5, -5]  # first arrival = -5
+
+
+def test_distributed_labels_raises_on_round_exhaustion(ray_session):
+    """A component whose partition-hop diameter exceeds max_rounds must
+    raise, not silently split into multiple cluster ids (code-review
+    finding: pending offers were dropped with no convergence check)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from deduplicatr_ray.state.unionfind import distributed_labels
+
+    # a 40-node chain of distinct hashes spread over 8 partitions needs
+    # several cross-partition hops; max_rounds=1 cannot converge
+    h = (np.arange(1, 41, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    edges = pa.table(
+        {
+            "ha": pa.array(h[:-1], pa.uint64()),
+            "hb": pa.array(h[1:], pa.uint64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        distributed_labels(
+            rd.from_arrow(edges), num_partitions=8, max_rounds=1
+        ).materialize()
