@@ -2043,10 +2043,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dir_summaries": """
             WITH f AS (
-              SELECT source, lang,
+              -- replace() mirrors dirtree's '/'-escape of level values
+              SELECT replace(source, '/', '%2F') AS source,
+                     replace(lang, '/', '%2F') AS lang,
                      CAST(doc_id % 10 AS VARCHAR) AS bucket,
                      CAST(doc_id AS VARCHAR) AS name,
-                     md5_number_lower(text) AS h, n_chars
+                     md5_number_lower(coalesce(text, '')) AS h,
+                     octet_length(encode(coalesce(text, ''))) AS n_chars
               FROM documents
             ), nodes AS (
               SELECT source AS path, 1 AS depth, h, n_chars FROM f
@@ -2065,10 +2068,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dir_dup_groups": """
             WITH base AS (
-              SELECT source, lang,
+              -- replace() mirrors dirtree's '/'-escape of level values
+              SELECT replace(source, '/', '%2F') AS source,
+                     replace(lang, '/', '%2F') AS lang,
                      CAST(doc_id % 10 AS VARCHAR) AS bucket,
                      CAST(doc_id AS VARCHAR) AS name,
-                     md5_number_lower(text) AS h, n_chars
+                     md5_number_lower(coalesce(text, '')) AS h,
+                     octet_length(encode(coalesce(text, ''))) AS n_chars
               FROM documents
             ), f AS (
               SELECT * FROM base

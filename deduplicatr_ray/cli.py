@@ -253,7 +253,11 @@ def cmd_scrub(args: argparse.Namespace) -> int:
         if args.mode == "exact-substring":
             from .stages.scrub import scrub_spans
 
-            out = scrub_spans(docs, min_len=args.min_len)
+            # scrub_spans consumes its input three times (survivor routes,
+            # span mark, cut co-partition); pin the blocks so the parquet
+            # scan runs once — Ray spills past object-store capacity, which
+            # beats 3x input I/O at the CLI's single-corpus scale
+            out = scrub_spans(docs.materialize(), min_len=args.min_len)
             removed_col = "n_bytes_removed"
         else:
             from .stages.textstats import window_scrub_stage

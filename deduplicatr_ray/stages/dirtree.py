@@ -68,19 +68,26 @@ def documents_to_file_table(ds, *, mirror_source: str | None = None):
     import pyarrow.compute as pc
 
     def prep(b: pa.Table) -> pa.Table:
+        # NULL text = empty doc (same guard as the rest of the engine)
         h = np.fromiter(
             (
-                int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little")
+                int.from_bytes(
+                    hashlib.md5((t or "").encode()).digest()[8:16], "little"
+                )
                 for t in b["text"].to_pylist()
             ),
             np.uint64,
             len(b),
         )
         bucket = b["doc_id"].to_numpy(zero_copy_only=False) % np.int64(10)
-        nb = (
-            b["n_chars"]
-            if "n_chars" in b.column_names
-            else pc.utf8_length(b["text"])
+        # REAL byte length (utf8_length counts codepoints — mislabeled
+        # 'bytes' on non-ASCII text); n_chars fallback only when the text
+        # column is absent. Nulls count as 0 bytes.
+        nb = pc.fill_null(
+            pc.binary_length(b["text"])
+            if "text" in b.column_names
+            else b["n_chars"],
+            0,
         )
         t = pa.table(
             {
@@ -174,7 +181,15 @@ def dir_rollup(
         n = len(b)
         if n == 0:
             return _empty_summary()
-        cols = [pc.cast(b[c], pa.string()) for c in levels]
+        # '/' IS the path separator, so a level VALUE containing '/'
+        # (e.g. source='github.com/foo') would collide with a deeper
+        # node's joined path and silently merge two distinct directories
+        # (summed filecount/hash_sum — corrupted dup groups). Escape it;
+        # the SQL oracles apply the same replace() so parity holds.
+        cols = [
+            pc.replace_substring(pc.cast(b[c], pa.string()), "/", "%2F")
+            for c in levels
+        ]
         h = b[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         nb = b[bytes_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ones = np.ones(n, np.int64)

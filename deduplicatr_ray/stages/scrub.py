@@ -42,6 +42,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import splitmix64
+
 _SPAN_SCHEMA = pa.schema(
     [("doc_id", pa.int64()), ("start", pa.int64()), ("end", pa.int64())]
 )
@@ -137,6 +139,15 @@ def scrub_amplification(
         "amplification": round(routed / corpus, 3) if corpus else 0.0,
         "num_partitions": P,
     }
+
+
+def _doc_part(b: pa.Table, P: int) -> "np.ndarray":
+    """The ONE doc_id -> partition mapping every co-partition join in this
+    module shares (splitmix64 % P as int32). Keeping it in one place is
+    load-bearing: the union-tag joins only work because both sides tag
+    with byte-identical partition math."""
+    h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    return (h % np.uint64(P)).astype(np.int32)
 
 
 def fingerprint_run_counts(
@@ -262,11 +273,10 @@ def _routed_docs(
     routes = _survivor_routes(docs, w=w, guarantee_len=guarantee_len, P=P).materialize()
 
     def tag_docs(b: pa.Table) -> pa.Table:
-        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         n = len(b)
         return pa.table(
             {
-                "part2": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part2": pa.array(_doc_part(b, P), pa.int32()),
                 "doc_id": b["doc_id"],
                 "dest": pa.array(np.full(n, -1, np.int32), pa.int32()),
                 "text": b["text"],
@@ -276,10 +286,9 @@ def _routed_docs(
     def tag_routes(b: pa.Table):
         if len(b) == 0:
             return
-        h = splitmix64(b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
         yield pa.table(
             {
-                "part2": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part2": pa.array(_doc_part(b, P), pa.int32()),
                 "doc_id": b["doc_id"],
                 "dest": b["dest"],
                 "text": pa.nulls(len(b), pa.string()),
@@ -378,14 +387,7 @@ def duplicate_spans(
         )
 
     def with_part(b: pa.Table) -> pa.Table:
-        from ..functions.hashing import splitmix64
-
-        h = splitmix64(
-            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        return b.append_column(
-            "part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
-        )
+        return b.append_column("part", pa.array(_doc_part(b, P), pa.int32()))
 
     # repartition the routed rows so the groupby's sorted output lands in
     # ~P blocks -> ~P concurrent mark tasks; without it the sort inherits
@@ -443,13 +445,10 @@ def scrub_spans(
     # union-tag co-partition: span rows carry (start, end); doc rows carry
     # text with start = -1 as the discriminator
     def tag_docs(b: pa.Table) -> pa.Table:
-        h = splitmix64(
-            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
         n = len(b)
         return pa.table(
             {
-                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part": pa.array(_doc_part(b, P), pa.int32()),
                 "doc_id": b["doc_id"],
                 "start": pa.array(np.full(n, -1, np.int64), pa.int64()),
                 "end": pa.array(np.full(n, -1, np.int64), pa.int64()),
@@ -458,12 +457,9 @@ def scrub_spans(
         )
 
     def tag_spans(b: pa.Table) -> pa.Table:
-        h = splitmix64(
-            b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
         return pa.table(
             {
-                "part": pa.array((h % np.uint64(P)).astype(np.int32), pa.int32()),
+                "part": pa.array(_doc_part(b, P), pa.int32()),
                 "doc_id": b["doc_id"],
                 "start": b["start"],
                 "end": b["end"],

@@ -159,3 +159,50 @@ def test_no_dups_returns_empty_with_schema(ray_session):
     assert out.schema().names == [
         "path", "depth", "filecount", "n_bytes", "hash_sum", "n_dups",
     ]
+
+
+def test_rollup_slash_in_level_value_does_not_collide(ray_session):
+    """A level VALUE containing '/' must not merge with a deeper node's
+    joined path: source='a/b' (depth 1) and source='a', sub='b' (depth 2)
+    used to collapse into one node with summed filecount/hash_sum
+    (code-review finding, confirmed by repro). Level values are now
+    '/'-escaped before joining."""
+    import ray
+
+    t = _files(
+        [
+            ("a/b", "x", "f1", 10, 3),
+            ("a", "b", "f2", 20, 5),
+        ]
+    )
+    df = (
+        dir_rollup(ray.data.from_arrow(t), LEVELS, num_partitions=2)
+        .to_pandas()
+        .set_index("path")
+    )
+    # depth-1 'a%2Fb' (the escaped slashed source) and depth-2 'a/b' are
+    # DISTINCT nodes with their own counts
+    assert df.loc["a%2Fb", "filecount"] == 1
+    assert df.loc["a%2Fb", "hash_sum"] == 10
+    assert df.loc["a/b", "filecount"] == 1
+    assert df.loc["a/b", "hash_sum"] == 20
+
+
+def test_documents_to_file_table_null_text(ray_session):
+    """NULL text must hash as '' with 0 bytes, not crash (code-review
+    finding, confirmed by repro)."""
+    import ray
+
+    from deduplicatr_ray.stages.dirtree import documents_to_file_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["hello", None], pa.string()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "lang": pa.array(["en", "en"], pa.string()),
+        }
+    )
+    out = documents_to_file_table(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    assert out.sort_values("name")["n_bytes"].tolist() == [5, 0]
