@@ -93,8 +93,14 @@ def token_chunk_stage(
                 )
             skey = (ids * SHUFFLE_KNUTH + shuffle_seed) % _SHUFFLE_MOD
             # equal-width key ranges give ~uniform buckets (skey is
-            # near-uniform on [0, 2^32))
-            bucket = skey // (_SHUFFLE_MOD // (1 << 12))
+            # near-uniform on [0, 2^32)); bucket count honors id_bucket
+            # so the caller's per-bucket-size knob works in BOTH orders
+            # (the old hard-coded 1<<12 buckets silently ignored it and
+            # left per-bucket group size unbounded at corpus scale).
+            # Bucket granularity does not change output: global order is
+            # (bucket asc, skey asc) == skey asc at any width.
+            n_buckets = max(1, _SHUFFLE_MOD // max(1, id_bucket))
+            bucket = skey // (_SHUFFLE_MOD // n_buckets)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

@@ -27,7 +27,8 @@ class TextStatsActor:
         pass
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        # NULL text = empty doc (standard engine guard)
+        texts = [t or "" for t in batch["text"].to_pylist()]
         feats = [quality_features(t) for t in texts]
         n_chars = [f[0] for f in feats]
         n_tokens = [f[1] for f in feats]
@@ -270,7 +271,12 @@ def charlm_score_stage(docs, logp: np.ndarray, ctx_logden: np.ndarray, *,
 
 
 def charlm_quality(docs, *, sample_mod: int = 4):
-    """Train-then-score in one call: (doc_id, bits_per_char)."""
+    """Train-then-score in one call: (doc_id, bits_per_char).
+
+    ``docs`` is consumed twice (training fold, then scoring) — pin the
+    blocks so a lazy upstream plan (parquet scan, filter chain) executes
+    once, not once per pass."""
+    docs = docs.materialize()
     logp, ctx_logden = charlm_train(docs, sample_mod=sample_mod)
     return charlm_score_stage(docs, logp, ctx_logden)
 
@@ -548,7 +554,9 @@ def fingerprint_stage(docs, *, w: int = 25, guarantee_len: int = 50):
         ids: list[int] = []
         fps: list[np.ndarray] = []
         for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            f = fingerprint_doc(t, w=w, guarantee_len=guarantee_len)
+            # t or "": NULL text must not crash (fingerprint_route_batch,
+            # the sibling D5 consumer, already guards the same way)
+            f = fingerprint_doc(t or "", w=w, guarantee_len=guarantee_len)
             if len(f):
                 ids.extend([d] * len(f))
                 fps.append(f)

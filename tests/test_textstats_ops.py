@@ -869,3 +869,27 @@ def test_load_merges_rejects_byte_level_vocab(tmp_path):
     p2 = tmp_path / "ok.txt"
     p2.write_text("t h\nth e\n", encoding="utf-8")
     assert load_merges(str(p2)) == (("t", "h"), ("th", "e"))
+
+
+def test_textstats_and_fingerprint_null_text(ray_session):
+    """NULL text rows must score as empty docs, not crash the actor or
+    the fingerprint stage (code-review findings)."""
+    import ray
+
+    from deduplicatr_ray.stages.textstats import (
+        fingerprint_stage,
+        textstats_stage,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["hello world one two three", None], pa.string()),
+        }
+    )
+    out = textstats_stage(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["n_chars"].tolist()[1] == 0
+    assert out["n_tokens"].tolist()[1] == 0
+
+    fp = fingerprint_stage(ray.data.from_arrow(t)).to_pandas()
+    assert (fp["doc_id"] != 2).all()  # null doc emits no fingerprints
