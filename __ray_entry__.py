@@ -1457,6 +1457,41 @@ def q_media_frame_pipeline(sf_dir: str):
     return media_feature_stage(sampled, decode="real", fallback=True)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Sub-document exact dedup (MassiveText/Gopher paragraph pass): keep
+    the first corpus-wide occurrence of every >= 3-char paragraph, per-doc
+    accounting. The testdata corpus is newline-free, so each doc is one
+    paragraph here (the multi-paragraph path is pytest-covered on synthetic
+    corpora); the SQL oracle mirrors split + keep-first exactly either way."""
+    from deduplicatr_ray.stages.paradedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]), min_chars=3)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bag-of-features log p_target/p_raw per doc, target = lang=='en'.
+    Fixed-size count-vector partials folded on the driver, log-ratio
+    broadcast once, row-local scoring scan — no shuffle anywhere."""
+    from deduplicatr_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        target_col="lang",
+        target_value="en",
+    )
+
+
+def q_dedup_tiers(sf_dir: str):
+    """Tiered dedup report (exact -> near -> window), each tier over the
+    previous tier's survivors — the composed cleaning-cascade accounting
+    (RefinedWeb-style). Near tier = the flagship pipeline; removal counts
+    are deterministic (canonical/min-url representatives)."""
+    from deduplicatr_ray.pipelines.tiers import dedup_tiers
+
+    return dedup_tiers(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -1574,6 +1609,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "supplier_nation_volume": q_supplier_nation_volume,
         "brand_volume": q_brand_volume,
+        # -- round-4 additions (sub-doc dedup, selection, tier report) -------
+        "paragraph_dedup": q_paragraph_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dedup_tiers": q_dedup_tiers,
     }
 
 
@@ -2484,5 +2523,27 @@ def oracle_sql() -> dict[str, str]:
             FROM f2
             LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
               USING (doc_id)
+        """,
+        "paragraph_dedup": """
+            WITH paras AS (
+              SELECT doc_id,
+                     unnest(str_split(coalesce(text, ''), chr(10))) AS para,
+                     generate_subscripts(
+                       str_split(coalesce(text, '')::VARCHAR, chr(10)), 1
+                     ) AS para_idx
+              FROM documents
+            ), marked AS (
+              SELECT doc_id, length(para) AS plen,
+                     CASE WHEN length(para) >= 3
+                          THEN row_number() OVER (PARTITION BY para
+                                                  ORDER BY doc_id, para_idx)
+                          ELSE 1 END AS rn
+              FROM paras
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(CASE WHEN rn = 1 THEN plen ELSE 0 END)::BIGINT
+                     AS kept_chars
+            FROM marked GROUP BY doc_id
         """,
     }

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "training_export",       # composed end-to-end export (reuses clusters)
     "url_dedup",             # canonical-URL dedup (Arrow regex + keyed min)
     "sampled_hash_assign",   # M2 sampled-hash prefilter (keyed_min_assign)
+    "paragraph_dedup",       # MassiveText sub-doc exact dedup (key-only)
+    "dsir_weights",          # DSIR importance weights (two zero-shuffle scans)
 ]
 
 FLAGSHIP = "dedup_clusters"

@@ -1,0 +1,160 @@
+"""Paragraph-level exact deduplication (MassiveText / Gopher, Rae et al.
+2021; also RefinedWeb's line-level pass): split every document on a
+delimiter and keep only the FIRST corpus-wide occurrence of each paragraph,
+ordered by ``(doc_id, para_idx)``. Subsequent occurrences are removed from
+their documents; paragraphs shorter than ``min_chars`` are never dedup
+candidates (boilerplate guard — the published pipelines exempt short lines).
+
+The reference CLI (whole-file dedup) has no sub-document operator; this is
+the sub-document analog of its D1 exact-dup group, expressed with the
+engine's standard shapes (the ``window_dedup_stage`` shuffle diet):
+
+* the split + paragraph hash is row-local ``map_batches`` (one Arrow
+  ``split_pattern`` per batch, no per-paragraph Python);
+* ONLY ``(ph1, ph2, order_key, plen)`` — 32 B per paragraph, never the
+  text — enters the one hash-partitioned all-to-all; sub-``min_chars``
+  paragraphs ride it under per-OCCURRENCE unique keys (each is its own
+  single-member run, hence always kept) so every block has one schema and
+  per-doc paragraph totals fall out of the same kernel;
+* first-occurrence marking is a per-partition vectorized lexsort kernel
+  that PRE-AGGREGATES per doc before the final combining ``groupby``, so
+  the last exchange carries one row per (partition, doc), not per
+  paragraph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# order_key packs (doc_id, para_idx) into one sortable int64 so the
+# first-occurrence rule (lexicographic min) is a single segment-min.
+_PARA_BITS = 20
+_PARA_CAP = 1 << _PARA_BITS
+
+
+def paragraph_dedup(
+    docs,
+    *,
+    delimiter: str = "\n",
+    min_chars: int = 1,
+    num_partitions: int | None = None,
+):
+    """Per-doc paragraph-dedup accounting: ``doc_id, n_paras, n_kept,
+    kept_chars`` (kept = first corpus-wide occurrence, or shorter than
+    ``min_chars``). ``docs`` needs ``doc_id`` (int64, < 2^43) and ``text``
+    (NULL text = empty doc = one empty paragraph, matching SQL
+    ``str_split(coalesce(text,''), d)``).
+
+    SQL-oracle-expressible: ``oracle_sql()['paragraph_dedup']`` mirrors the
+    split, the >= ``min_chars`` gate, and the ``row_number() OVER
+    (PARTITION BY para ORDER BY doc_id, para_idx)`` keep-first rule.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_columns_u64
+    from .lsh import default_num_partitions
+
+    P = num_partitions or default_num_partitions()
+
+    def split(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        text = pc.coalesce(batch["text"], pa.scalar("", pa.string()))
+        paras = pc.split_pattern(text, delimiter).combine_chunks()
+        flat = paras.flatten()
+        m = len(flat)
+        offs = paras.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        ids = (
+            batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )[doc_idx]
+        # para position within its doc (vectorized segment-relative index)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        para_idx = np.arange(m, dtype=np.int64) - starts[doc_idx]
+        if m and int(para_idx.max()) >= _PARA_CAP:
+            raise ValueError(
+                f"paragraph_dedup: doc with >= {_PARA_CAP} paragraphs "
+                "(order_key packs para_idx into 20 bits; split coarser)"
+            )
+        if m and int(ids.max()) >= 1 << (63 - _PARA_BITS):
+            raise ValueError("paragraph_dedup: doc_id must be < 2^43")
+        plen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        order_key = (ids << _PARA_BITS) | para_idx
+        is_cand = plen >= min_chars
+
+        h1 = np.empty(m, np.uint64)
+        h2 = np.empty(m, np.uint64)
+        if is_cand.any():
+            cand = pa.table({"p": flat.filter(pa.array(is_cand))})
+            h1[is_cand] = hash_columns_u64(cand, ["p"], seed=0)
+            h2[is_cand] = hash_columns_u64(cand, ["p"], seed=0x9E3779B9)
+        # short paragraphs: per-OCCURRENCE unique key -> single-member run
+        # -> always kept (never dedup candidates), one shared schema
+        if (~is_cand).any():
+            ok = order_key[~is_cand].astype(np.uint64)
+            h1[~is_cand] = ok
+            h2[~is_cand] = ok
+        return pa.table(
+            {
+                "ph1": pa.array(h1.view(np.int64), pa.int64()),
+                "ph2": pa.array(h2.view(np.int64), pa.int64()),
+                "order_key": pa.array(order_key, pa.int64()),
+                "plen": pa.array(plen, pa.int64()),
+                "part": pa.array(
+                    (h1 % np.uint64(P)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def mark_block(g: pa.Table) -> pa.Table:
+        """One hash partition -> per-doc (n_paras, n_kept, kept_chars)
+        partials (pre-aggregated; final groupby carries docs, not paras)."""
+        g = g.drop_columns(["part"])
+        n = len(g)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("ph1", "ascending"),
+                ("ph2", "ascending"),
+                ("order_key", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        h1 = g["ph1"].to_numpy(zero_copy_only=False)
+        h2 = g["ph2"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        if n:
+            first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        doc = g["order_key"].to_numpy(zero_copy_only=False) >> _PARA_BITS
+        plen = g["plen"].to_numpy(zero_copy_only=False)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        # float64 bincount weights are exact below 2**53
+        n_paras = np.bincount(inv, minlength=len(udoc)).astype(np.int64)
+        kept = np.bincount(inv, weights=first).astype(np.int64)
+        kept_chars = np.bincount(
+            inv, weights=np.where(first, plen, 0)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc, pa.int64()),
+                "n_paras": pa.array(n_paras, pa.int64()),
+                "n_kept": pa.array(kept, pa.int64()),
+                "kept_chars": pa.array(kept_chars, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(mark_block, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_paras", alias_name="n_paras"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_chars", alias_name="kept_chars"),
+        )
+    )
