@@ -1482,6 +1482,32 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def q_dedup_against(sf_dir: str):
+    """Cross-corpus dedup: flag every odd-doc_id doc that exactly/nearly
+    duplicates an even-doc_id doc (one union flagship run, side-tagged
+    urls, per-cluster any-existing verdict — no joins, one groupby)."""
+    from deduplicatr_ray.pipelines.against import dedup_against
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def parity(b: pa.Table, keep: int) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], pa.scalar(1)), keep)
+        )
+
+    import functools
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+    existing = docs.map_batches(
+        functools.partial(parity, keep=0), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        functools.partial(parity, keep=1), batch_format="pyarrow"
+    )
+    return dedup_against(new, existing)
+
+
 def q_dedup_tiers(sf_dir: str):
     """Tiered dedup report (exact -> near -> window), each tier over the
     previous tier's survivors — the composed cleaning-cascade accounting
@@ -1613,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dsir_weights": q_dsir_weights,
         "dedup_tiers": q_dedup_tiers,
+        "dedup_against": q_dedup_against,
     }
 
 

@@ -300,3 +300,43 @@ def test_dedup_tiers_cascade_counts(ray_session):
     assert out.loc["3_window"].tolist() == [4, 1, 3]
     # conservation: docs_out of tier t == docs_in of tier t+1
     assert out.docs_out.tolist()[:2] == out.docs_in.tolist()[1:]
+
+
+# ---------------------------------------------------------------------------
+# dedup_against
+# ---------------------------------------------------------------------------
+
+def test_dedup_against_cross_corpus_flags(ray_session):
+    """New docs: exact copy of existing -> 1, near copy -> 1, unique -> 0;
+    near dups WITHIN the new corpus are NOT flagged (against-only)."""
+    import ray
+
+    from deduplicatr_ray.pipelines.against import dedup_against
+
+    rng = np.random.default_rng(3)
+
+    def words(n, salt):
+        return [f"w{salt}{rng.integers(0, 10**9)}" for _ in range(n)]
+
+    a = words(100, "a")
+    existing = _docs([" ".join(a), " ".join(words(100, "e"))])
+    near_a = list(a)
+    near_a[5], near_a[50] = "sub one", "sub two"
+    fresh = words(90, "f")
+    fresh_near = list(fresh)
+    fresh_near[7] = "tweak"
+    new = _docs(
+        [
+            " ".join(a),          # 0 exact dup of existing
+            " ".join(near_a),     # 1 near dup of existing
+            " ".join(fresh),      # 2 unique vs existing...
+            " ".join(fresh_near), # 3 ...near dup of 2 (within-new only)
+        ]
+    )
+    out = (
+        dedup_against(ray.data.from_arrow(new), ray.data.from_arrow(existing))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 3]
+    assert out.dup_against.tolist() == [1, 1, 0, 0]
