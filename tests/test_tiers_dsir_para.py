@@ -340,3 +340,44 @@ def test_dedup_against_cross_corpus_flags(ray_session):
     )
     assert out.doc_id.tolist() == [0, 1, 2, 3]
     assert out.dup_against.tolist() == [1, 1, 0, 0]
+
+
+def test_paragraph_dedup_randomized_vs_reference(ray_session):
+    """Seeded random corpora (shared paragraph pool, empty/short paras,
+    null docs) match the pure-Python keep-first reference exactly."""
+    import ray
+
+    from deduplicatr_ray.stages.paradedup import paragraph_dedup
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        pool = [f"shared paragraph {i} with body" for i in range(12)]
+        pool += ["", "ab", "x"]  # short / empty candidates
+        texts = []
+        for _ in range(60):
+            if rng.random() < 0.05:
+                texts.append(None)
+                continue
+            k = int(rng.integers(1, 8))
+            texts.append(
+                "\n".join(pool[int(rng.integers(0, len(pool)))] for _ in range(k))
+            )
+        out = (
+            paragraph_dedup(
+                ray.data.from_arrow(_docs(texts)).repartition(
+                    int(rng.integers(1, 9))
+                ),
+                min_chars=3,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        want = _para_reference(texts, 3)
+        assert len(out) == len(texts), seed
+        for doc_id, exp in want.items():
+            row = out.loc[doc_id]
+            assert (row.n_paras, row.n_kept, row.kept_chars) == exp, (
+                seed,
+                doc_id,
+            )
