@@ -334,6 +334,63 @@ def cmd_mix(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_tiers(args: argparse.Namespace) -> int:
+    """Tiered dedup cascade report (exact -> near -> window) to stdout:
+    per-tier docs_in / docs_removed / docs_out over successive survivors."""
+    import ray
+
+    from .pipelines.tiers import dedup_tiers
+    from .sources.pages import read_parquet_auto
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        docs = read_parquet_auto(args.input, columns=["doc_id", "text", "lang"])
+        tbl = dedup_tiers(
+            docs, window=args.window, window_dup_frac=args.window_dup_frac
+        )
+        out = {
+            "tiers": tbl.to_pylist(),
+            "wall_sec": round(time.monotonic() - t0, 3),
+        }
+        print(json.dumps(out, default=int))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_against(args: argparse.Namespace) -> int:
+    """Cross-corpus dedup: flag new-corpus docs duplicating the existing
+    corpus (exact or near, one union flagship run); write per-doc verdicts
+    (``doc_id, dup_against``) to Parquet and print summary counts."""
+    import ray
+
+    from .pipelines.against import dedup_against
+    from .sources.pages import read_parquet_auto
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        new = read_parquet_auto(args.new, columns=["doc_id", "text", "lang"])
+        existing = read_parquet_auto(
+            args.existing, columns=["doc_id", "text", "lang"]
+        )
+        out = dedup_against(new, existing).materialize()
+        out.write_parquet(args.output)
+        from ray.data.aggregate import Count, Sum
+
+        agg = out.aggregate(
+            Count(alias_name="new_docs"),
+            Sum("dup_against", alias_name="dups_of_existing"),
+        ) or {"new_docs": 0, "dups_of_existing": 0}
+        agg["wall_sec"] = round(time.monotonic() - t0, 3)
+        agg["out_dir"] = args.output
+        print(json.dumps(agg, default=int))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -460,6 +517,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     pm.add_argument("--default", type=float, default=1.0)
     pm.set_defaults(fn=cmd_mix)
+
+    pt = sub.add_parser(
+        "tiers",
+        help="tiered dedup cascade report: exact -> near -> window removal "
+        "counts over successive survivor sets",
+    )
+    pt.add_argument("--input", required=True, help="documents parquet file/dir")
+    pt.add_argument("--window", type=int, default=25)
+    pt.add_argument(
+        "--window-dup-frac",
+        type=float,
+        default=0.5,
+        help="tier-3 removal bar: dup_windows > frac * n_windows",
+    )
+    pt.set_defaults(fn=cmd_tiers)
+
+    pa_ = sub.add_parser(
+        "against",
+        help="cross-corpus dedup: flag --new docs that exactly/nearly "
+        "duplicate --existing docs (one union flagship run)",
+    )
+    pa_.add_argument("--new", required=True, help="new-corpus parquet file/dir")
+    pa_.add_argument(
+        "--existing", required=True, help="existing-corpus parquet file/dir"
+    )
+    pa_.add_argument("--output", required=True, help="verdicts parquet out dir")
+    pa_.set_defaults(fn=cmd_against)
 
     args = p.parse_args(argv)
     return args.fn(args)
