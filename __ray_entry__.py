@@ -1468,6 +1468,15 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]), min_chars=3)
 
 
+def q_paragraph_scrub(sf_dir: str):
+    """Apply companion of paragraph_dedup: rewrite each doc minus its
+    duplicated >= 3-char paragraphs (route->mark->cut, text never enters
+    the all-to-all). Idempotent (re-scrub removes 0; tested)."""
+    from deduplicatr_ray.stages.paradedup import paragraph_scrub
+
+    return paragraph_scrub(_docs(sf_dir, ["doc_id", "text"]), min_chars=3)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bag-of-features log p_target/p_raw per doc, target = lang=='en'.
@@ -1637,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": q_brand_volume,
         # -- round-4 additions (sub-doc dedup, selection, tier report) -------
         "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_scrub": q_paragraph_scrub,
         "dsir_weights": q_dsir_weights,
         "dedup_tiers": q_dedup_tiers,
         "dedup_against": q_dedup_against,
@@ -2571,6 +2581,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
                    sum(CASE WHEN rn = 1 THEN plen ELSE 0 END)::BIGINT
                      AS kept_chars
+            FROM marked GROUP BY doc_id
+        """,
+        "paragraph_scrub": """
+            WITH paras AS (
+              SELECT doc_id,
+                     unnest(str_split(coalesce(text, ''), chr(10))) AS para,
+                     generate_subscripts(
+                       str_split(coalesce(text, ''), chr(10)), 1
+                     ) AS para_idx
+              FROM documents
+            ), marked AS (
+              SELECT doc_id, para_idx, para,
+                     CASE WHEN length(para) >= 3
+                          THEN row_number() OVER (PARTITION BY para
+                                                  ORDER BY doc_id, para_idx)
+                          ELSE 1 END AS rn
+              FROM paras
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                                       chr(10) ORDER BY para_idx), '')
+                     AS clean_text,
+                   count(*)::BIGINT AS n_paras,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_removed
             FROM marked GROUP BY doc_id
         """,
     }

@@ -381,3 +381,55 @@ def test_paragraph_dedup_randomized_vs_reference(ray_session):
                 seed,
                 doc_id,
             )
+
+
+def test_paragraph_scrub_matches_reference_and_idempotent(ray_session):
+    """clean_text = kept-first paragraphs rejoined in order; a second
+    scrub over the output removes nothing."""
+    import ray
+
+    from deduplicatr_ray.stages.paradedup import paragraph_scrub
+
+    def scrub_ref(texts, min_chars):
+        seen: set[str] = set()
+        out = []
+        for t in texts:
+            kept, removed = [], 0
+            paras = (t or "").split("\n")
+            for p in paras:
+                if len(p) < min_chars:
+                    kept.append(p)
+                elif p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+                else:
+                    removed += 1
+            out.append(("\n".join(kept), len(paras), removed))
+        return out
+
+    out = (
+        paragraph_scrub(ray.data.from_arrow(_docs(TEXTS)), min_chars=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = scrub_ref(TEXTS, 3)
+    assert out.clean_text.tolist() == [w[0] for w in want]
+    assert out.n_paras.tolist() == [w[1] for w in want]
+    assert out.n_removed.tolist() == [w[2] for w in want]
+
+    again = (
+        paragraph_scrub(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(out.doc_id, pa.int64()),
+                        "text": pa.array(out.clean_text, pa.string()),
+                    }
+                )
+            ),
+            min_chars=3,
+        )
+        .to_pandas()
+    )
+    assert int(again.n_removed.sum()) == 0
