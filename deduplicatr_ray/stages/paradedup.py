@@ -172,12 +172,67 @@ def paragraph_dedup(
     )
 
 
+def _broadcast_key_budget() -> int:
+    """Max removed-paragraph keys the scrub will broadcast instead of
+    shuffling document text (env ``GRAFT_SCRUB_BCAST_MAX``; default 5M keys
+    = one 40 MB sorted int64 array in the object store, read zero-copy by
+    every cut task)."""
+    import os
+
+    return int(os.environ.get("GRAFT_SCRUB_BCAST_MAX", 5_000_000))
+
+
+def _cut_removed(batch: pa.Table, rem: np.ndarray, delimiter: str) -> pa.Table:
+    """Row-local cut kernel shared by both scrub tails: re-split ``batch``
+    (doc_id, text), drop paragraphs whose order_key is in the SORTED
+    ``rem`` array, re-join survivors with ``delimiter``."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "clean_text": pa.array([], pa.string()),
+                "n_paras": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+            }
+        )
+    flat, doc_idx, _para_idx, _plen, _ids, order_key = _split_paras(
+        batch, delimiter
+    )
+    pos = np.searchsorted(rem, order_key)
+    pos_c = np.minimum(pos, max(0, len(rem) - 1))
+    hit = (rem[pos_c] == order_key) if len(rem) else np.zeros(
+        len(order_key), bool
+    )
+    keep = ~hit
+    kept_counts = np.bincount(doc_idx, weights=keep, minlength=n).astype(
+        np.int64
+    )
+    n_paras = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int32)
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), flat.filter(pa.array(keep))
+    )
+    clean = pc.binary_join(kept_list, pa.scalar(delimiter, pa.string()))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "clean_text": clean,
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "n_removed": pa.array(n_paras - kept_counts, pa.int64()),
+        }
+    )
+
+
 def paragraph_scrub(
     docs,
     *,
     delimiter: str = "\n",
     min_chars: int = 1,
     num_partitions: int | None = None,
+    broadcast_budget: int | None = None,
 ):
     """The APPLY companion of :func:`paragraph_dedup` (MassiveText actually
     rewrites each doc minus its duplicated paragraphs): per doc,
@@ -192,13 +247,20 @@ def paragraph_scrub(
     1. the candidate-key shuffle of ``paragraph_dedup``, emitting ONLY the
        REMOVED ``(doc_id, para_idx)`` rows — the duplicated sliver
        (materialized; small by definition);
-    2. a union-tag partition join on ``hash(doc_id)``: docs re-split
+    2. the cut. When the sliver is within ``broadcast_budget`` keys
+       (default :func:`_broadcast_key_budget`), its SORTED order_key array
+       is broadcast once via ``ray.put`` and the cut is a single row-local
+       ``map_batches`` over the docs — document text never enters an
+       all-to-all. Past the budget (pathological dup rates), fall back to
+       a union-tag partition join on ``hash(doc_id)``: docs re-split
        locally, flagged paragraphs drop via one ``searchsorted`` against
        the partition's removed keys, and the survivors re-join with one
        Arrow ``binary_join`` per block.
 
-    SQL-oracle-expressible (``string_agg`` over keep-first rows ordered by
-    para_idx — ``oracle_sql()['paragraph_scrub']``).
+    Both tails share the :func:`_cut_removed` kernel and produce identical
+    output (equivalence pytest-gated). SQL-oracle-expressible
+    (``string_agg`` over keep-first rows ordered by para_idx —
+    ``oracle_sql()['paragraph_scrub']``).
     """
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum  # noqa: F401  (parity with dedup)
@@ -255,6 +317,32 @@ def paragraph_scrub(
         .materialize()  # the duplicated sliver; its shuffle completes first
     )
 
+    import ray
+
+    budget = (
+        broadcast_budget
+        if broadcast_budget is not None
+        else _broadcast_key_budget()
+    )
+    if removed.count() <= budget:
+        # broadcast tail: one sorted key array in the object store, cut is
+        # row-local — document text never rides an all-to-all
+        keys = np.concatenate(
+            [
+                b["order_key"].to_numpy(zero_copy_only=False)
+                for b in removed.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.array([], np.int64)]
+        )
+        rem_ref = ray.put(np.sort(keys.astype(np.int64)))
+
+        def cut_broadcast(batch: pa.Table) -> pa.Table:
+            return _cut_removed(batch, ray.get(rem_ref), delimiter)
+
+        return docs.map_batches(
+            cut_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     def tag_docs(b: pa.Table) -> pa.Table:
         h = hash_columns_u64(b, ["doc_id"], seed=7)
         n = len(b)
@@ -297,46 +385,7 @@ def paragraph_scrub(
             )
         )
         batch = pa.table({"doc_id": docs_t["doc_id"], "text": docs_t["text"]})
-        n = len(batch)
-        if n == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "clean_text": pa.array([], pa.string()),
-                    "n_paras": pa.array([], pa.int64()),
-                    "n_removed": pa.array([], pa.int64()),
-                }
-            )
-        flat, doc_idx, _para_idx, _plen, _ids, order_key = _split_paras(
-            batch, delimiter
-        )
-        pos = np.searchsorted(rem, order_key)
-        pos_c = np.minimum(pos, max(0, len(rem) - 1))
-        hit = (rem[pos_c] == order_key) if len(rem) else np.zeros(
-            len(order_key), bool
-        )
-        keep = ~hit
-        kept_counts = np.bincount(
-            doc_idx, weights=keep, minlength=n
-        ).astype(np.int64)
-        n_paras = np.bincount(doc_idx, minlength=n).astype(np.int64)
-        offsets = np.concatenate(([0], np.cumsum(kept_counts))).astype(
-            np.int32
-        )
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep))
-        )
-        clean = pc.binary_join(
-            kept_list, pa.scalar(delimiter, pa.string())
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "clean_text": clean,
-                "n_paras": pa.array(n_paras, pa.int64()),
-                "n_removed": pa.array(n_paras - kept_counts, pa.int64()),
-            }
-        )
+        return _cut_removed(batch, rem, delimiter)
 
     tagged = docs.map_batches(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True

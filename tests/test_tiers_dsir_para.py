@@ -433,3 +433,37 @@ def test_paragraph_scrub_matches_reference_and_idempotent(ray_session):
         .to_pandas()
     )
     assert int(again.n_removed.sum()) == 0
+
+
+def test_paragraph_scrub_broadcast_equals_shuffle_tail(ray_session):
+    """The two cut tails (broadcast sliver vs union-tag partition join)
+    produce identical output; ``broadcast_budget=0`` forces the shuffle
+    fallback, the default takes the broadcast path on this corpus."""
+    import ray
+
+    from deduplicatr_ray.stages.paradedup import paragraph_scrub
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    pool = [f"paragraph number {i} with some body" for i in range(40)]
+    texts = [
+        "\n".join(
+            pool[j] for j in rng.choice(len(pool), size=rng.integers(1, 9))
+        )
+        for _ in range(120)
+    ] + [None, "", "sh\nsh\nsh"]
+
+    def run(budget):
+        return (
+            paragraph_scrub(
+                ray.data.from_arrow(_docs(texts)),
+                min_chars=3,
+                broadcast_budget=budget,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuffle = run(None), run(0)
+    assert bcast.equals(shuffle)
+    assert int(bcast.n_removed.sum()) > 0  # corpus actually has dups
