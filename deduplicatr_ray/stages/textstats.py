@@ -1541,7 +1541,51 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
     )
 
 
-def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = None):
+def _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep):
+    """Shared cut tail of ``window_scrub_stage``: given the windows of
+    ``batch`` and a per-window ``keep`` mask, re-join each doc's kept
+    windows. Docs with zero tokens are dropped (they have no windows)."""
+    import pyarrow.compute as pc
+
+    nd = len(batch)
+    nwin = np.bincount(wdoc, minlength=nd)
+    ndrop = np.bincount(wdoc[~keep], minlength=nd)
+    off2 = np.concatenate([[0], np.cumsum(nwin - ndrop)]).astype(np.int32)
+    lists = pa.ListArray.from_arrays(
+        pa.array(off2, pa.int32()), wtext.filter(pa.array(keep))
+    )
+    clean = pc.binary_join(lists, " ")
+    has_tok = nwin > 0
+    sel = pa.array(has_tok)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].filter(sel),
+            "clean_text": clean.filter(sel),
+            "n_windows": pa.array(nwin[has_tok].astype(np.int64), pa.int64()),
+            "dup_windows": pa.array(
+                ndrop[has_tok].astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+_WINDOW_SCRUB_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "clean_text": pa.array([], pa.string()),
+        "n_windows": pa.array([], pa.int64()),
+        "dup_windows": pa.array([], pa.int64()),
+    }
+)
+
+
+def window_scrub_stage(
+    docs,
+    *,
+    window: int = 25,
+    num_partitions: int | None = None,
+    broadcast_budget: int | None = None,
+):
     """C4-style span REMOVAL at fixed ``window``-token windows: every
     window whose exact token sequence occurred earlier (keep-first by
     ``(doc_id, win_idx)``, as in ``window_dedup_stage``) is dropped, and
@@ -1554,10 +1598,14 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
        dropped ``(doc_id, win_idx)`` rows — the duplicated sliver, which is
        materialized (small by definition: it is the dup rate times the
        window count);
-    2. a union-tag partition join on ``hash(doc_id)``: docs re-tokenize
-       locally (one extra tokenize pass instead of shipping window text
-       through a shuffle), rebuild windows, drop the flagged ones, and
-       re-join the survivors — all Arrow/numpy, no per-doc Python.
+    2. the cut. When the sliver fits ``broadcast_budget`` keys (default
+       the scrub broadcast budget, env ``GRAFT_SCRUB_BCAST_MAX``), the
+       dropped set is compacted to ``code(doc) * span + win_idx`` int64
+       keys, broadcast once via ``ray.put``, and the cut is one row-local
+       ``map_batches`` (re-tokenize, searchsorted membership, rebuild) —
+       document text never enters an all-to-all. Past the budget, or if
+       the packed-key space would overflow int64, a union-tag partition
+       join on ``hash(doc_id)`` does the same cut per partition.
 
     Output per doc (docs with >= 1 token): ``doc_id, clean_text,
     n_windows, dup_windows``; ``clean_text == ''`` when every window was
@@ -1620,6 +1668,61 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
         .materialize()
     )
 
+    import ray
+
+    from .paradedup import _broadcast_key_budget
+
+    budget = (
+        broadcast_budget
+        if broadcast_budget is not None
+        else _broadcast_key_budget()
+    )
+    if dropped.count() <= budget:
+        parts = [
+            (
+                b["doc_id"].to_numpy(zero_copy_only=False),
+                b["win_idx"].to_numpy(zero_copy_only=False),
+            )
+            for b in dropped.iter_batches(batch_format="pyarrow")
+        ]
+        dd = np.concatenate([p[0] for p in parts] or [np.array([], np.int64)])
+        dw = np.concatenate([p[1] for p in parts] or [np.array([], np.int64)])
+        udd = np.unique(dd)
+        span = int(dw.max(initial=0)) + 1
+        # packed-key space must fit int64; pathological (giant-doc) inputs
+        # fall through to the partition-join tail below
+        if len(udd) * span < 1 << 62:
+            packed = np.sort(
+                np.searchsorted(udd, dd).astype(np.int64) * span + dw
+            )
+            ref = ray.put((udd, packed, span))
+
+            def cut_broadcast(batch: pa.Table) -> pa.Table:
+                w = _token_windows(batch, W)
+                if w is None:
+                    return _WINDOW_SCRUB_EMPTY
+                wtext, wdoc, wwin, _ = w
+                udd, packed, span = ray.get(ref)
+                doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                wdocid = doc_ids[wdoc]
+                keep = np.ones(len(wdocid), bool)
+                if len(packed):
+                    code = np.minimum(
+                        np.searchsorted(udd, wdocid), len(udd) - 1
+                    )
+                    cand = (udd[code] == wdocid) & (wwin < span)
+                    if cand.any():
+                        k = code[cand].astype(np.int64) * span + wwin[cand]
+                        pos = np.minimum(
+                            np.searchsorted(packed, k), len(packed) - 1
+                        )
+                        keep[cand] = packed[pos] != k
+                return _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep)
+
+            return docs.select_columns(["doc_id", "text"]).map_batches(
+                cut_broadcast, batch_format="pyarrow", zero_copy_batch=True
+            )
+
     def tag_docs(b: pa.Table) -> pa.Table:
         h = hash_columns_u64(b, ["doc_id"], seed=7)
         n = len(b)
@@ -1651,17 +1754,9 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
         docs_t = grp.filter(is_doc)
         drop_t = grp.filter(pc.invert(is_doc))
         batch = pa.table({"doc_id": docs_t["doc_id"], "text": docs_t["text"]})
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "clean_text": pa.array([], pa.string()),
-                "n_windows": pa.array([], pa.int64()),
-                "dup_windows": pa.array([], pa.int64()),
-            }
-        )
         w = _token_windows(batch, W)
         if w is None:
-            return empty
+            return _WINDOW_SCRUB_EMPTY
         wtext, wdoc, wwin, _ = w
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         wdocid = doc_ids[wdoc]
@@ -1673,24 +1768,7 @@ def window_scrub_stage(docs, *, window: int = 25, num_partitions: int | None = N
         wkey = codes[: len(wdocid)].astype(np.int64) * span + wwin
         dkey = codes[len(wdocid):].astype(np.int64) * span + dw
         keep = ~np.isin(wkey, dkey)
-        nd = len(batch)
-        nwin = np.bincount(wdoc, minlength=nd)
-        ndrop = np.bincount(wdoc[~keep], minlength=nd)
-        off2 = np.concatenate([[0], np.cumsum(nwin - ndrop)]).astype(np.int32)
-        lists = pa.ListArray.from_arrays(
-            pa.array(off2, pa.int32()), wtext.filter(pa.array(keep))
-        )
-        clean = pc.binary_join(lists, " ")
-        has_tok = nwin > 0
-        sel = pa.array(has_tok)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].filter(sel),
-                "clean_text": clean.filter(sel),
-                "n_windows": pa.array(nwin[has_tok].astype(np.int64), pa.int64()),
-                "dup_windows": pa.array(ndrop[has_tok].astype(np.int64), pa.int64()),
-            }
-        )
+        return _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep)
 
     return (
         docs.select_columns(["doc_id", "text"])

@@ -730,6 +730,40 @@ def test_window_scrub_rebuilds_from_kept_windows(ray_session):
     assert out["dup_windows"].tolist() == [1, 1, 1]
 
 
+def test_window_scrub_broadcast_equals_shuffle_tail(ray_session):
+    """The broadcast cut (default on small slivers) and the union-tag
+    partition join (forced via ``broadcast_budget=0``) produce identical
+    output on a dup-heavy randomized corpus."""
+    import numpy as np
+    import ray
+
+    from deduplicatr_ray.stages.textstats import window_scrub_stage
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(vocab[j] for j in rng.choice(30, size=rng.integers(3, 25)))
+        for _ in range(150)
+    ] + ["", "w0 w1"]
+
+    def run(budget):
+        return (
+            window_scrub_stage(
+                ray.data.from_arrow(_docs_ids(texts)),
+                window=3,
+                num_partitions=4,
+                broadcast_budget=budget,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    bcast, shuffle = run(None), run(0)
+    assert bcast.equals(shuffle)
+    assert int(bcast.dup_windows.sum()) > 0
+
+
 def test_window_scrub_no_dups_is_identity_rebuild(ray_session):
     """Dup-free corpus: the dropped sliver is EMPTY (zero-block side of the
     union) and every doc rebuilds to its full token-normalized text."""
