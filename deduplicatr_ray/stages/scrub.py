@@ -419,10 +419,19 @@ def scrub_spans(
     min_len: int = 50,
     num_partitions: int | None = None,
     prefilter: bool | None = None,
+    broadcast_budget: int | None = None,
 ):
     """docs (doc_id, text) -> (doc_id, n_spans, n_bytes_removed, text)
     with duplicated spans cut out (first occurrence kept). Every doc of
-    the input appears exactly once in the output."""
+    the input appears exactly once in the output.
+
+    When the marked-span sliver fits ``broadcast_budget`` rows (default
+    the scrub broadcast budget, env ``GRAFT_SCRUB_BCAST_MAX``), the
+    doc-sorted span arrays are shipped once via ``ray.put`` and the cut
+    is one row-local ``map_batches`` — document text never enters the
+    cut's all-to-all. Past the budget (pathological all-dup corpora, cf.
+    ``scrub_amplification``), the union-tag co-partition join cuts per
+    partition; both tails share :func:`_cut_spans`."""
     from ..functions.hashing import splitmix64
     from .lsh import default_num_partitions
 
@@ -441,6 +450,54 @@ def scrub_spans(
         merged=False,  # the cut co-partition below does the interval union
         prefilter=prefilter,
     ).materialize()
+
+    import ray
+
+    from .paradedup import _broadcast_key_budget
+
+    budget = (
+        broadcast_budget
+        if broadcast_budget is not None
+        else _broadcast_key_budget()
+    )
+    if spans.count() <= budget:
+        parts = [
+            tuple(
+                b[c].to_numpy(zero_copy_only=False)
+                for c in ("doc_id", "start", "end")
+            )
+            for b in spans.iter_batches(batch_format="pyarrow")
+        ]
+        empty = np.array([], np.int64)
+        sp_id = np.concatenate([p[0] for p in parts] or [empty])
+        sp_st = np.concatenate([p[1] for p in parts] or [empty])
+        sp_en = np.concatenate([p[2] for p in parts] or [empty])
+        o = np.argsort(sp_id, kind="stable")
+        ref = ray.put((sp_id[o], sp_st[o], sp_en[o]))
+
+        def cut_broadcast(batch: pa.Table) -> pa.Table:
+            sp_id, sp_st, sp_en = ray.get(ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            # gather this batch's span rows from the doc-sorted arrays
+            lo = np.searchsorted(sp_id, ids, "left")
+            hi = np.searchsorted(sp_id, ids, "right")
+            lens = hi - lo
+            m = int(lens.sum())
+            take = (
+                np.repeat(lo, lens)
+                + np.arange(m)
+                - np.repeat(np.cumsum(lens) - lens, lens)
+            )
+            return _cut_spans(
+                batch.select(["doc_id", "text"]),
+                sp_id[take],
+                sp_st[take],
+                sp_en[take],
+            )
+
+        return docs.map_batches(
+            cut_broadcast, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # union-tag co-partition: span rows carry (start, end); doc rows carry
     # text with start = -1 as the discriminator
@@ -468,116 +525,17 @@ def scrub_spans(
         )
 
     def cut(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         is_doc = (
             g["start"].to_numpy(zero_copy_only=False) < 0
         )
         gd = g.filter(pa.array(is_doc))
         gsp = g.filter(pa.array(~is_doc))
-        n = len(gd)
-        ids = gd["doc_id"].to_numpy(zero_copy_only=False)
-        n_spans = np.zeros(n, np.int64)
-        removed = np.zeros(n, np.int64)
-        if len(gsp) == 0:
-            return pa.table(
-                {
-                    "doc_id": gd["doc_id"],
-                    "n_spans": pa.array(n_spans, pa.int64()),
-                    "n_bytes_removed": pa.array(removed, pa.int64()),
-                    "text": gd["text"],
-                }
-            )
-        order = np.argsort(ids, kind="stable")
-        sids = ids[order]
-        sp_id = gsp["doc_id"].to_numpy(zero_copy_only=False)
-        sp_st = gsp["start"].to_numpy(zero_copy_only=False)
-        sp_en = gsp["end"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sids, sp_id)
-        row = order[np.minimum(pos, n - 1)]
-        ok = ids[row] == sp_id  # spans whose doc is in this block (always)
-        # Arrow/Python split: only the span-bearing rows (the duplicated
-        # sliver) cross into Python for byte assembly; the untouched
-        # majority passes through as zero-copy Arrow and the two halves
-        # are concatenated (consumers sort by doc_id, in-partition order
-        # is not part of the contract)
-        touched = np.unique(row[ok])
-        untouched = np.ones(n, bool)
-        untouched[touched] = False
-        gd_un = gd.filter(pa.array(untouched))
-        un_tbl = pa.table(
-            {
-                "doc_id": gd_un["doc_id"],
-                "n_spans": pa.array(np.zeros(len(gd_un), np.int64), pa.int64()),
-                "n_bytes_removed": pa.array(
-                    np.zeros(len(gd_un), np.int64), pa.int64()
-                ),
-                "text": gd_un["text"],
-            }
+        return _cut_spans(
+            gd,
+            gsp["doc_id"].to_numpy(zero_copy_only=False),
+            gsp["start"].to_numpy(zero_copy_only=False),
+            gsp["end"].to_numpy(zero_copy_only=False),
         )
-        t = len(touched)
-        texts = gd["text"].take(pa.array(touched, pa.int64())).to_pylist()
-        out_texts = list(texts)
-        n_spans = np.zeros(t, np.int64)
-        removed = np.zeros(t, np.int64)
-        # per-row assembly, indexed by position within the touched sliver
-        local = np.searchsorted(touched, row[ok])
-        by_doc: dict[int, list[tuple[int, int]]] = {}
-        for r, s0, e0 in zip(
-            local.tolist(), sp_st[ok].tolist(), sp_en[ok].tolist()
-        ):
-            by_doc.setdefault(r, []).append((s0, e0))
-        for r, ivs in by_doc.items():
-            bs = texts[r].encode("utf-8", "surrogatepass")
-            ivs.sort()
-
-            # a byte-level SA match can start/end mid-codepoint; cutting
-            # there would leave invalid UTF-8 (UnicodeDecodeError on
-            # rebuild). Both edges SHRINK the removal (<= 3 bytes each),
-            # so any partially-covered codepoint is kept whole: the start
-            # advances past continuation bytes, the end retreats to the
-            # split codepoint's lead byte.
-            def _snap_fwd(p: int) -> int:
-                while p < len(bs) and (bs[p] & 0xC0) == 0x80:
-                    p += 1
-                return p
-
-            def _snap_back(p: int) -> int:
-                while 0 < p < len(bs) and (bs[p] & 0xC0) == 0x80:
-                    p -= 1
-                return p
-
-            # interval union (spans arrive unmerged; see duplicate_spans)
-            merged_ivs: list[list[int]] = []
-            for s0, e0 in ivs:
-                s0 = _snap_fwd(s0)
-                e0 = _snap_back(min(e0, len(bs)))
-                if e0 <= s0:
-                    continue
-                if merged_ivs and s0 <= merged_ivs[-1][1]:
-                    merged_ivs[-1][1] = max(merged_ivs[-1][1], e0)
-                else:
-                    merged_ivs.append([s0, e0])
-            kept: list[bytes] = []
-            cur = 0
-            cut_bytes = 0
-            for s0, e0 in merged_ivs:
-                kept.append(bs[cur:s0])
-                cut_bytes += e0 - s0
-                cur = e0
-            kept.append(bs[cur:])
-            out_texts[r] = b"".join(kept).decode("utf-8", "surrogatepass")
-            n_spans[r] = len(merged_ivs)
-            removed[r] = cut_bytes
-        t_tbl = pa.table(
-            {
-                "doc_id": gd["doc_id"].take(pa.array(touched, pa.int64())),
-                "n_spans": pa.array(n_spans, pa.int64()),
-                "n_bytes_removed": pa.array(removed, pa.int64()),
-                "text": pa.array(out_texts, pa.string()),
-            }
-        )
-        return pa.concat_tables([un_tbl, t_tbl])
 
     return (
         docs.map_batches(tag_docs, batch_format="pyarrow", zero_copy_batch=True)
@@ -591,3 +549,111 @@ def scrub_spans(
             lambda g: cut(g.drop_columns(["part"])), batch_format="pyarrow"
         )
     )
+
+
+def _cut_spans(
+    gd: pa.Table, sp_id: np.ndarray, sp_st: np.ndarray, sp_en: np.ndarray
+) -> pa.Table:
+    """Shared cut kernel of ``scrub_spans``: remove the (unmerged) byte
+    spans from their docs. ``gd`` holds (doc_id, text); the span arrays
+    may reference only docs present in ``gd`` (others are ignored)."""
+    n = len(gd)
+    ids = gd["doc_id"].to_numpy(zero_copy_only=False)
+    n_spans = np.zeros(n, np.int64)
+    removed = np.zeros(n, np.int64)
+    if len(sp_id) == 0 or n == 0:
+        return pa.table(
+            {
+                "doc_id": gd["doc_id"],
+                "n_spans": pa.array(n_spans, pa.int64()),
+                "n_bytes_removed": pa.array(removed, pa.int64()),
+                "text": gd["text"],
+            }
+        )
+    order = np.argsort(ids, kind="stable")
+    sids = ids[order]
+    pos = np.searchsorted(sids, sp_id)
+    row = order[np.minimum(pos, n - 1)]
+    ok = ids[row] == sp_id  # spans whose doc is in this block
+    # Arrow/Python split: only the span-bearing rows (the duplicated
+    # sliver) cross into Python for byte assembly; the untouched
+    # majority passes through as zero-copy Arrow and the two halves
+    # are concatenated (consumers sort by doc_id, in-partition order
+    # is not part of the contract)
+    touched = np.unique(row[ok])
+    untouched = np.ones(n, bool)
+    untouched[touched] = False
+    gd_un = gd.filter(pa.array(untouched))
+    un_tbl = pa.table(
+        {
+            "doc_id": gd_un["doc_id"],
+            "n_spans": pa.array(np.zeros(len(gd_un), np.int64), pa.int64()),
+            "n_bytes_removed": pa.array(
+                np.zeros(len(gd_un), np.int64), pa.int64()
+            ),
+            "text": gd_un["text"],
+        }
+    )
+    t = len(touched)
+    texts = gd["text"].take(pa.array(touched, pa.int64())).to_pylist()
+    out_texts = list(texts)
+    n_spans = np.zeros(t, np.int64)
+    removed = np.zeros(t, np.int64)
+    # per-row assembly, indexed by position within the touched sliver
+    local = np.searchsorted(touched, row[ok])
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for r, s0, e0 in zip(
+        local.tolist(), sp_st[ok].tolist(), sp_en[ok].tolist()
+    ):
+        by_doc.setdefault(r, []).append((s0, e0))
+    for r, ivs in by_doc.items():
+        bs = texts[r].encode("utf-8", "surrogatepass")
+        ivs.sort()
+
+        # a byte-level SA match can start/end mid-codepoint; cutting
+        # there would leave invalid UTF-8 (UnicodeDecodeError on
+        # rebuild). Both edges SHRINK the removal (<= 3 bytes each),
+        # so any partially-covered codepoint is kept whole: the start
+        # advances past continuation bytes, the end retreats to the
+        # split codepoint's lead byte.
+        def _snap_fwd(p: int) -> int:
+            while p < len(bs) and (bs[p] & 0xC0) == 0x80:
+                p += 1
+            return p
+
+        def _snap_back(p: int) -> int:
+            while 0 < p < len(bs) and (bs[p] & 0xC0) == 0x80:
+                p -= 1
+            return p
+
+        # interval union (spans arrive unmerged; see duplicate_spans)
+        merged_ivs: list[list[int]] = []
+        for s0, e0 in ivs:
+            s0 = _snap_fwd(s0)
+            e0 = _snap_back(min(e0, len(bs)))
+            if e0 <= s0:
+                continue
+            if merged_ivs and s0 <= merged_ivs[-1][1]:
+                merged_ivs[-1][1] = max(merged_ivs[-1][1], e0)
+            else:
+                merged_ivs.append([s0, e0])
+        kept: list[bytes] = []
+        cur = 0
+        cut_bytes = 0
+        for s0, e0 in merged_ivs:
+            kept.append(bs[cur:s0])
+            cut_bytes += e0 - s0
+            cur = e0
+        kept.append(bs[cur:])
+        out_texts[r] = b"".join(kept).decode("utf-8", "surrogatepass")
+        n_spans[r] = len(merged_ivs)
+        removed[r] = cut_bytes
+    t_tbl = pa.table(
+        {
+            "doc_id": gd["doc_id"].take(pa.array(touched, pa.int64())),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_bytes_removed": pa.array(removed, pa.int64()),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+    return pa.concat_tables([un_tbl, t_tbl])

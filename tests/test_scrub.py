@@ -98,6 +98,25 @@ def test_scrub_idempotent(ray_session):
     assert again["text"].tolist() == first["text"].tolist()
 
 
+def test_scrub_broadcast_equals_shuffle_tail(ray_session):
+    """The broadcast cut (default on small span slivers) and the union-tag
+    co-partition join (forced via ``broadcast_budget=0``) are identical on
+    a randomized dup-heavy corpus."""
+    rng = np.random.Generator(np.random.PCG64(41))
+    chunks = [
+        "".join(rng.choice(list("abcdefgh "), size=60)) for _ in range(12)
+    ]
+    texts = [
+        "".join(chunks[j] for j in rng.choice(12, size=rng.integers(1, 5)))
+        for _ in range(60)
+    ]
+    tbl = _mk(texts)
+    bcast = _run(tbl)
+    shuffle = _run(tbl, broadcast_budget=0)
+    assert bcast.equals(shuffle)
+    assert int(bcast.n_spans.sum()) > 0
+
+
 def test_scrub_all_identical_corpus(ray_session):
     """60 identical docs: the smallest doc_id keeps its text, every other
     copy is scrubbed down by at least len-min_len bytes (exercises the
