@@ -17,7 +17,8 @@ production stages are reused unchanged:
   content (the "mostly duplicated residue" the first two tiers miss).
 
 Survivor sets are carried as datasets and filtered with the engine's
-distributed ``hash_semi_join`` (never a driver-side id list); the only
+``semi_join_auto`` (keep-id broadcast below the key budget, streaming
+hash join past it — never an UNBOUNDED driver-side id list); the only
 driver state is the per-tier COUNTS. Tier boundaries materialize the
 survivor dataset because each tier both counts it and feeds it on — a
 checkpointed production run would write each tier's survivors to
@@ -43,7 +44,7 @@ def dedup_tiers(
     import pyarrow.compute as pc
 
     from ..sources.pages import _docs_to_pages_batch
-    from ..stages.relational import hash_semi_join
+    from ..stages.relational import semi_join_auto
     from ..stages.textstats import canonical_dup_assign, window_dedup_stage
     from .flagship import dedup_pipeline
 
@@ -58,7 +59,7 @@ def dedup_tiers(
     keep1 = canonical_dup_assign(
         docs, num_partitions=num_partitions
     ).map_batches(keep_self, batch_format="pyarrow", zero_copy_batch=True)
-    s1 = hash_semi_join(
+    s1 = semi_join_auto(
         docs, keep1, on="doc_id", right_on="keep_id",
         num_partitions=num_partitions,
     ).materialize()
@@ -86,7 +87,7 @@ def dedup_tiers(
     keep2 = clusters.map_batches(
         keep_reps, batch_format="pyarrow", zero_copy_batch=True
     )
-    s2 = hash_semi_join(
+    s2 = semi_join_auto(
         s1, keep2, on="doc_id", right_on="keep_id",
         num_partitions=num_partitions,
     ).materialize()

@@ -11,9 +11,11 @@ Every step is the corresponding production operator (not a re-derivation):
 ``decontaminate`` / ``decontaminate_bloom`` (13-gram eval-overlap probe;
 string broadcast for toy eval slices, fixed-size bloom bitmap + exact
 confirm join once the eval slice is real — selected by the ``bloom=``
-knob, default by eval doc count), ``hash_semi_join`` (streaming
-big-big key filters — nothing corpus-sized is ever broadcast or pulled to
-the driver), and ``token_chunk_stage`` (distributed prefix scan).
+knob, default by eval doc count), ``semi_join_auto`` (keep-id broadcast
+below the key budget so the corpus text skips the join all-to-all;
+streaming hash join past it — nothing corpus-sized is ever broadcast or
+pulled to the driver), and ``token_chunk_stage`` (distributed prefix
+scan).
 
 Scale shape: two row-local passes, the flagship's single all-to-all, two
 hash semi-joins on ``doc_id`` (exchange carries 8 B keys + the text column
@@ -80,7 +82,7 @@ def training_export(
 
     from ..sources.pages import docs_as_pages, read_parquet_auto
     from ..stages.pack import token_chunk_stage
-    from ..stages.relational import hash_semi_join
+    from ..stages.relational import semi_join_auto
     from ..stages.textstats import (
         decontaminate,
         decontaminate_bloom,
@@ -158,7 +160,7 @@ def training_export(
         np.clip(n_keys // 1_000_000 + 8, 8, default_num_partitions())
     )
 
-    kept_ids = hash_semi_join(
+    kept_ids = semi_join_auto(
         qf_ids,
         canon_ids,
         on="doc_id",
@@ -179,7 +181,7 @@ def training_export(
         drop_contaminated, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    kept_docs = hash_semi_join(
+    kept_docs = semi_join_auto(
         docs.map_batches(
             lambda b: b.filter(pc.not_equal(b["source"], eval_source)).select(
                 ["doc_id", "text"]

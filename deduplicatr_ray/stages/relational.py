@@ -498,6 +498,79 @@ def hash_semi_join(
     return joined.select_columns(out_cols)
 
 
+def semi_join_auto(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    num_partitions: int | None = None,
+    broadcast_budget: int | None = None,
+):
+    """EXISTS / NOT EXISTS that picks its exchange by right-side size.
+
+    Below ``broadcast_budget`` keys (env ``GRAFT_JOIN_BCAST_MAX``, default
+    5M = one 40 MB sorted int64 array) the right side's distinct non-null
+    keys are broadcast once via ``ray.put`` and the filter is one
+    row-local ``map_batches`` — the left side (typically corpus text)
+    never enters an all-to-all. Past the budget, the streaming
+    :func:`hash_semi_join`. Results are identical by construction
+    (sorted-array membership vs hash join on the same key; left NULL keys
+    never match, as in SQL). This is the right shape when the left side
+    is large and MOSTLY KEPT — a bloom prefilter can't shrink that
+    exchange (nearly every row is a hit), a broadcast keep-set removes it.
+
+    The right side is materialized to count it; keep it key-only.
+    """
+    import os
+
+    import ray
+
+    rkey = right_on or on
+    right = right.materialize()
+    budget = (
+        broadcast_budget
+        if broadcast_budget is not None
+        else int(os.environ.get("GRAFT_JOIN_BCAST_MAX", 5_000_000))
+    )
+    if right.count() > budget:
+        return hash_semi_join(
+            left,
+            right,
+            on=on,
+            right_on=right_on,
+            anti=anti,
+            num_partitions=num_partitions,
+        )
+    import pyarrow.compute as pc
+
+    parts = [
+        pc.drop_null(b[rkey]).to_numpy(zero_copy_only=False)
+        for b in right.iter_batches(batch_format="pyarrow")
+    ]
+    parts = [p for p in parts if len(p)]
+    keys = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    ref = ray.put(keys)
+
+    def flt(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b
+        ks = ray.get(ref)
+        col = b[on]
+        hit = np.zeros(len(b), bool)
+        if len(ks):
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            ids = pc.drop_null(col).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            hit[valid] = ks[pos] == ids  # NULL keys never match (SQL)
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return left.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _BLOOM_SEEDS = np.array(
     [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
     dtype=np.uint64,

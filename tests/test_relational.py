@@ -277,6 +277,54 @@ def test_bloom_semi_join_matches_exact(ray_session):
         assert got.equals(want), f"anti={anti}"
 
 
+def test_semi_join_auto_broadcast_equals_hash(ray_session):
+    """Both exchanges of semi_join_auto (keep-id broadcast vs streaming
+    hash join) match hash_semi_join for semi AND anti, including NULL
+    left keys (never match) and duplicate right keys."""
+    import ray
+
+    from deduplicatr_ray.stages.relational import (
+        hash_semi_join,
+        semi_join_auto,
+    )
+
+    left = pa.table(
+        {
+            "k": pa.array(
+                [i if i % 11 else None for i in range(200)], pa.int64()
+            ),
+            "v": pa.array([f"v{i}" for i in range(200)], pa.string()),
+        }
+    )
+    right = pa.table(
+        {"rk": pa.array([7 * i for i in range(29)] * 3, pa.int64())}
+    )
+    lds, rds = ray.data.from_arrow(left), ray.data.from_arrow(right)
+
+    for anti in (False, True):
+        want = (
+            hash_semi_join(lds, rds, on="k", right_on="rk", anti=anti)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        for budget in (None, 0):  # None -> broadcast here; 0 -> hash path
+            got = (
+                semi_join_auto(
+                    lds,
+                    rds,
+                    on="k",
+                    right_on="rk",
+                    anti=anti,
+                    broadcast_budget=budget,
+                )
+                .to_pandas()
+                .sort_values("k")
+                .reset_index(drop=True)
+            )
+            assert got.equals(want), f"anti={anti} budget={budget}"
+
+
 def test_quantile_sketch_exact_when_blocks_fit(ray_session):
     """With every per-block group slice within summary_size, the sketch
     output equals the exact grouped_quantiles row-for-row."""
