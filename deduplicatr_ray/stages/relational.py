@@ -528,6 +528,13 @@ def semi_join_auto(
     import ray
 
     rkey = right_on or on
+    if rkey == on:
+        # the hash fallback needs distinct names (Ray join column clash);
+        # enforce it on BOTH exchanges so behavior never depends on size
+        raise ValueError(
+            "left and right key columns must be named differently "
+            f"(both {on!r}); rename one side first"
+        )
     right = right.materialize()
     budget = (
         broadcast_budget
