@@ -173,10 +173,12 @@ def paragraph_dedup(
 
 
 def _broadcast_key_budget() -> int:
-    """Max removed-paragraph keys the scrub will broadcast instead of
-    shuffling document text (env ``GRAFT_SCRUB_BCAST_MAX``; default 5M keys
-    = one 40 MB sorted int64 array in the object store, read zero-copy by
-    every cut task)."""
+    """Max removed-sliver ROWS a scrub will broadcast instead of shuffling
+    document text (env ``GRAFT_SCRUB_BCAST_MAX``, default 5M). The per-row
+    payload differs per tail — 8 B here (one order_key), 16 B for the
+    window tail's (udd, packed) arrays, 24 B for the span tail's
+    (doc_id, start, end) — so the default bounds the broadcast at
+    40–120 MB in the object store, read zero-copy by every cut task."""
     import os
 
     return int(os.environ.get("GRAFT_SCRUB_BCAST_MAX", 5_000_000))

@@ -521,10 +521,15 @@ def semi_join_auto(
     is large and MOSTLY KEPT — a bloom prefilter can't shrink that
     exchange (nearly every row is a hit), a broadcast keep-set removes it.
 
-    The right side is materialized to count it; keep it key-only.
+    The budget decision is made on a shuffle-free per-batch dedup of the
+    right side (sum of per-batch distinct counts — an upper bound on the
+    global distinct count), so a right side emitted with per-partition
+    duplicate keys does not spuriously trip the hash fallback. The reduced
+    key set is materialized; keep the right side key-only.
     """
     import os
 
+    import pyarrow.compute as pc
     import ray
 
     rkey = right_on or on
@@ -535,7 +540,11 @@ def semi_join_auto(
             "left and right key columns must be named differently "
             f"(both {on!r}); rename one side first"
         )
-    right = right.materialize()
+    right = right.map_batches(
+        lambda b: b.select([rkey]).group_by(rkey).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
     budget = (
         broadcast_budget
         if broadcast_budget is not None
@@ -550,8 +559,6 @@ def semi_join_auto(
             anti=anti,
             num_partitions=num_partitions,
         )
-    import pyarrow.compute as pc
-
     parts = [
         pc.drop_null(b[rkey]).to_numpy(zero_copy_only=False)
         for b in right.iter_batches(batch_format="pyarrow")
