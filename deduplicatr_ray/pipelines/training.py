@@ -18,10 +18,11 @@ pulled to the driver), and ``token_chunk_stage`` (distributed prefix
 scan).
 
 Scale shape: two row-local passes, the flagship's single all-to-all, two
-hash semi-joins on ``doc_id`` (exchange carries 8 B keys + the text column
-of surviving rows only), the packer's tiny bucket shuffle. Output is
-written partitioned by ``chunk_shard`` so a failed export resumes
-per-shard.
+``semi_join_auto`` survivor filters on ``doc_id`` (row-local broadcast
+probes below the key budget — no exchange at all; past it, a hash join
+whose exchange carries 8 B keys + the text column of surviving rows
+only), the packer's tiny bucket shuffle. Output is written partitioned
+by ``chunk_shard`` so a failed export resumes per-shard.
 """
 
 from __future__ import annotations
@@ -137,14 +138,12 @@ def training_export(
     decont = decontaminate_bloom if bloom else decontaminate
     # the contaminated set is small by construction (benchmark-overlap
     # docs), so the anti-filter is a broadcast probe, not a shuffle join
-    cont_parts: list[np.ndarray] = []
-    for b in decont(docs, eval_source=eval_source).iter_batches(
-        batch_size=1 << 18, batch_format="pyarrow"
-    ):
-        cont_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
-    cont_ids = np.sort(
-        np.concatenate(cont_parts) if cont_parts else np.empty(0, np.int64)
+    from ..stages.relational import pull_columns
+
+    (cont_raw,) = pull_columns(
+        decont(docs, eval_source=eval_source), ["doc_id"]
     )
+    cont_ids = np.sort(cont_raw)
     import ray
 
     cont_ref = ray.put(cont_ids)

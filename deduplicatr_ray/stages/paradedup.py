@@ -329,13 +329,9 @@ def paragraph_scrub(
     if removed.count() <= budget:
         # broadcast tail: one sorted key array in the object store, cut is
         # row-local — document text never rides an all-to-all
-        keys = np.concatenate(
-            [
-                b["order_key"].to_numpy(zero_copy_only=False)
-                for b in removed.iter_batches(batch_format="pyarrow")
-            ]
-            or [np.array([], np.int64)]
-        )
+        from .relational import pull_columns
+
+        (keys,) = pull_columns(removed, ["order_key"])
         rem_ref = ray.put(np.sort(keys.astype(np.int64)))
 
         def cut_broadcast(batch: pa.Table) -> pa.Table:

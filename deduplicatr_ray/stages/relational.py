@@ -25,6 +25,31 @@ import numpy as np
 import pyarrow as pa
 
 
+def pull_columns(ds, cols, *, drop_null: bool = False):
+    """Materialize a SMALL dataset's columns to driver numpy arrays (one
+    per name in ``cols``, empty int64 arrays when the dataset is empty).
+
+    This is the shared first step of every broadcast tail (scrub slivers,
+    keep-id sets): the CALLER enforces a row budget before invoking, so
+    only sliver-sized data ever crosses the driver. ``drop_null`` removes
+    null rows per batch (any null in ``cols`` drops the row) — required
+    for integer keys, which otherwise decay to float NaN in numpy.
+    """
+    parts = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        t = b.select(cols)
+        if drop_null:
+            t = t.drop_null()
+        parts.append(
+            tuple(t[c].to_numpy(zero_copy_only=False) for c in cols)
+        )
+    if not parts:
+        return tuple(np.empty(0, np.int64) for _ in cols)
+    return tuple(
+        np.concatenate([p[i] for p in parts]) for i in range(len(cols))
+    )
+
+
 def broadcast_join(
     ds,
     small: pa.Table,
@@ -559,14 +584,8 @@ def semi_join_auto(
             anti=anti,
             num_partitions=num_partitions,
         )
-    parts = [
-        pc.drop_null(b[rkey]).to_numpy(zero_copy_only=False)
-        for b in right.iter_batches(batch_format="pyarrow")
-    ]
-    parts = [p for p in parts if len(p)]
-    keys = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
+    (raw,) = pull_columns(right, [rkey], drop_null=True)
+    keys = np.unique(raw)
     ref = ray.put(keys)
 
     def flt(b: pa.Table) -> pa.Table:

@@ -461,17 +461,11 @@ def scrub_spans(
         else _broadcast_key_budget()
     )
     if spans.count() <= budget:
-        parts = [
-            tuple(
-                b[c].to_numpy(zero_copy_only=False)
-                for c in ("doc_id", "start", "end")
-            )
-            for b in spans.iter_batches(batch_format="pyarrow")
-        ]
-        empty = np.array([], np.int64)
-        sp_id = np.concatenate([p[0] for p in parts] or [empty])
-        sp_st = np.concatenate([p[1] for p in parts] or [empty])
-        sp_en = np.concatenate([p[2] for p in parts] or [empty])
+        from .relational import pull_columns
+
+        sp_id, sp_st, sp_en = pull_columns(
+            spans, ["doc_id", "start", "end"]
+        )
         o = np.argsort(sp_id, kind="stable")
         ref = ray.put((sp_id[o], sp_st[o], sp_en[o]))
 

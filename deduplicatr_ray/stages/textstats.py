@@ -1541,7 +1541,7 @@ def window_dedup_stage(docs, *, window: int = 25, num_partitions: int | None = N
     )
 
 
-def _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep):
+def _rebuild_kept_windows(batch, wtext, wdoc, keep):
     """Shared cut tail of ``window_scrub_stage``: given the windows of
     ``batch`` and a per-window ``keep`` mask, re-join each doc's kept
     windows. Docs with zero tokens are dropped (they have no windows)."""
@@ -1678,15 +1678,9 @@ def window_scrub_stage(
         else _broadcast_key_budget()
     )
     if dropped.count() <= budget:
-        parts = [
-            (
-                b["doc_id"].to_numpy(zero_copy_only=False),
-                b["win_idx"].to_numpy(zero_copy_only=False),
-            )
-            for b in dropped.iter_batches(batch_format="pyarrow")
-        ]
-        dd = np.concatenate([p[0] for p in parts] or [np.array([], np.int64)])
-        dw = np.concatenate([p[1] for p in parts] or [np.array([], np.int64)])
+        from .relational import pull_columns
+
+        dd, dw = pull_columns(dropped, ["doc_id", "win_idx"])
         udd = np.unique(dd)
         span = int(dw.max(initial=0)) + 1
         # packed-key space must fit int64; pathological (giant-doc) inputs
@@ -1717,7 +1711,7 @@ def window_scrub_stage(
                             np.searchsorted(packed, k), len(packed) - 1
                         )
                         keep[cand] = packed[pos] != k
-                return _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep)
+                return _rebuild_kept_windows(batch, wtext, wdoc, keep)
 
             return docs.select_columns(["doc_id", "text"]).map_batches(
                 cut_broadcast, batch_format="pyarrow", zero_copy_batch=True
@@ -1768,7 +1762,7 @@ def window_scrub_stage(
         wkey = codes[: len(wdocid)].astype(np.int64) * span + wwin
         dkey = codes[len(wdocid):].astype(np.int64) * span + dw
         keep = ~np.isin(wkey, dkey)
-        return _rebuild_kept_windows(batch, wtext, wdoc, wwin, keep)
+        return _rebuild_kept_windows(batch, wtext, wdoc, keep)
 
     return (
         docs.select_columns(["doc_id", "text"])
