@@ -1441,8 +1441,9 @@ def q_media_features(sf_dir: str):
 
 def q_media_frame_pipeline(sf_dir: str):
     """Multimodal chain: resize -> frame-sample -> feature extraction.
-    PPM images get a REAL nearest-neighbor resample + pixel features;
-    WAV rows real sample features; video stays the documented fallback."""
+    PPM/PNG/BMP images get a REAL nearest-neighbor resample + pixel
+    features; WAV rows real sample features; video stays the documented
+    fallback."""
     from deduplicatr_ray.stages.multimodal import (
         frame_sample_stage,
         gen_fake_media,

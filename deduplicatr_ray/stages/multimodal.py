@@ -5,14 +5,16 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 plumbing — schemas, actor-pool signatures, small batch sizes for large
 payloads, output layout — is real and tested. Decode modes:
 
-* ``decode=\"real\"``: REAL decoding for the container-decodable formats —
-  WAV/PCM audio (stdlib ``wave``), binary PPM/PGM images (numpy header
-  parse) and uncompressed 24/32-bit BMP images (struct header parse) —
-  producing real sample/pixel-derived features and real
-  nearest-neighbor resizes. Codec formats (JPEG/PNG/MP4...) raise
-  ``NotImplementedError`` naming the needed library (``fallback=True``
-  routes them to the deterministic stand-in instead, so mixed tables keep
-  flowing); video containers remain the one fully-stubbed seam.
+* ``decode=\"real\"``: REAL decoding for the stdlib-decodable formats —
+  WAV/PCM audio (stdlib ``wave``), 8-bit PNG (stdlib ``zlib`` inflate +
+  numpy unfiltering of all five scanline filters), binary PPM/PGM images
+  (numpy header parse) and uncompressed 24/32-bit BMP images (struct
+  header parse) — producing real sample/pixel-derived features and real
+  nearest-neighbor resizes. Formats needing an actual external codec
+  (JPEG/MP4...) raise ``NotImplementedError`` naming the needed library
+  (``fallback=True`` routes them to the deterministic stand-in instead,
+  so mixed tables keep flowing); video containers remain the one
+  fully-stubbed seam.
 * ``decode=\"fake\"``: deterministic, dependency-free stand-in
   (byte-histogram features, metadata-derived shapes) exercising the full
   data path.
@@ -136,6 +138,198 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return hdr + raw
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (3 = palette indices, mapped via PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(filt: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
+    """Reverse the PNG per-scanline filters (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth). ``filt`` is (h, stride) filtered bytes, ``ftypes``
+    the per-row filter ids. None/Sub/Up rows are fully vectorized (Sub is a
+    mod-256 cumsum over bpp-strided lanes); Average/Paeth rows walk pixels
+    left-to-right with bpp-lane numpy ops (the intra-row data dependency is
+    inherent to those filters)."""
+    h, stride = filt.shape
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    w = stride // bpp
+    for y in range(h):
+        row = filt[y].astype(np.int32)
+        ft = int(ftypes[y])
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: cumsum mod 256, lag = bpp
+            cur = row.reshape(w, bpp).cumsum(axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = row
+            left = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                left = (row[x : x + bpp] + ((left + prev[x : x + bpp]) >> 1)) & 0xFF
+                cur[x : x + bpp] = left
+        elif ft == 4:  # Paeth
+            cur = row
+            left = np.zeros(bpp, np.int32)
+            upleft = np.zeros(bpp, np.int32)
+            for x in range(0, stride, bpp):
+                up = prev[x : x + bpp]
+                p = left + up - upleft
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - up),
+                    np.abs(p - upleft),
+                )
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+                )
+                left = (row[x : x + bpp] + pred) & 0xFF
+                cur[x : x + bpp] = left
+                upleft = up
+        else:
+            raise NotImplementedError(f"unknown PNG filter type {ft}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, c) uint8 pixels — REAL decoding via stdlib
+    ``zlib`` + numpy unfiltering, no image libraries. Supports 8-bit
+    non-interlaced grayscale (c=1), RGB (c=3), palette (mapped to c=3),
+    gray+alpha (c=2) and RGBA (c=4); 16-bit, sub-byte depths and Adam7
+    interlacing raise ``NotImplementedError`` (they need no new library,
+    just more decode paths — add here when a corpus hits them)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError("not a PNG payload")
+    i = 8
+    idat: list[bytes] = []
+    plte = None
+    ihdr = None
+    while i + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, i)
+        ctype = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        i += 12 + ln  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise NotImplementedError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise NotImplementedError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit PNG color types 0/2/3/4/6 supported "
+            f"(depth={depth}, color={color})"
+        )
+    nch = _PNG_CHANNELS[color]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise NotImplementedError("PNG scanline size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    pix = _png_unfilter(rows[:, 1:], rows[:, 0], nch).reshape(h, w, nch)
+    if color == 3:
+        if plte is None:
+            raise NotImplementedError("palette PNG missing PLTE chunk")
+        pix = plte[pix[..., 0]]
+    return np.ascontiguousarray(pix)
+
+
+def encode_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
+    """(h, w, c) uint8 (c in 1/2/3/4) -> 8-bit non-interlaced PNG bytes
+    (inverse of decode_png; test/fixture seam). ``filter_type`` applies one
+    filter id to every scanline — filtering from known pixels is fully
+    vectorized, and each id exercises the matching decode path."""
+    import struct
+    import zlib
+
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stride = w * c
+    recon = pixels.reshape(h, stride).astype(np.int32)
+    up = np.zeros_like(recon)
+    up[1:] = recon[:-1]
+    left = np.zeros_like(recon)
+    left[:, c:] = recon[:, :-c]
+    if filter_type == 0:
+        filt = recon
+    elif filter_type == 1:
+        filt = recon - left
+    elif filter_type == 2:
+        filt = recon - up
+    elif filter_type == 3:
+        filt = recon - ((left + up) >> 1)
+    elif filter_type == 4:
+        upleft = np.zeros_like(recon)
+        upleft[1:, c:] = recon[:-1, :-c]
+        p = left + up - upleft
+        pa, pb, pc = (
+            np.abs(p - left),
+            np.abs(p - up),
+            np.abs(p - upleft),
+        )
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        filt = recon - pred
+    else:
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    body = np.empty((h, stride + 1), np.uint8)
+    body[:, 0] = filter_type
+    body[:, 1:] = (filt & 0xFF).astype(np.uint8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature over decoded PNG pixels (alpha dropped,
+    gray+alpha reduced to gray, so the shared statistic family applies)."""
+    pix = decode_png(payload)
+    if pix.shape[2] == 4:
+        pix = pix[..., :3]
+    elif pix.shape[2] == 2:
+        pix = pix[..., :1]
+    return _pixel_feature(pix.astype(np.float32))
+
+
+def resize_png(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a PNG payload (pure numpy index
+    mapping), re-encoded as PNG."""
+    pix = decode_png(payload)
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return encode_png(np.ascontiguousarray(pix[ys][:, xs]))
+
+
 def bmp_feature(payload: bytes) -> np.ndarray:
     """Real 32-dim image feature over decoded BMP pixels (same statistic
     family as ``pnm_feature``: block means, histogram, channel moments)."""
@@ -223,9 +417,9 @@ class MediaFeatureActor:
     ``batch_size``; see ``media_feature_stage``). One decoder instance per
     actor, built in ``__init__``.
 
-    ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``), binary
-    PPM/PGM (``P6``/``P5``) and uncompressed BMP (``BM``) are REALLY
-    decoded (stdlib wave / struct / numpy) into
+    ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``), 8-bit
+    PNG, binary PPM/PGM (``P6``/``P5``) and uncompressed BMP (``BM``) are
+    REALLY decoded (stdlib wave / zlib / struct / numpy) into
     sample- and pixel-derived features; any other format raises
     ``NotImplementedError`` naming the missing library unless
     ``fallback=True`` routes it to the deterministic stand-in (for mixed
@@ -249,14 +443,20 @@ class MediaFeatureActor:
     def _feature(self, payload: bytes) -> np.ndarray:
         if self.decode == "fake":
             return self._fake_feature(payload)
-        if payload[:4] == b"RIFF" or payload[:2] in (b"P5", b"P6", b"BM"):
+        if (
+            payload[:4] == b"RIFF"
+            or payload[:8] == _PNG_SIG
+            or payload[:2] in (b"P5", b"P6", b"BM")
+        ):
             # dispatch is on magic bytes only — an arbitrary blob starting
-            # with RIFF/P5/P6/BM can still fail header parsing; with
+            # with RIFF/PNG/P5/P6/BM can still fail header parsing; with
             # fallback=True such rows route to the stand-in instead of
             # crashing the actor batch
             try:
                 if payload[:4] == b"RIFF":
                     return wav_feature(payload)
+                if payload[:8] == _PNG_SIG:
+                    return png_feature(payload)
                 if payload[:2] == b"BM":
                     return bmp_feature(payload)
                 return pnm_feature(payload)
@@ -267,9 +467,9 @@ class MediaFeatureActor:
         if self.fallback:
             return self._fake_feature(payload)
         raise NotImplementedError(
-            "codec-format payload (JPEG/PNG/MP4...) needs PIL/ffmpeg — not in "
-            "this container; stdlib-real formats are WAV, binary PPM/PGM and "
-            "uncompressed 24/32-bit BMP"
+            "codec-format payload (JPEG/MP4...) needs PIL/ffmpeg — not in "
+            "this container; stdlib-real formats are WAV, 8-bit PNG, binary "
+            "PPM/PGM and uncompressed 24/32-bit BMP"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -323,11 +523,22 @@ def resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
     return encode_pnm(np.ascontiguousarray(pix[ys][:, xs]))
 
 
+def resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of an uncompressed BMP payload,
+    re-encoded as 24-bit BMP."""
+    pix = decode_bmp(payload)
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return encode_bmp(np.ascontiguousarray(pix[ys][:, xs]))
+
+
 class MediaResizeActor:
     """Actor-pool stage: resize image payloads to (target_w, target_h).
 
-    ``decode="real"``: binary PPM/PGM payloads get a REAL nearest-neighbor
-    resample (``resize_pnm``); codec formats raise ``NotImplementedError``
+    ``decode="real"``: PPM/PGM, 8-bit PNG and uncompressed BMP payloads
+    get a REAL nearest-neighbor resample re-encoded in the same container;
+    codec formats raise ``NotImplementedError``
     (PIL seam) unless ``fallback=True`` routes them to the stand-in. The
     stand-in re-encodes the payload to a size proportional to the target
     area and rewrites the metadata — exercising the Ray-side contract:
@@ -349,10 +560,14 @@ class MediaResizeActor:
     def _resize(self, p: bytes) -> bytes:
         if self.decode == "real" and p[:2] in (b"P5", b"P6"):
             return resize_pnm(p, self.target_w, self.target_h)
+        if self.decode == "real" and p[:8] == _PNG_SIG:
+            return resize_png(p, self.target_w, self.target_h)
+        if self.decode == "real" and p[:2] == b"BM":
+            return resize_bmp(p, self.target_w, self.target_h)
         if self.decode == "real" and not self.fallback:
             raise NotImplementedError(
                 "codec-format resize needs PIL — stdlib-real formats are "
-                "binary PPM/PGM"
+                "8-bit PNG, binary PPM/PGM and uncompressed BMP"
             )
         n_out = max(16, (self.target_w * self.target_h) // 64)
         seed_digest = hashlib.sha1(p).digest()
@@ -478,29 +693,42 @@ def _gen_wav(rng, min_s: float = 0.05, max_s: float = 0.25) -> bytes:
     return buf.getvalue()
 
 
-def _gen_ppm(rng) -> bytes:
-    """Deterministic REAL binary PPM: smooth gradient + noise."""
+def _gen_pixels(rng) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels: smooth gradient + noise."""
     h, w = int(rng.integers(16, 64)), int(rng.integers(16, 64))
     yy, xx = np.mgrid[0:h, 0:w]
     base = (yy * 255 // max(1, h - 1))[..., None] * np.array([1, 0, 0.5])
     noise = rng.integers(0, 64, (h, w, 3))
-    pix = np.clip(base + noise, 0, 255).astype(np.uint8)
-    return encode_pnm(pix)
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+def _gen_ppm(rng) -> bytes:
+    """Deterministic REAL binary PPM: smooth gradient + noise."""
+    return encode_pnm(_gen_pixels(rng))
 
 
 def gen_fake_media(n: int, seed: int = 42):
     """Deterministic synthetic media table (no external data): REAL WAV
-    audio rows, REAL binary PPM image rows, opaque byte blobs for video
-    (the one format with no stdlib codec)."""
+    audio rows, REAL image rows rotating through the three stdlib-decodable
+    containers (binary PPM, 8-bit PNG with a rotating scanline filter,
+    24-bit BMP), opaque byte blobs for video (the one format with no
+    stdlib codec)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
     payloads: list[bytes] = []
     metas: list[str] = []
+    img_i = 0
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            p = _gen_ppm(rng)
-            pix = decode_pnm(p)
+            pix = _gen_pixels(rng)
+            if img_i % 3 == 0:
+                p = encode_pnm(pix)
+            elif img_i % 3 == 1:
+                p = encode_png(pix, filter_type=img_i % 5)
+            else:
+                p = encode_bmp(pix)
+            img_i += 1
             metas.append(
                 json.dumps({"width": pix.shape[1], "height": pix.shape[0]})
             )

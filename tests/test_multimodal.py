@@ -218,3 +218,160 @@ def test_media_feature_stage_decodes_bmp(ray_session):
         ray.data.from_arrow(tbl), decode="real", fallback=False
     ).to_pandas()
     assert np.allclose(np.array(out["feature"][0]), bmp_feature(encode_bmp(pix)))
+
+
+# ---------------------------------------------------------------------------
+# PNG: real stdlib zlib decode (all five scanline filters, five color types)
+
+
+def _rand_pix(shape, seed=0):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, shape, dtype=np.uint8)
+
+
+def test_png_roundtrip_every_filter_type():
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    pix = _rand_pix((13, 9, 3), seed=1)
+    for ft in range(5):
+        back = decode_png(encode_png(pix, filter_type=ft))
+        assert back.shape == (13, 9, 3), ft
+        assert (back == pix).all(), f"filter {ft} roundtrip mismatch"
+
+
+def test_png_roundtrip_every_color_type():
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    for c in (1, 2, 3, 4):
+        pix = _rand_pix((7, 11, c), seed=c)
+        back = decode_png(encode_png(pix, filter_type=4))
+        assert back.shape == pix.shape and (back == pix).all(), c
+
+
+def test_png_palette_and_multi_idat():
+    import struct
+    import zlib
+
+    from deduplicatr_ray.stages.multimodal import decode_png
+
+    # hand-build a 2x2 palette PNG (color type 3) with two IDAT chunks
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    scan = bytes([0, 0, 1, 0, 2, 3])  # two rows: filter 0 + 2 indices each
+    comp = zlib.compress(scan)
+    half = len(comp) // 2
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", comp[:half])
+        + chunk(b"IDAT", comp[half:])
+        + chunk(b"IEND", b"")
+    )
+    pix = decode_png(payload)
+    assert pix.shape == (2, 2, 3)
+    assert pix[0, 0].tolist() == [255, 0, 0]
+    assert pix[0, 1].tolist() == [0, 255, 0]
+    assert pix[1, 0].tolist() == [0, 0, 255]
+    assert pix[1, 1].tolist() == [7, 7, 7]
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    with pytest.raises(NotImplementedError):
+        decode_png(b"notapng")
+
+    def rebuild(depth=8, color=2, interlace=0):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data))
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+            )
+            + chunk(b"IDAT", zlib.compress(bytes(14)))
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(depth=16))
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(interlace=1))
+
+
+def test_png_feature_and_resize():
+    from deduplicatr_ray.stages.multimodal import (
+        decode_png,
+        encode_png,
+        png_feature,
+        resize_png,
+    )
+
+    flat = np.full((8, 8, 4), 200, np.uint8)  # RGBA: alpha must be dropped
+    f = png_feature(encode_png(flat))
+    assert f.shape == (32,) and abs(f[0] - 200 / 255) < 1e-5
+    # gray+alpha reduces to gray
+    ga = np.full((8, 8, 2), 100, np.uint8)
+    f2 = png_feature(encode_png(ga))
+    assert abs(f2[0] - 100 / 255) < 1e-5
+
+    quad = np.zeros((2, 2, 3), np.uint8)
+    quad[0, 0], quad[0, 1], quad[1, 0], quad[1, 1] = 10, 20, 30, 40
+    out = decode_png(resize_png(encode_png(quad), 4, 4))
+    assert out.shape == (4, 4, 3)
+    assert (out[:2, :2] == 10).all() and (out[2:, 2:] == 40).all()
+
+
+def test_media_feature_stage_decodes_png(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        media_feature_stage,
+        png_feature,
+        pnm_feature,
+        encode_pnm,
+    )
+
+    pix = _rand_pix((16, 12, 3), seed=9)
+    rows = pa.table(
+        {
+            "media_id": ["png0", "ppm0"],
+            "kind": ["image", "image"],
+            "payload": pa.array(
+                [encode_png(pix, filter_type=2), encode_pnm(pix)], pa.binary()
+            ),
+            "meta": ['{"width":12,"height":16}'] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_feature_stage(rd.from_arrow(rows), decode="real")
+        .to_pandas()
+        .set_index("media_id")
+    )
+    f_png = np.array(out.loc["png0", "feature"], np.float32)
+    f_ppm = np.array(out.loc["ppm0", "feature"], np.float32)
+    # same pixels through two container formats -> identical real features
+    np.testing.assert_allclose(f_png, f_ppm, atol=1e-6)
+    np.testing.assert_allclose(f_png, png_feature(encode_png(pix)), atol=1e-6)
+    np.testing.assert_allclose(f_ppm, pnm_feature(encode_pnm(pix)), atol=1e-6)
