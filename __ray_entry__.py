@@ -1431,9 +1431,9 @@ def q_ann_ivf_knn_wide(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal: synthetic media -> feature extraction actor pool with
-    REAL stdlib decoding (WAV via `wave`, binary PPM via numpy) for the
-    image/audio rows; video byte blobs take the deterministic fallback
-    (the one format with no stdlib codec — PIL/ffmpeg seam)."""
+    REAL stdlib decoding (WAV via `wave`, PPM/PNG/BMP images, YUV4MPEG2
+    video) for every decodable row; opaque codec blobs take the
+    deterministic fallback (the PIL/ffmpeg seam)."""
     from deduplicatr_ray.stages.multimodal import gen_fake_media, media_feature_stage
 
     return media_feature_stage(gen_fake_media(200), decode="real", fallback=True)
@@ -1442,7 +1442,9 @@ def q_media_features(sf_dir: str):
 def q_media_frame_pipeline(sf_dir: str):
     """Multimodal chain: resize -> frame-sample -> feature extraction.
     PPM/PNG/BMP images get a REAL nearest-neighbor resample + pixel
-    features; WAV rows real sample features; video stays the documented
+    features; WAV rows real sample features; y4m video rows REAL frame
+    extraction (sampled frames re-encoded as PNG, so their features are
+    real pixel features too); opaque codec blobs take the documented
     fallback."""
     from deduplicatr_ray.stages.multimodal import (
         frame_sample_stage,
@@ -1453,7 +1455,9 @@ def q_media_frame_pipeline(sf_dir: str):
 
     media = gen_fake_media(150)
     sampled = frame_sample_stage(
-        media_resize_stage(media, decode="real", fallback=True)
+        media_resize_stage(media, decode="real", fallback=True),
+        decode="real",
+        fallback=True,
     ).drop_columns(["frame_idx"])
     return media_feature_stage(sampled, decode="real", fallback=True)
 

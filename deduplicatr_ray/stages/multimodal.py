@@ -8,13 +8,14 @@ payloads, output layout — is real and tested. Decode modes:
 * ``decode=\"real\"``: REAL decoding for the stdlib-decodable formats —
   WAV/PCM audio (stdlib ``wave``), 8-bit PNG (stdlib ``zlib`` inflate +
   numpy unfiltering of all five scanline filters), binary PPM/PGM images
-  (numpy header parse) and uncompressed 24/32-bit BMP images (struct
-  header parse) — producing real sample/pixel-derived features and real
-  nearest-neighbor resizes. Formats needing an actual external codec
-  (JPEG/MP4...) raise ``NotImplementedError`` naming the needed library
-  (``fallback=True`` routes them to the deterministic stand-in instead,
-  so mixed tables keep flowing); video containers remain the one
-  fully-stubbed seam.
+  (numpy header parse), uncompressed 24/32-bit BMP images (struct header
+  parse) and YUV4MPEG2 (y4m) raw video (ASCII header + planar YUV frames,
+  vectorized BT.601 conversion) — producing real sample/pixel-derived
+  features, real nearest-neighbor resizes and real per-frame sampling.
+  Formats needing an actual external codec (JPEG/MP4...) raise
+  ``NotImplementedError`` naming the needed library (``fallback=True``
+  routes them to the deterministic stand-in instead, so mixed tables keep
+  flowing).
 * ``decode=\"fake\"``: deterministic, dependency-free stand-in
   (byte-histogram features, metadata-derived shapes) exercising the full
   data path.
@@ -418,7 +419,8 @@ class MediaFeatureActor:
     actor, built in ``__init__``.
 
     ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``), 8-bit
-    PNG, binary PPM/PGM (``P6``/``P5``) and uncompressed BMP (``BM``) are
+    PNG, binary PPM/PGM (``P6``/``P5``), uncompressed BMP (``BM``) and
+    YUV4MPEG2 video (``YUV4MPEG2``) are
     REALLY decoded (stdlib wave / zlib / struct / numpy) into
     sample- and pixel-derived features; any other format raises
     ``NotImplementedError`` naming the missing library unless
@@ -446,10 +448,11 @@ class MediaFeatureActor:
         if (
             payload[:4] == b"RIFF"
             or payload[:8] == _PNG_SIG
+            or payload[:9] == _Y4M_SIG
             or payload[:2] in (b"P5", b"P6", b"BM")
         ):
             # dispatch is on magic bytes only — an arbitrary blob starting
-            # with RIFF/PNG/P5/P6/BM can still fail header parsing; with
+            # with RIFF/PNG/Y4M/P5/P6/BM can still fail header parsing; with
             # fallback=True such rows route to the stand-in instead of
             # crashing the actor batch
             try:
@@ -457,6 +460,8 @@ class MediaFeatureActor:
                     return wav_feature(payload)
                 if payload[:8] == _PNG_SIG:
                     return png_feature(payload)
+                if payload[:9] == _Y4M_SIG:
+                    return y4m_feature(payload)
                 if payload[:2] == b"BM":
                     return bmp_feature(payload)
                 return pnm_feature(payload)
@@ -469,7 +474,7 @@ class MediaFeatureActor:
         raise NotImplementedError(
             "codec-format payload (JPEG/MP4...) needs PIL/ffmpeg — not in "
             "this container; stdlib-real formats are WAV, 8-bit PNG, binary "
-            "PPM/PGM and uncompressed 24/32-bit BMP"
+            "PPM/PGM, uncompressed 24/32-bit BMP and YUV4MPEG2 video"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -521,6 +526,147 @@ def resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     return encode_pnm(np.ascontiguousarray(pix[ys][:, xs]))
+
+
+_Y4M_SIG = b"YUV4MPEG2"
+# chroma subsampling factors (x, y) per y4m colorspace family
+_Y4M_SUBSAMPLE = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Full-range BT.601 planar YUV -> (h, w, 3) uint8 RGB, vectorized."""
+    yf = y.astype(np.float32)
+    uf = u.astype(np.float32) - 128.0
+    vf = v.astype(np.float32) - 128.0
+    rgb = np.stack(
+        [
+            yf + 1.402 * vf,
+            yf - 0.344136 * uf - 0.714136 * vf,
+            yf + 1.772 * uf,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 bytes -> (n_frames, h, w, c) uint8 pixels — REAL decoding
+    (ASCII header parse + numpy plane reshape + vectorized BT.601), no
+    video libraries: y4m stores raw uncompressed planar frames. Supports
+    progressive C420*/C422/C444 (c=3, chroma nearest-upsampled) and Cmono
+    (c=1); interlaced streams raise ``NotImplementedError``."""
+    if payload[:9] != _Y4M_SIG:
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = 0
+    cs = "420jpeg"  # spec default when no C tag is present
+    for tok in payload[10:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if key == b"W":
+            w = int(val)
+        elif key == b"H":
+            h = int(val)
+        elif key == b"C":
+            cs = val
+        elif key == b"I" and val not in ("p", "?"):
+            raise NotImplementedError("interlaced y4m not supported")
+    if w <= 0 or h <= 0:
+        raise NotImplementedError("y4m header missing W/H")
+    if cs.startswith("mono"):
+        sx = sy = 0  # no chroma planes
+    else:
+        fam = cs[:3]
+        if fam not in _Y4M_SUBSAMPLE:
+            raise NotImplementedError(f"unsupported y4m colorspace C{cs}")
+        sx, sy = _Y4M_SUBSAMPLE[fam]
+        if w % sx or h % sy:
+            raise NotImplementedError(
+                f"y4m C{cs} needs dimensions divisible by {sx}x{sy}"
+            )
+    cw, ch_ = (w // sx, h // sy) if sx else (0, 0)
+    frame_bytes = w * h + 2 * cw * ch_
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    n = len(payload)
+    while i < n:
+        fnl = payload.index(b"\n", i)
+        if payload[i : i + 5] != b"FRAME":
+            raise NotImplementedError("y4m frame marker missing")
+        i = fnl + 1
+        if i + frame_bytes > n:
+            raise NotImplementedError("truncated y4m frame")
+        raw = np.frombuffer(payload, np.uint8, frame_bytes, i)
+        i += frame_bytes
+        yp = raw[: w * h].reshape(h, w)
+        if sx == 0:
+            frames.append(yp[..., None])
+            continue
+        up = raw[w * h : w * h + cw * ch_].reshape(ch_, cw)
+        vp = raw[w * h + cw * ch_ :].reshape(ch_, cw)
+        # nearest-neighbor chroma upsample to full res
+        up = np.repeat(np.repeat(up, sy, axis=0), sx, axis=1)
+        vp = np.repeat(np.repeat(vp, sy, axis=0), sx, axis=1)
+        frames.append(_yuv_to_rgb(yp, up, vp))
+    if not frames:
+        raise NotImplementedError("y4m stream has no frames")
+    return np.stack(frames)
+
+
+def encode_y4m(frames: np.ndarray, *, colorspace: str = "444") -> bytes:
+    """(n, h, w, 3) RGB or (n, h, w, 1)/(n, h, w) gray uint8 -> YUV4MPEG2
+    bytes (inverse of decode_y4m; test/fixture seam). ``colorspace``:
+    ``"mono"`` (gray, exact roundtrip), ``"444"`` (full chroma) or
+    ``"420jpeg"`` (2x2 box-averaged chroma)."""
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    n, h, w, c = frames.shape
+    if colorspace == "mono":
+        if c == 3:
+            raise ValueError("mono y4m needs gray input")
+        planes = [f[..., 0].tobytes() for f in frames]
+    else:
+        fam = colorspace[:3]
+        sx, sy = _Y4M_SUBSAMPLE[fam]
+        r = frames[..., 0].astype(np.float32)
+        g = frames[..., 1 % c].astype(np.float32)
+        b = frames[..., 2 % c].astype(np.float32)
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        u = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        v = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        if sx > 1 or sy > 1:
+            u = u.reshape(n, h // sy, sy, w // sx, sx).mean(axis=(2, 4))
+            v = v.reshape(n, h // sy, sy, w // sx, sx).mean(axis=(2, 4))
+        planes = [
+            y[i].astype(np.uint8).tobytes()
+            + np.round(u[i]).astype(np.uint8).tobytes()
+            + np.round(v[i]).astype(np.uint8).tobytes()
+            for i in range(n)
+        ]
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{colorspace}\n".encode()
+    return hdr + b"".join(b"FRAME\n" + p for p in planes)
+
+
+def y4m_feature(payload: bytes, *, max_frames: int = 8) -> np.ndarray:
+    """Real 32-dim video feature: the mean of the shared per-frame pixel
+    feature over up to ``max_frames`` evenly sampled decoded frames."""
+    frames = decode_y4m(payload)
+    step = max(1, len(frames) // max_frames)
+    sampled = frames[::step][:max_frames]
+    return np.mean(
+        [_pixel_feature(f.astype(np.float32)) for f in sampled], axis=0
+    ).astype(np.float32)
+
+
+def y4m_frames_png(
+    payload: bytes, *, every_n: int = 1, max_frames: int = 8
+) -> list[bytes]:
+    """REAL frame sampling: decode y4m, take every ``every_n``-th frame up
+    to ``max_frames``, re-encode each as 8-bit PNG so downstream image
+    stages (features, resize) operate on real image payloads."""
+    frames = decode_y4m(payload)
+    return [encode_png(f) for f in frames[::every_n][:max_frames]]
 
 
 def resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
@@ -621,21 +767,43 @@ def media_resize_stage(
     )
 
 
-def frame_sample_stage(media, *, every_n: int = 1, max_frames: int = 8, batch_size: int = 64):
+def frame_sample_stage(
+    media,
+    *,
+    every_n: int = 1,
+    max_frames: int = 8,
+    batch_size: int = 64,
+    decode: str = "fake",
+    fallback: bool = True,
+):
     """Video rows -> one row per sampled frame (flat_map-shaped plumbing).
 
-    The stand-in derives deterministic per-frame payload slices; a real
-    ffmpeg-backed sampler replaces ``_frames`` only. Non-video rows pass
-    through untouched with frame_idx = -1 (so mixed media tables keep one
-    schema)."""
+    ``decode="real"``: YUV4MPEG2 payloads get REAL frame extraction
+    (``y4m_frames_png``) — each sampled frame re-encoded as an 8-bit PNG so
+    the downstream image stages compute real features/resizes on it. Codec
+    containers (MP4...) raise ``NotImplementedError`` (ffmpeg seam) unless
+    ``fallback=True`` routes them to the deterministic byte-slice stand-in.
+    ``decode="fake"``: every video row uses the stand-in. Non-video rows
+    pass through untouched with frame_idx = -1 (so mixed media tables keep
+    one schema)."""
 
-    def _frames(payload: bytes) -> list[bytes]:
+    def _fake_frames(payload: bytes) -> list[bytes]:
         if not payload:
             return []
         step = max(1, len(payload) // max(1, max_frames))
         return [payload[i : i + step] for i in range(0, len(payload), step * every_n)][
             :max_frames
         ]
+
+    def _frames(payload: bytes) -> list[bytes]:
+        if decode == "real" and payload[:9] == _Y4M_SIG:
+            return y4m_frames_png(payload, every_n=every_n, max_frames=max_frames)
+        if decode == "real" and not fallback:
+            raise NotImplementedError(
+                "codec-container frame sampling needs ffmpeg — the "
+                "stdlib-real video format is YUV4MPEG2"
+            )
+        return _fake_frames(payload)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids, kinds, frames, idxs, metas = [], [], [], [], []
@@ -707,17 +875,38 @@ def _gen_ppm(rng) -> bytes:
     return encode_pnm(_gen_pixels(rng))
 
 
+def _gen_y4m(rng) -> bytes:
+    """Deterministic REAL y4m clip: 3-6 frames of drifting gradient+noise,
+    rotating through the 444 / 420jpeg / mono colorspace paths."""
+    nf = int(rng.integers(3, 7))
+    h, w = int(rng.integers(8, 17)) * 2, int(rng.integers(8, 17)) * 2
+    yy = np.mgrid[0:h, 0:w][0]
+    frames = []
+    for f in range(nf):
+        base = ((yy + 7 * f) * 255 // max(1, h - 1))[..., None] * np.array(
+            [1, 0.3, 0.6]
+        )
+        noise = rng.integers(0, 32, (h, w, 3))
+        frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+    frames = np.stack(frames)
+    cs = ["444", "420jpeg", "mono"][int(rng.integers(0, 3))]
+    if cs == "mono":
+        frames = frames.mean(axis=3, keepdims=True).astype(np.uint8)
+    return encode_y4m(frames, colorspace=cs)
+
+
 def gen_fake_media(n: int, seed: int = 42):
     """Deterministic synthetic media table (no external data): REAL WAV
     audio rows, REAL image rows rotating through the three stdlib-decodable
     containers (binary PPM, 8-bit PNG with a rotating scanline filter,
-    24-bit BMP), opaque byte blobs for video (the one format with no
-    stdlib codec)."""
+    24-bit BMP), video rows alternating REAL YUV4MPEG2 clips with opaque
+    byte blobs (the codec-container seam)."""
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
     payloads: list[bytes] = []
     metas: list[str] = []
     img_i = 0
+    vid_i = 0
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
@@ -735,8 +924,22 @@ def gen_fake_media(n: int, seed: int = 42):
         elif kind == "audio":
             p = _gen_wav(rng)
             metas.append(json.dumps({"rate": 8000, "channels": 1}))
+        elif vid_i % 2 == 0:
+            p = _gen_y4m(rng)
+            vid_i += 1
+            frames = decode_y4m(p)
+            metas.append(
+                json.dumps(
+                    {
+                        "width": frames.shape[2],
+                        "height": frames.shape[1],
+                        "frames": frames.shape[0],
+                    }
+                )
+            )
         else:
             p = rng.bytes(int(rng.integers(128, 4096)))
+            vid_i += 1
             metas.append(
                 json.dumps(
                     {

@@ -375,3 +375,151 @@ def test_media_feature_stage_decodes_png(ray_session):
     np.testing.assert_allclose(f_png, f_ppm, atol=1e-6)
     np.testing.assert_allclose(f_png, png_feature(encode_png(pix)), atol=1e-6)
     np.testing.assert_allclose(f_ppm, pnm_feature(encode_pnm(pix)), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Y4M: real stdlib video decode (header parse + planar YUV + BT.601)
+
+
+def test_y4m_mono_roundtrip_exact():
+    from deduplicatr_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    gray = _rand_pix((4, 10, 8, 1), seed=3)
+    back = decode_y4m(encode_y4m(gray, colorspace="mono"))
+    assert back.shape == (4, 10, 8, 1)
+    assert (back == gray).all()
+
+
+def test_y4m_444_roundtrip_close():
+    from deduplicatr_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    rgb = _rand_pix((3, 8, 12, 3), seed=4)
+    back = decode_y4m(encode_y4m(rgb, colorspace="444"))
+    assert back.shape == rgb.shape
+    # RGB->YUV->RGB through uint8 planes: small rounding error only
+    assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_y4m_420_solid_color_and_frame_count():
+    from deduplicatr_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    solid = np.full((5, 6, 4, 3), [200, 40, 90], np.uint8)
+    back = decode_y4m(encode_y4m(solid, colorspace="420jpeg"))
+    assert back.shape == (5, 6, 4, 3)
+    # chroma box-average of a constant is the constant
+    assert np.abs(back.astype(int) - solid.astype(int)).max() <= 3
+
+
+def test_y4m_unsupported_variants_raise():
+    from deduplicatr_ray.stages.multimodal import decode_y4m, encode_y4m
+
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"nota y4m")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 It C444\nFRAME\n" + bytes(48))
+    with pytest.raises(NotImplementedError):  # truncated frame
+        decode_y4m(b"YUV4MPEG2 W4 H4 C444\nFRAME\n" + bytes(10))
+    gray = _rand_pix((2, 4, 4, 3), seed=5)
+    with pytest.raises(NotImplementedError):  # unknown colorspace
+        decode_y4m(
+            encode_y4m(gray, colorspace="444").replace(b"C444", b"C999")
+        )
+
+
+def test_y4m_frames_png_real_sampling():
+    from deduplicatr_ray.stages.multimodal import (
+        decode_png,
+        decode_y4m,
+        encode_y4m,
+        y4m_frames_png,
+    )
+
+    rgb = _rand_pix((6, 8, 8, 3), seed=6)
+    payload = encode_y4m(rgb, colorspace="444")
+    frames = y4m_frames_png(payload, every_n=2, max_frames=2)
+    assert len(frames) == 2
+    decoded = decode_y4m(payload)
+    # frame 0 and frame 2 (every_n=2), each losslessly PNG-re-encoded
+    assert (decode_png(frames[0]) == decoded[0]).all()
+    assert (decode_png(frames[1]) == decoded[2]).all()
+
+
+def test_frame_sample_stage_real_y4m(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        decode_y4m,
+        encode_y4m,
+        frame_sample_stage,
+        media_feature_stage,
+        png_feature,
+        y4m_frames_png,
+    )
+
+    rgb = _rand_pix((4, 8, 8, 3), seed=7)
+    payload = encode_y4m(rgb, colorspace="444")
+    rows = pa.table(
+        {
+            "media_id": ["vid0", "blob0"],
+            "kind": ["video", "video"],
+            "payload": pa.array([payload, b"\x01\x02" * 64], pa.binary()),
+            "meta": ["{}", "{}"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = frame_sample_stage(
+        rd.from_arrow(rows), decode="real", max_frames=3
+    ).to_pandas()
+    vid = out[out.media_id == "vid0"].sort_values("frame_idx")
+    assert vid.frame_idx.tolist() == [0, 1, 2]
+    decoded = decode_y4m(payload)
+    for fi, p in zip(vid.frame_idx, vid.payload):
+        assert (decode_png(bytes(p)) == decoded[fi]).all()
+    # opaque blob fell back to byte slices (still video rows, one schema)
+    assert (out[out.media_id == "blob0"].frame_idx >= 0).all()
+
+    # sampled PNG frames flow into the feature stage as REAL image decodes
+    feats = media_feature_stage(
+        frame_sample_stage(
+            rd.from_arrow(rows), decode="real", max_frames=1
+        ).drop_columns(["frame_idx"]),
+        decode="real",
+        fallback=True,
+    ).to_pandas()
+    f = np.array(
+        feats[feats.media_id == "vid0"]["feature"].iloc[0], np.float32
+    )
+    np.testing.assert_allclose(
+        f, png_feature(y4m_frames_png(payload, max_frames=1)[0]), atol=1e-6
+    )
+
+
+def test_media_feature_stage_decodes_y4m(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        media_feature_stage,
+        y4m_feature,
+    )
+
+    rgb = _rand_pix((5, 10, 6, 3), seed=8)
+    payload = encode_y4m(rgb, colorspace="420jpeg")
+    rows = pa.table(
+        {
+            "media_id": ["v"],
+            "kind": ["video"],
+            "payload": pa.array([payload], pa.binary()),
+            "meta": ["{}"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = media_feature_stage(
+        rd.from_arrow(rows), decode="real", fallback=False
+    ).to_pandas()
+    np.testing.assert_allclose(
+        np.array(out["feature"][0], np.float32), y4m_feature(payload), atol=1e-6
+    )
