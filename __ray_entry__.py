@@ -1431,9 +1431,9 @@ def q_ann_ivf_knn_wide(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal: synthetic media -> feature extraction actor pool with
-    REAL stdlib decoding (WAV via `wave`, PPM/PNG/BMP images, YUV4MPEG2
-    video) for every decodable row; opaque codec blobs take the
-    deterministic fallback (the PIL/ffmpeg seam)."""
+    REAL stdlib decoding (WAV via `wave`, PPM/PNG/baseline-JPEG/BMP
+    images, YUV4MPEG2 video) for every decodable row; opaque codec blobs
+    take the deterministic fallback (the PIL/ffmpeg seam)."""
     from deduplicatr_ray.stages.multimodal import gen_fake_media, media_feature_stage
 
     return media_feature_stage(gen_fake_media(200), decode="real", fallback=True)
@@ -1441,7 +1441,7 @@ def q_media_features(sf_dir: str):
 
 def q_media_frame_pipeline(sf_dir: str):
     """Multimodal chain: resize -> frame-sample -> feature extraction.
-    PPM/PNG/BMP images get a REAL nearest-neighbor resample + pixel
+    PPM/PNG/JPEG/BMP images get a REAL nearest-neighbor resample + pixel
     features; WAV rows real sample features; y4m video rows REAL frame
     extraction (sampled frames re-encoded as PNG, so their features are
     real pixel features too); opaque codec blobs take the documented

@@ -7,12 +7,14 @@ payloads, output layout — is real and tested. Decode modes:
 
 * ``decode=\"real\"``: REAL decoding for the stdlib-decodable formats —
   WAV/PCM audio (stdlib ``wave``), 8-bit PNG (stdlib ``zlib`` inflate +
-  numpy unfiltering of all five scanline filters), binary PPM/PGM images
-  (numpy header parse), uncompressed 24/32-bit BMP images (struct header
-  parse) and YUV4MPEG2 (y4m) raw video (ASCII header + planar YUV frames,
-  vectorized BT.601 conversion) — producing real sample/pixel-derived
-  features, real nearest-neighbor resizes and real per-frame sampling.
-  Formats needing an actual external codec (JPEG/MP4...) raise
+  numpy unfiltering of all five scanline filters), baseline-sequential
+  JPEG (``functions/jpeg.py``: Huffman + vectorized IDCT, subsampling and
+  restart markers), binary PPM/PGM images (numpy header parse),
+  uncompressed 24/32-bit BMP images (struct header parse) and YUV4MPEG2
+  (y4m) raw video (ASCII header + planar YUV frames, vectorized BT.601
+  conversion) — producing real sample/pixel-derived features, real
+  nearest-neighbor resizes and real per-frame sampling. Formats needing
+  an actual external codec (progressive JPEG/MP4...) raise
   ``NotImplementedError`` naming the needed library (``fallback=True``
   routes them to the deterministic stand-in instead, so mixed tables keep
   flowing).
@@ -331,6 +333,30 @@ def resize_png(payload: bytes, tw: int, th: int) -> bytes:
     return encode_png(np.ascontiguousarray(pix[ys][:, xs]))
 
 
+_JPEG_SIG = b"\xff\xd8\xff"
+
+
+def jpeg_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature over decoded baseline-JPEG pixels
+    (``functions/jpeg.py`` stdlib+numpy codec — the same statistic family
+    as the other containers)."""
+    from ..functions.jpeg import decode_jpeg
+
+    return _pixel_feature(decode_jpeg(payload).astype(np.float32))
+
+
+def resize_jpeg(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a baseline-JPEG payload,
+    re-encoded as baseline JPEG (quality 90)."""
+    from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+    pix = decode_jpeg(payload)
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return encode_jpeg(np.ascontiguousarray(pix[ys][:, xs]))
+
+
 def bmp_feature(payload: bytes) -> np.ndarray:
     """Real 32-dim image feature over decoded BMP pixels (same statistic
     family as ``pnm_feature``: block means, histogram, channel moments)."""
@@ -419,8 +445,8 @@ class MediaFeatureActor:
     actor, built in ``__init__``.
 
     ``decode="real"`` dispatches on magic bytes: WAV (``RIFF``), 8-bit
-    PNG, binary PPM/PGM (``P6``/``P5``), uncompressed BMP (``BM``) and
-    YUV4MPEG2 video (``YUV4MPEG2``) are
+    PNG, baseline JPEG (``FF D8 FF``), binary PPM/PGM (``P6``/``P5``),
+    uncompressed BMP (``BM``) and YUV4MPEG2 video (``YUV4MPEG2``) are
     REALLY decoded (stdlib wave / zlib / struct / numpy) into
     sample- and pixel-derived features; any other format raises
     ``NotImplementedError`` naming the missing library unless
@@ -449,12 +475,13 @@ class MediaFeatureActor:
             payload[:4] == b"RIFF"
             or payload[:8] == _PNG_SIG
             or payload[:9] == _Y4M_SIG
+            or payload[:3] == _JPEG_SIG
             or payload[:2] in (b"P5", b"P6", b"BM")
         ):
             # dispatch is on magic bytes only — an arbitrary blob starting
-            # with RIFF/PNG/Y4M/P5/P6/BM can still fail header parsing; with
-            # fallback=True such rows route to the stand-in instead of
-            # crashing the actor batch
+            # with RIFF/PNG/Y4M/JPEG/P5/P6/BM can still fail header parsing
+            # (progressive JPEG raises here too); with fallback=True such
+            # rows route to the stand-in instead of crashing the actor batch
             try:
                 if payload[:4] == b"RIFF":
                     return wav_feature(payload)
@@ -462,6 +489,8 @@ class MediaFeatureActor:
                     return png_feature(payload)
                 if payload[:9] == _Y4M_SIG:
                     return y4m_feature(payload)
+                if payload[:3] == _JPEG_SIG:
+                    return jpeg_feature(payload)
                 if payload[:2] == b"BM":
                     return bmp_feature(payload)
                 return pnm_feature(payload)
@@ -472,9 +501,10 @@ class MediaFeatureActor:
         if self.fallback:
             return self._fake_feature(payload)
         raise NotImplementedError(
-            "codec-format payload (JPEG/MP4...) needs PIL/ffmpeg — not in "
-            "this container; stdlib-real formats are WAV, 8-bit PNG, binary "
-            "PPM/PGM, uncompressed 24/32-bit BMP and YUV4MPEG2 video"
+            "codec-format payload (progressive JPEG/MP4...) needs "
+            "PIL/ffmpeg — not in this container; stdlib-real formats are "
+            "WAV, 8-bit PNG, baseline JPEG, binary PPM/PGM, uncompressed "
+            "24/32-bit BMP and YUV4MPEG2 video"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -704,16 +734,26 @@ class MediaResizeActor:
         self.target_w, self.target_h = target_w, target_h
 
     def _resize(self, p: bytes) -> bytes:
-        if self.decode == "real" and p[:2] in (b"P5", b"P6"):
-            return resize_pnm(p, self.target_w, self.target_h)
-        if self.decode == "real" and p[:8] == _PNG_SIG:
-            return resize_png(p, self.target_w, self.target_h)
-        if self.decode == "real" and p[:2] == b"BM":
-            return resize_bmp(p, self.target_w, self.target_h)
+        if self.decode == "real":
+            try:
+                if p[:2] in (b"P5", b"P6"):
+                    return resize_pnm(p, self.target_w, self.target_h)
+                if p[:8] == _PNG_SIG:
+                    return resize_png(p, self.target_w, self.target_h)
+                if p[:3] == _JPEG_SIG:
+                    return resize_jpeg(p, self.target_w, self.target_h)
+                if p[:2] == b"BM":
+                    return resize_bmp(p, self.target_w, self.target_h)
+            except NotImplementedError:
+                # e.g. progressive JPEG, truncated header: only the
+                # fallback stand-in can absorb it
+                if not self.fallback:
+                    raise
         if self.decode == "real" and not self.fallback:
             raise NotImplementedError(
                 "codec-format resize needs PIL — stdlib-real formats are "
-                "8-bit PNG, binary PPM/PGM and uncompressed BMP"
+                "8-bit PNG, baseline JPEG, binary PPM/PGM and uncompressed "
+                "BMP"
             )
         n_out = max(16, (self.target_w * self.target_h) // 64)
         seed_digest = hashlib.sha1(p).digest()
@@ -897,10 +937,13 @@ def _gen_y4m(rng) -> bytes:
 
 def gen_fake_media(n: int, seed: int = 42):
     """Deterministic synthetic media table (no external data): REAL WAV
-    audio rows, REAL image rows rotating through the three stdlib-decodable
+    audio rows, REAL image rows rotating through the four stdlib-decodable
     containers (binary PPM, 8-bit PNG with a rotating scanline filter,
-    24-bit BMP), video rows alternating REAL YUV4MPEG2 clips with opaque
-    byte blobs (the codec-container seam)."""
+    24-bit BMP, baseline JPEG rotating 444/420 subsampling), video rows
+    alternating REAL YUV4MPEG2 clips with opaque byte blobs (the
+    codec-container seam)."""
+    from ..functions.jpeg import encode_jpeg
+
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
     payloads: list[bytes] = []
@@ -911,10 +954,14 @@ def gen_fake_media(n: int, seed: int = 42):
         kind = kinds[i % 3]
         if kind == "image":
             pix = _gen_pixels(rng)
-            if img_i % 3 == 0:
+            if img_i % 4 == 0:
                 p = encode_pnm(pix)
-            elif img_i % 3 == 1:
+            elif img_i % 4 == 1:
                 p = encode_png(pix, filter_type=img_i % 5)
+            elif img_i % 4 == 2:
+                p = encode_jpeg(
+                    pix, subsampling=("444", "420")[(img_i // 4) % 2]
+                )
             else:
                 p = encode_bmp(pix)
             img_i += 1

@@ -523,3 +523,93 @@ def test_media_feature_stage_decodes_y4m(ray_session):
     np.testing.assert_allclose(
         np.array(out["feature"][0], np.float32), y4m_feature(payload), atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG: real baseline decode through the media stages
+
+
+def test_media_feature_stage_decodes_jpeg(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.jpeg import encode_jpeg
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        jpeg_feature,
+        media_feature_stage,
+        pnm_feature,
+        encode_pnm,
+    )
+
+    # smooth gradient: chroma subsampling barely perturbs it (noise would
+    # legitimately shift the channel-std feature slots at 4:2:0)
+    yy, xx = np.mgrid[0:16, 0:12]
+    pix = np.stack(
+        [yy * 255 // 15, xx * 255 // 11, (yy + xx) * 255 // 26], axis=-1
+    ).astype(np.uint8)
+    rows = pa.table(
+        {
+            "media_id": ["jpg444", "jpg420", "ppm"],
+            "kind": ["image"] * 3,
+            "payload": pa.array(
+                [
+                    encode_jpeg(pix, quality=95, subsampling="444"),
+                    encode_jpeg(pix, quality=95, subsampling="420"),
+                    encode_pnm(pix),
+                ],
+                pa.binary(),
+            ),
+            "meta": ['{"width":12,"height":16}'] * 3,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_feature_stage(rd.from_arrow(rows), decode="real", fallback=False)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    f_ppm = np.array(out.loc["ppm", "feature"], np.float32)
+    for mid in ("jpg444", "jpg420"):
+        f = np.array(out.loc[mid, "feature"], np.float32)
+        # lossy codec: feature close to the lossless container's, not equal
+        assert np.abs(f - f_ppm).max() < 0.05, mid
+    np.testing.assert_allclose(
+        np.array(out.loc["jpg444", "feature"], np.float32),
+        jpeg_feature(encode_jpeg(pix, quality=95, subsampling="444")),
+        atol=1e-6,
+    )
+
+
+def test_media_resize_stage_jpeg_and_progressive_fallback(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        media_resize_stage,
+    )
+
+    pix = _rand_pix((24, 16, 3), seed=12)
+    good = encode_jpeg(pix, quality=95)
+    prog = bytearray(good)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # pretend progressive
+    rows = pa.table(
+        {
+            "media_id": ["good", "prog"],
+            "kind": ["image", "image"],
+            "payload": pa.array([good, bytes(prog)], pa.binary()),
+            "meta": ['{"width":16,"height":24}'] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_resize_stage(
+            rd.from_arrow(rows), width=8, height=8, decode="real", fallback=True
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    resized = decode_jpeg(bytes(out.loc["good", "payload"]))
+    assert resized.shape == (8, 8, 3)
+    # progressive fell back to the deterministic stand-in, didn't crash
+    assert bytes(out.loc["prog", "payload"])[:3] != b"\xff\xd8\xff"
