@@ -1431,9 +1431,10 @@ def q_ann_ivf_knn_wide(sf_dir: str):
 
 def q_media_features(sf_dir: str):
     """Multimodal: synthetic media -> feature extraction actor pool with
-    REAL stdlib decoding (WAV via `wave`, PPM/PNG/baseline-JPEG/BMP
-    images, YUV4MPEG2 video) for every decodable row; opaque codec blobs
-    take the deterministic fallback (the PIL/ffmpeg seam)."""
+    REAL stdlib decoding (WAV via `wave`; PPM/PNG/JPEG-incl-progressive/
+    BMP/GIF images; YUV4MPEG2 + animated-GIF video) for every decodable
+    row; opaque codec blobs take the deterministic fallback (the
+    PIL/ffmpeg seam)."""
     from deduplicatr_ray.stages.multimodal import gen_fake_media, media_feature_stage
 
     return media_feature_stage(gen_fake_media(200), decode="real", fallback=True)
@@ -1441,11 +1442,11 @@ def q_media_features(sf_dir: str):
 
 def q_media_frame_pipeline(sf_dir: str):
     """Multimodal chain: resize -> frame-sample -> feature extraction.
-    PPM/PNG/JPEG/BMP images get a REAL nearest-neighbor resample + pixel
-    features; WAV rows real sample features; y4m video rows REAL frame
-    extraction (sampled frames re-encoded as PNG, so their features are
-    real pixel features too); opaque codec blobs take the documented
-    fallback."""
+    PPM/PNG/JPEG/BMP/GIF images get a REAL nearest-neighbor resample +
+    pixel features; WAV rows real sample features; y4m and animated-GIF
+    video rows REAL frame extraction (sampled frames re-encoded as PNG,
+    so their features are real pixel features too); opaque codec blobs
+    take the documented fallback."""
     from deduplicatr_ray.stages.multimodal import (
         frame_sample_stage,
         gen_fake_media,
@@ -1460,6 +1461,40 @@ def q_media_frame_pipeline(sf_dir: str):
         fallback=True,
     ).drop_columns(["frame_idx"])
     return media_feature_stage(sampled, decode="real", fallback=True)
+
+
+def q_media_quarantine(sf_dir: str):
+    """Production error channel: strict real decode with
+    ``on_error="quarantine"`` — corrupt/codec payloads land in the output
+    with decode_ok=False + the reason instead of killing the task or
+    silently faking a feature. Returns the per-(kind, decode_ok) census;
+    only the opaque codec blobs quarantine on the synthetic table."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.stages.multimodal import (
+        gen_fake_media,
+        media_feature_stage,
+    )
+
+    feats = media_feature_stage(
+        gen_fake_media(150), decode="real", on_error="quarantine"
+    )
+
+    def census(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = b.group_by(["kind", "decode_ok"]).aggregate([("media_id", "count")])
+        return g.rename_columns(["kind", "decode_ok", "n"])
+
+    out = feats.map_batches(
+        census, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    return (
+        out.groupby(["kind", "decode_ok"], as_index=False)["n"]
+        .sum()
+        .sort_values(["kind", "decode_ok"])
+        .reset_index(drop=True)
+    )
 
 
 def q_paragraph_dedup(sf_dir: str):
@@ -1619,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- driver 50-entry window ends around here ----------------------
         "media_features": q_media_features,
         "media_frame_pipeline": q_media_frame_pipeline,
+        "media_quarantine": q_media_quarantine,
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
         "doc_stats_by_lang": q_doc_stats_by_lang,

@@ -7,14 +7,17 @@ payloads, output layout — is real and tested. Decode modes:
 
 * ``decode=\"real\"``: REAL decoding for the stdlib-decodable formats —
   WAV/PCM audio (stdlib ``wave``), 8-bit PNG (stdlib ``zlib`` inflate +
-  numpy unfiltering of all five scanline filters), baseline-sequential
-  JPEG (``functions/jpeg.py``: Huffman + vectorized IDCT, subsampling and
-  restart markers), binary PPM/PGM images (numpy header parse),
+  numpy unfiltering of all five scanline filters), DCT-Huffman
+  JPEG, baseline AND progressive (``functions/jpeg.py``: canonical
+  Huffman + vectorized IDCT, subsampling, restart markers, successive
+  approximation), GIF87a/89a incl. animation (``functions/gif.py``:
+  variable-width LZW, interlacing, transparency + disposal compositing),
+  binary PPM/PGM images (numpy header parse),
   uncompressed 24/32-bit BMP images (struct header parse) and YUV4MPEG2
   (y4m) raw video (ASCII header + planar YUV frames, vectorized BT.601
   conversion) — producing real sample/pixel-derived features, real
   nearest-neighbor resizes and real per-frame sampling. Formats needing
-  an actual external codec (progressive JPEG/MP4...) raise
+  an actual external codec (arithmetic-coded JPEG/MP4...) raise
   ``NotImplementedError`` naming the needed library (``fallback=True``
   routes them to the deterministic stand-in instead, so mixed tables keep
   flowing).
@@ -334,6 +337,48 @@ def resize_png(payload: bytes, tw: int, th: int) -> bytes:
 
 
 _JPEG_SIG = b"\xff\xd8\xff"
+_GIF_SIG = b"GIF8"
+
+
+def gif_feature(payload: bytes, *, max_frames: int = 8) -> np.ndarray:
+    """Real 32-dim image feature over decoded GIF pixels — still GIFs use
+    the single composited frame; animated GIFs average the shared
+    per-frame feature over up to ``max_frames`` frames (the y4m video
+    convention)."""
+    from ..functions.gif import decode_gif
+
+    frames, _alpha = decode_gif(payload)
+    step = max(1, len(frames) // max_frames)
+    sampled = frames[::step][:max_frames]
+    return np.mean(
+        [_pixel_feature(f.astype(np.float32)) for f in sampled], axis=0
+    ).astype(np.float32)
+
+
+def resize_gif(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of every composited GIF frame.
+    Nearest-neighbor creates no new colors, so the union palette of the
+    resized frames re-encodes as GIF when it fits 256 entries (animation
+    preserved); a multi-palette composite that exceeds 256 colors falls
+    back to PNG for a single frame (lossless, no palette limit) and
+    raises for multi-frame (the re-quantization seam)."""
+    from ..functions.gif import decode_gif, encode_gif
+
+    frames, _alpha = decode_gif(payload)
+    h, w = frames.shape[1:3]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    resized = frames[:, ys][:, :, xs]
+    flat = resized.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        idx = inverse.astype(np.uint8).reshape(len(frames), th, tw)
+        return encode_gif(idx, colors.astype(np.uint8))
+    if len(frames) == 1:
+        return encode_png(np.ascontiguousarray(resized[0]))
+    raise NotImplementedError(
+        "animated GIF resize exceeding 256 colors needs re-quantization"
+    )
 
 
 def jpeg_feature(payload: bytes) -> np.ndarray:
@@ -454,11 +499,21 @@ class MediaFeatureActor:
     tables whose video rows have no stdlib codec).
     """
 
-    def __init__(self, decode: str = "fake", fallback: bool = False) -> None:
+    def __init__(
+        self,
+        decode: str = "fake",
+        fallback: bool = False,
+        on_error: str | None = None,
+    ) -> None:
         if decode not in ("fake", "real"):
             raise ValueError(f"unknown decode mode {decode!r}")
+        if on_error is None:
+            on_error = "fallback" if fallback else "raise"
+        if on_error not in ("raise", "fallback", "quarantine"):
+            raise ValueError(f"unknown on_error mode {on_error!r}")
         self.decode = decode
-        self.fallback = fallback
+        self.fallback = on_error == "fallback"
+        self.quarantine = on_error == "quarantine"
 
     def _fake_feature(self, payload: bytes) -> np.ndarray:
         """Deterministic 32-dim stand-in: normalized 32-bin byte histogram."""
@@ -476,11 +531,12 @@ class MediaFeatureActor:
             or payload[:8] == _PNG_SIG
             or payload[:9] == _Y4M_SIG
             or payload[:3] == _JPEG_SIG
+            or payload[:4] == _GIF_SIG
             or payload[:2] in (b"P5", b"P6", b"BM")
         ):
             # dispatch is on magic bytes only — an arbitrary blob starting
             # with RIFF/PNG/Y4M/JPEG/P5/P6/BM can still fail header parsing
-            # (progressive JPEG raises here too); with fallback=True such
+            # (arithmetic-coded JPEG raises here too); with fallback=True
             # rows route to the stand-in instead of crashing the actor batch
             try:
                 if payload[:4] == b"RIFF":
@@ -491,6 +547,8 @@ class MediaFeatureActor:
                     return y4m_feature(payload)
                 if payload[:3] == _JPEG_SIG:
                     return jpeg_feature(payload)
+                if payload[:4] == _GIF_SIG:
+                    return gif_feature(payload)
                 if payload[:2] == b"BM":
                     return bmp_feature(payload)
                 return pnm_feature(payload)
@@ -501,31 +559,46 @@ class MediaFeatureActor:
         if self.fallback:
             return self._fake_feature(payload)
         raise NotImplementedError(
-            "codec-format payload (progressive JPEG/MP4...) needs "
+            "codec-format payload (arithmetic-coded JPEG/MP4...) needs "
             "PIL/ffmpeg — not in this container; stdlib-real formats are "
-            "WAV, 8-bit PNG, baseline JPEG, binary PPM/PGM, uncompressed "
-            "24/32-bit BMP and YUV4MPEG2 video"
+            "WAV, 8-bit PNG, DCT-Huffman JPEG, GIF, binary PPM/PGM, "
+            "uncompressed 24/32-bit BMP and YUV4MPEG2 video"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._feature(p or b"") for p in payloads])
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "payload_sha1": pa.array(
-                    [hashlib.sha1(p or b"").digest() for p in payloads],
-                    pa.binary(20),
-                ),
-                "n_bytes": pa.array(
-                    [len(p or b"") for p in payloads], pa.int64()
-                ),
-                "feature": pa.FixedSizeListArray.from_arrays(
-                    pa.array(feats.reshape(-1), pa.float32()), 32
-                ),
-            }
-        )
+        feats = np.zeros((len(payloads), 32), np.float32)
+        errors: list[str | None] = [None] * len(payloads)
+        for j, p in enumerate(payloads):
+            if self.quarantine:
+                # production semantics: a bad payload lands in the output
+                # with decode_ok=False + the reason, never killing the task
+                try:
+                    feats[j] = self._feature(p or b"")
+                except Exception as e:  # noqa: BLE001 — quarantine anything
+                    errors[j] = f"{type(e).__name__}: {e}"
+            else:
+                feats[j] = self._feature(p or b"")
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload_sha1": pa.array(
+                [hashlib.sha1(p or b"").digest() for p in payloads],
+                pa.binary(20),
+            ),
+            "n_bytes": pa.array(
+                [len(p or b"") for p in payloads], pa.int64()
+            ),
+            "feature": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1), pa.float32()), 32
+            ),
+        }
+        if self.quarantine:
+            cols["decode_ok"] = pa.array(
+                [e is None for e in errors], pa.bool_()
+            )
+            cols["decode_error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
 
 
 def media_feature_stage(
@@ -533,13 +606,24 @@ def media_feature_stage(
     *,
     decode: str = "fake",
     fallback: bool = False,
+    on_error: str | None = None,
     batch_size: int = 64,  # small: rows carry whole encoded payloads
     concurrency: int | tuple[int, int] = (1, 4),
 ):
-    """MEDIA_SCHEMA Dataset -> FEATURES_SCHEMA Dataset (actor pool)."""
+    """MEDIA_SCHEMA Dataset -> FEATURES_SCHEMA Dataset (actor pool).
+
+    ``on_error`` (overrides ``fallback``): ``"raise"`` fails the task
+    (strict), ``"fallback"`` substitutes the deterministic stand-in
+    feature, ``"quarantine"`` appends ``decode_ok``/``decode_error``
+    columns and zero features for bad rows — the mode a 100 TB run wants,
+    where one corrupt payload must neither kill a partition nor silently
+    masquerade as a real feature; filter ``decode_ok`` downstream and
+    route the quarantined sliver to its own sink."""
     return media.map_batches(
         MediaFeatureActor,
-        fn_constructor_kwargs={"decode": decode, "fallback": fallback},
+        fn_constructor_kwargs={
+            "decode": decode, "fallback": fallback, "on_error": on_error,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -742,18 +826,20 @@ class MediaResizeActor:
                     return resize_png(p, self.target_w, self.target_h)
                 if p[:3] == _JPEG_SIG:
                     return resize_jpeg(p, self.target_w, self.target_h)
+                if p[:4] == _GIF_SIG:
+                    return resize_gif(p, self.target_w, self.target_h)
                 if p[:2] == b"BM":
                     return resize_bmp(p, self.target_w, self.target_h)
             except NotImplementedError:
-                # e.g. progressive JPEG, truncated header: only the
+                # e.g. arithmetic-coded JPEG, truncated header: only the
                 # fallback stand-in can absorb it
                 if not self.fallback:
                     raise
         if self.decode == "real" and not self.fallback:
             raise NotImplementedError(
                 "codec-format resize needs PIL — stdlib-real formats are "
-                "8-bit PNG, baseline JPEG, binary PPM/PGM and uncompressed "
-                "BMP"
+                "8-bit PNG, DCT-Huffman JPEG, GIF, binary PPM/PGM and "
+                "uncompressed BMP"
             )
         n_out = max(16, (self.target_w * self.target_h) // 64)
         seed_digest = hashlib.sha1(p).digest()
@@ -838,10 +924,18 @@ def frame_sample_stage(
     def _frames(payload: bytes) -> list[bytes]:
         if decode == "real" and payload[:9] == _Y4M_SIG:
             return y4m_frames_png(payload, every_n=every_n, max_frames=max_frames)
+        if decode == "real" and payload[:4] == _GIF_SIG:
+            from ..functions.gif import decode_gif
+
+            frames, _alpha = decode_gif(payload)
+            return [
+                encode_png(np.ascontiguousarray(f))
+                for f in frames[::every_n][:max_frames]
+            ]
         if decode == "real" and not fallback:
             raise NotImplementedError(
                 "codec-container frame sampling needs ffmpeg — the "
-                "stdlib-real video format is YUV4MPEG2"
+                "stdlib-real multi-frame formats are YUV4MPEG2 and GIF"
             )
         return _fake_frames(payload)
 
@@ -937,12 +1031,29 @@ def _gen_y4m(rng) -> bytes:
 
 def gen_fake_media(n: int, seed: int = 42):
     """Deterministic synthetic media table (no external data): REAL WAV
-    audio rows, REAL image rows rotating through the four stdlib-decodable
+    audio rows, REAL image rows rotating through the five stdlib-decodable
     containers (binary PPM, 8-bit PNG with a rotating scanline filter,
-    24-bit BMP, baseline JPEG rotating 444/420 subsampling), video rows
-    alternating REAL YUV4MPEG2 clips with opaque byte blobs (the
-    codec-container seam)."""
+    JPEG rotating 444/420 baseline and progressive, 24-bit BMP, still
+    GIF), video rows rotating REAL YUV4MPEG2 clips, REAL animated GIFs
+    and opaque byte blobs (the codec-container seam)."""
+    from ..functions.gif import encode_gif
     from ..functions.jpeg import encode_jpeg
+
+    def _gif_of(pix, frames=1):
+        """Quantize the gradient pixels to a <=256-color palette GIF
+        (coarsen the channel depth until the palette fits)."""
+        for shift in (2, 3, 4, 6):  # 2-bit channels: 64 combos, always fits
+            q = ((pix >> shift) << shift).astype(np.uint8)
+            stack = np.stack(
+                [np.roll(q, 3 * f, axis=0) for f in range(frames)]
+            )
+            colors, inv = np.unique(
+                stack.reshape(-1, 3), axis=0, return_inverse=True
+            )
+            if len(colors) <= 256:
+                idx = inv.astype(np.uint8).reshape(stack.shape[:3])
+                return encode_gif(idx, colors.astype(np.uint8))
+        raise AssertionError("unreachable: 3-bit channels fit 256 colors")
 
     rng = np.random.Generator(np.random.PCG64(seed))
     kinds = ["image", "audio", "video"]
@@ -954,16 +1065,21 @@ def gen_fake_media(n: int, seed: int = 42):
         kind = kinds[i % 3]
         if kind == "image":
             pix = _gen_pixels(rng)
-            if img_i % 4 == 0:
+            if img_i % 5 == 0:
                 p = encode_pnm(pix)
-            elif img_i % 4 == 1:
-                p = encode_png(pix, filter_type=img_i % 5)
-            elif img_i % 4 == 2:
+            elif img_i % 5 == 1:
+                p = encode_png(pix, filter_type=(img_i // 5) % 5)
+            elif img_i % 5 == 2:
+                jmode = (img_i // 5) % 3  # rotate 444 / 420 / progressive
                 p = encode_jpeg(
-                    pix, subsampling=("444", "420")[(img_i // 4) % 2]
+                    pix,
+                    subsampling="420" if jmode == 1 else "444",
+                    progressive=jmode == 2,
                 )
-            else:
+            elif img_i % 5 == 3:
                 p = encode_bmp(pix)
+            else:
+                p = _gif_of(pix)
             img_i += 1
             metas.append(
                 json.dumps({"width": pix.shape[1], "height": pix.shape[0]})
@@ -971,7 +1087,7 @@ def gen_fake_media(n: int, seed: int = 42):
         elif kind == "audio":
             p = _gen_wav(rng)
             metas.append(json.dumps({"rate": 8000, "channels": 1}))
-        elif vid_i % 2 == 0:
+        elif vid_i % 3 == 0:
             p = _gen_y4m(rng)
             vid_i += 1
             frames = decode_y4m(p)
@@ -981,6 +1097,20 @@ def gen_fake_media(n: int, seed: int = 42):
                         "width": frames.shape[2],
                         "height": frames.shape[1],
                         "frames": frames.shape[0],
+                    }
+                )
+            )
+        elif vid_i % 3 == 1:
+            pix = _gen_pixels(rng)
+            nf = int(rng.integers(2, 5))
+            p = _gif_of(pix, frames=nf)
+            vid_i += 1
+            metas.append(
+                json.dumps(
+                    {
+                        "width": pix.shape[1],
+                        "height": pix.shape[0],
+                        "frames": nf,
                     }
                 )
             )

@@ -591,14 +591,15 @@ def test_media_resize_stage_jpeg_and_progressive_fallback(ray_session):
 
     pix = _rand_pix((24, 16, 3), seed=12)
     good = encode_jpeg(pix, quality=95)
-    prog = bytearray(good)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2  # pretend progressive
+    prog = encode_jpeg(pix, quality=95, progressive=True)
+    arith = bytearray(good)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9  # arithmetic-coded: seam
     rows = pa.table(
         {
-            "media_id": ["good", "prog"],
-            "kind": ["image", "image"],
-            "payload": pa.array([good, bytes(prog)], pa.binary()),
-            "meta": ['{"width":16,"height":24}'] * 2,
+            "media_id": ["good", "prog", "arith"],
+            "kind": ["image"] * 3,
+            "payload": pa.array([good, prog, bytes(arith)], pa.binary()),
+            "meta": ['{"width":16,"height":24}'] * 3,
         },
         schema=MEDIA_SCHEMA,
     )
@@ -609,7 +610,114 @@ def test_media_resize_stage_jpeg_and_progressive_fallback(ray_session):
         .to_pandas()
         .set_index("media_id")
     )
-    resized = decode_jpeg(bytes(out.loc["good", "payload"]))
-    assert resized.shape == (8, 8, 3)
-    # progressive fell back to the deterministic stand-in, didn't crash
-    assert bytes(out.loc["prog", "payload"])[:3] != b"\xff\xd8\xff"
+    # baseline AND progressive both really resized
+    for mid in ("good", "prog"):
+        assert decode_jpeg(bytes(out.loc[mid, "payload"])).shape == (8, 8, 3)
+    # arithmetic-coded fell back to the deterministic stand-in, no crash
+    assert bytes(out.loc["arith", "payload"])[:3] != b"\xff\xd8\xff"
+
+
+# ---------------------------------------------------------------------------
+# GIF: real LZW decode through the media stages
+
+
+def test_media_stages_decode_gif(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.gif import decode_gif, encode_gif
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        frame_sample_stage,
+        gif_feature,
+        media_feature_stage,
+        media_resize_stage,
+    )
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (32, 3), dtype=np.uint8)
+    still = rng.integers(0, 32, (1, 16, 12), dtype=np.uint8)
+    anim = rng.integers(0, 32, (3, 16, 12), dtype=np.uint8)
+    rows = pa.table(
+        {
+            "media_id": ["still", "anim"],
+            "kind": ["image", "video"],
+            "payload": pa.array(
+                [encode_gif(still, pal), encode_gif(anim, pal)], pa.binary()
+            ),
+            "meta": ['{"width":12,"height":16}'] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    ds = rd.from_arrow(rows)
+    feats = (
+        media_feature_stage(ds, decode="real", fallback=False)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    for mid, idx in (("still", still), ("anim", anim)):
+        np.testing.assert_allclose(
+            np.array(feats.loc[mid, "feature"], np.float32),
+            gif_feature(encode_gif(idx, pal)),
+            atol=1e-6,
+        )
+
+    # image rows really resized, GIF container kept
+    resized = (
+        media_resize_stage(ds, width=6, height=8, decode="real")
+        .to_pandas()
+        .set_index("media_id")
+    )
+    fr, _ = decode_gif(bytes(resized.loc["still", "payload"]))
+    assert fr.shape == (1, 8, 6, 3)
+
+    # animated GIF video rows get REAL frame extraction as PNG
+    sampled = frame_sample_stage(ds, decode="real", max_frames=3).to_pandas()
+    vid = sampled[sampled.media_id == "anim"].sort_values("frame_idx")
+    assert vid.frame_idx.tolist() == [0, 1, 2]
+    full, _ = decode_gif(encode_gif(anim, pal))
+    for fi, p in zip(vid.frame_idx, vid.payload):
+        assert (decode_png(bytes(p)) == full[fi]).all()
+
+
+def test_media_feature_quarantine_mode(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_pnm,
+        media_feature_stage,
+        pnm_feature,
+    )
+
+    pix = np.full((6, 6, 3), 90, np.uint8)
+    rows = pa.table(
+        {
+            "media_id": ["good", "bad_blob", "bad_header"],
+            "kind": ["image", "video", "image"],
+            "payload": pa.array(
+                [encode_pnm(pix), b"\x00\x01opaque", b"P6 garbage"],
+                pa.binary(),
+            ),
+            "meta": ["{}"] * 3,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_feature_stage(
+            rd.from_arrow(rows), decode="real", on_error="quarantine"
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["good", "decode_ok"])
+    assert out.loc["good", "decode_error"] is None
+    np.testing.assert_allclose(
+        np.array(out.loc["good", "feature"], np.float32),
+        pnm_feature(encode_pnm(pix)),
+        atol=1e-6,
+    )
+    for mid in ("bad_blob", "bad_header"):
+        assert not bool(out.loc[mid, "decode_ok"])
+        assert "Error" in str(out.loc[mid, "decode_error"])
+        assert np.allclose(np.array(out.loc[mid, "feature"], np.float32), 0)
