@@ -1497,6 +1497,78 @@ def q_media_quarantine(sf_dir: str):
     )
 
 
+def q_media_near_dups(sf_dir: str):
+    """Multimodal near-dup detection: every image row is duplicated as a
+    REAL decode -> PNG re-encode (same pixels, different container), then
+    media_near_dups (real feature extraction -> blocked exact cosine
+    pairs) must recover exactly those cross-container duplicate pairs
+    (same pixels -> identical features -> cos == 1; the synthetic
+    gradients share orientation, so a looser threshold would also pair
+    structurally-similar distinct images). Returns the sorted
+    (id_a, id_b) pair list."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.functions.gif import decode_gif
+    from deduplicatr_ray.functions.jpeg import decode_jpeg
+    from deduplicatr_ray.stages.multimodal import (
+        decode_bmp,
+        decode_png,
+        decode_pnm,
+        encode_png,
+        gen_fake_media,
+        media_near_dups,
+    )
+
+    def decode_pixels(p: bytes):
+        if p[:2] in (b"P5", b"P6"):
+            return decode_pnm(p)
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(p)
+        if p[:3] == b"\xff\xd8\xff":
+            return decode_jpeg(p)
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[:4] == b"GIF8":
+            return decode_gif(p)[0][0]  # still GIF: first composited frame
+        raise NotImplementedError("not an image container")
+
+    def png_copies(b: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for mid, kind, p, m in zip(
+            b["media_id"].to_pylist(),
+            b["kind"].to_pylist(),
+            b["payload"].to_pylist(),
+            b["meta"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            import numpy as np
+
+            pix = decode_pixels(p)
+            ids.append(mid + "#png")
+            payloads.append(encode_png(np.ascontiguousarray(pix)))
+            metas.append(m)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    media = gen_fake_media(120)
+    copies = media.map_batches(
+        png_copies, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = media_near_dups(media.union(copies), threshold=1 - 1e-8)
+    return (
+        pairs.to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Sub-document exact dedup (MassiveText/Gopher paragraph pass): keep
     the first corpus-wide occurrence of every >= 3-char paragraph, per-doc
@@ -1655,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "media_frame_pipeline": q_media_frame_pipeline,
         "media_quarantine": q_media_quarantine,
+        "media_near_dups": q_media_near_dups,
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
         "doc_stats_by_lang": q_doc_stats_by_lang,

@@ -632,6 +632,61 @@ def media_feature_stage(
     )
 
 
+def media_vec_id(media_id: str) -> int:
+    """Deterministic dense-int id for a media_id string (sha1-derived
+    int62) — lets the feature table ride the embedding dedup machinery,
+    which keys on int64 vec_ids; collision odds at 2^62 are negligible
+    below ~2^28 rows per corpus."""
+    return int.from_bytes(
+        hashlib.sha1(media_id.encode()).digest()[:8], "big"
+    ) & ((1 << 62) - 1)
+
+
+def media_near_dups(
+    media,
+    *,
+    threshold: float = 0.999,
+    decode: str = "real",
+    on_error: str = "quarantine",
+):
+    """Multimodal near-dup pairs: REAL-decode feature extraction ->
+    exact cosine pairs over the 32-dim feature vectors (id_a < id_b,
+    cos >= threshold). The same pixels through different containers
+    (PPM vs PNG vs BMP) produce identical features, so cross-container
+    duplicates surface at cos ~ 1.0; lossy JPEG re-encodes land just
+    below. Rides ``similarity.embedding_dup_pairs`` (blocked exact
+    matmul; ``ann_lsh_pairs`` over the same vectors is the sub-quadratic
+    scale path). Quarantined rows (decode failures) are excluded before
+    pairing so corrupt payloads can't alias as mutual near-dups of the
+    zero vector. Returns (id_a, id_b) pairs keyed by ``media_vec_id``."""
+    from .similarity import embedding_dup_pairs
+
+    feats = media_feature_stage(media, decode=decode, on_error=on_error)
+
+    def to_vecs(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "decode_ok" in b.column_names:
+            b = b.filter(pc.equal(b["decode_ok"], True))
+        ids = [media_vec_id(m) for m in b["media_id"].to_pylist()]
+        feats_np = np.asarray(
+            b["feature"].combine_chunks().flatten(), np.float64
+        ).reshape(len(b), 32)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats_np.reshape(-1), pa.float64()), 32
+                ),
+            }
+        )
+
+    vecs = feats.map_batches(
+        to_vecs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return embedding_dup_pairs(vecs, threshold)
+
+
 def resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
     """REAL nearest-neighbor resize of a binary PPM/PGM payload (pure
     numpy index mapping), re-encoded in the same format."""

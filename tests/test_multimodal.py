@@ -721,3 +721,65 @@ def test_media_feature_quarantine_mode(ray_session):
         assert not bool(out.loc[mid, "decode_ok"])
         assert "Error" in str(out.loc[mid, "decode_error"])
         assert np.allclose(np.array(out.loc[mid, "feature"], np.float32), 0)
+
+
+def test_media_near_dups_cross_container(ray_session):
+    """The same pixels through lossless containers (PPM/PNG/BMP) give
+    identical features -> near-dup pairs at cos ~ 1; a lossy JPEG of the
+    same pixels pairs only at a looser threshold; distinct images don't
+    pair. Quarantined (undecodable) rows never pair."""
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.jpeg import encode_jpeg
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_png,
+        encode_pnm,
+        media_near_dups,
+        media_vec_id,
+    )
+
+    pix = _rand_pix((16, 16, 3), seed=21)
+    other = _rand_pix((16, 16, 3), seed=22)
+    rows = pa.table(
+        {
+            "media_id": ["a_ppm", "a_png", "a_bmp", "a_jpg", "b_ppm",
+                          "bad1", "bad2"],
+            "kind": ["image"] * 5 + ["video"] * 2,
+            "payload": pa.array(
+                [
+                    encode_pnm(pix),
+                    encode_png(pix, filter_type=3),
+                    encode_bmp(pix),
+                    encode_jpeg(pix, quality=95),
+                    encode_pnm(other),
+                    b"\x00opaque-blob-1",
+                    b"\x01opaque-blob-2",
+                ],
+                pa.binary(),
+            ),
+            "meta": ["{}"] * 7,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    ds = rd.from_arrow(rows)
+
+    def pair_names(threshold):
+        ids = {media_vec_id(m): m for m in rows["media_id"].to_pylist()}
+        out = media_near_dups(ds, threshold=threshold).to_pandas()
+        return {
+            tuple(sorted((ids[a], ids[b])))
+            for a, b in zip(out.id_a, out.id_b)
+        }
+
+    tight = pair_names(0.999999)
+    # exactly the three lossless cross-container pairs of image "a"
+    assert tight == {
+        ("a_bmp", "a_png"), ("a_bmp", "a_ppm"), ("a_png", "a_ppm"),
+    }
+    loose = pair_names(0.995)
+    # ...and the lossy JPEG joins the cluster at a looser threshold;
+    # the distinct image and the quarantined blobs never pair
+    assert {("a_jpg", "a_png"), ("a_jpg", "a_ppm"), ("a_bmp", "a_jpg")} <= loose
+    assert not any("b_ppm" in p or "bad" in p[0] or "bad" in p[1] for p in loose)
