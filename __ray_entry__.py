@@ -1569,6 +1569,69 @@ def q_media_near_dups(sf_dir: str):
     )
 
 
+def q_audio_near_dups(sf_dir: str):
+    """Audio near-dup detection: every WAV row is duplicated as a REAL
+    decode -> half-volume re-encode, then the spectral-peak landmark
+    match (numpy FFT constellation fingerprints -> key-only hash shuffle
+    -> modal-offset vote) must recover ALL those copy pairs —
+    volume-invariant by construction (min_matches=4: the shortest
+    synthetic clips are ~2 spectrogram frames = 4 landmarks). Distinct
+    single-sine clips that land in the same FFT bin legitimately pair
+    too — they are the same pitch. Returns sorted (id_a, id_b,
+    matches)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicatr_ray.stages.audiofp import audio_near_dups
+    from deduplicatr_ray.stages.multimodal import decode_wav, gen_fake_media
+
+    def half_volume(b: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for mid, kind, p, m in zip(
+            b["media_id"].to_pylist(),
+            b["kind"].to_pylist(),
+            b["payload"].to_pylist(),
+            b["meta"].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            samples, rate = decode_wav(p)
+            pcm = np.clip(samples * 0.5 * 32767, -32768, 32767).astype(
+                np.int16
+            )
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(rate)
+                w.writeframes(pcm.tobytes())
+            ids.append(mid + "#half")
+            payloads.append(buf.getvalue())
+            metas.append(m)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["audio"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    media = gen_fake_media(120)
+    copies = media.map_batches(
+        half_volume, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = audio_near_dups(media.union(copies), min_matches=4)
+    return (
+        pairs.to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Sub-document exact dedup (MassiveText/Gopher paragraph pass): keep
     the first corpus-wide occurrence of every >= 3-char paragraph, per-doc
@@ -1728,6 +1791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_pipeline": q_media_frame_pipeline,
         "media_quarantine": q_media_quarantine,
         "media_near_dups": q_media_near_dups,
+        "audio_near_dups": q_audio_near_dups,
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
         "doc_stats_by_lang": q_doc_stats_by_lang,

@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "sampled_hash_assign",   # M2 sampled-hash prefilter (keyed_min_assign)
     "paragraph_dedup",       # MassiveText sub-doc exact dedup (key-only)
     "dsir_weights",          # DSIR importance weights (two zero-shuffle scans)
+    "media_features",        # REAL multimodal decode (WAV/PNG/JPEG/GIF/y4m...)
+    "media_near_dups",       # media features -> exact-cosine dup pairs
 ]
 
 FLAGSHIP = "dedup_clusters"

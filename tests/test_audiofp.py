@@ -1,0 +1,131 @@
+"""Audio fingerprint near-dup: functions/audio.py + stages/audiofp.py.
+Copies (volume-scaled, hop-shifted) must pair; unrelated audio must not."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from deduplicatr_ray.functions.audio import (
+    fingerprints,
+    match_offsets,
+    spectrogram,
+)
+from deduplicatr_ray.stages.audiofp import _pair_indices
+
+RATE = 8000
+
+
+def _wav(samples: np.ndarray) -> bytes:
+    pcm = np.clip(samples * 32767, -32768, 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _tones(freqs, dur=1.0, noise=0.01, seed=0, shift=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(RATE * dur)) / RATE
+    x = sum(0.6 * np.sin(2 * np.pi * f * (t + 0.13 * k)) for k, f in enumerate(freqs))
+    x = x / max(1, len(freqs)) + noise * rng.standard_normal(len(t))
+    return np.concatenate([np.zeros(shift), x])
+
+
+def test_spectrogram_shape_and_peak_location():
+    t = np.arange(RATE) / RATE
+    spec = spectrogram(np.sin(2 * np.pi * 1000 * t), n_fft=256, hop=128)
+    assert spec.shape[1] == 129
+    # 1 kHz at 8 kHz rate with 256-pt FFT -> bin 32
+    assert (np.argmax(spec, axis=1) == 32).mean() > 0.9
+
+
+def test_fingerprint_invariances():
+    a = _tones([440, 1200, 2300])
+    ha, ta = fingerprints(a)
+    assert len(ha) > 100
+    hb, tb = fingerprints(0.3 * a)  # volume scale
+    assert match_offsets(ha, ta, hb, tb) == len(ha)
+    hc, tc = fingerprints(_tones([440, 1200, 2300], shift=3 * 128))
+    assert match_offsets(ha, ta, hc, tc) == len(ha)
+    hd, td = fingerprints(_tones([600, 900, 3000], seed=5))
+    assert match_offsets(ha, ta, hd, td) < 5
+
+
+def test_pair_indices_vectorized():
+    # segments of sizes 3, 1, 2 -> 3 + 0 + 1 pairs
+    starts = np.array([0, 3, 4])
+    fi, si = _pair_indices(starts, 6)
+    pairs = sorted(zip(fi.tolist(), si.tolist()))
+    assert pairs == [(0, 1), (0, 2), (1, 2), (4, 5)]
+    fi, si = _pair_indices(np.array([0]), 1)
+    assert len(fi) == 0
+
+
+def test_audio_near_dups_end_to_end(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.audiofp import audio_near_dups
+    from deduplicatr_ray.stages.multimodal import MEDIA_SCHEMA, media_vec_id
+
+    base = _tones([500, 1400, 2600], seed=1)
+    rows = pa.table(
+        {
+            "media_id": ["orig", "scaled", "shifted", "other", "img"],
+            "kind": ["audio", "audio", "audio", "audio", "image"],
+            "payload": pa.array(
+                [
+                    _wav(base),
+                    _wav(0.4 * base),
+                    _wav(np.concatenate([np.zeros(2 * 128), base])),
+                    _wav(_tones([700, 1900, 3300], seed=9)),
+                    b"P6 not audio",
+                ],
+                pa.binary(),
+            ),
+            "meta": ["{}"] * 5,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = audio_near_dups(
+        rd.from_arrow(rows), min_matches=32, num_partitions=4
+    ).to_pandas()
+    ids = {media_vec_id(m): m for m in rows["media_id"].to_pylist()}
+    got = {
+        tuple(sorted((ids[a], ids[b])))
+        for a, b in zip(out.id_a, out.id_b)
+    }
+    assert got == {
+        ("orig", "scaled"), ("orig", "shifted"), ("scaled", "shifted"),
+    }
+    assert (out.matches >= 32).all()
+
+
+def test_audio_near_dups_hash_cap_drops_common_landmarks(ray_session):
+    """With hash_cap=1 every landmark group is 'too common' -> no pairs."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.audiofp import audio_near_dups
+    from deduplicatr_ray.stages.multimodal import MEDIA_SCHEMA
+
+    base = _tones([500, 1400], seed=2)
+    rows = pa.table(
+        {
+            "media_id": ["a", "b"],
+            "kind": ["audio", "audio"],
+            "payload": pa.array([_wav(base), _wav(0.5 * base)], pa.binary()),
+            "meta": ["{}"] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = audio_near_dups(
+        rd.from_arrow(rows), min_matches=1, hash_cap=1, num_partitions=2
+    ).to_pandas()
+    assert len(out) == 0
