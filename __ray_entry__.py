@@ -1632,6 +1632,68 @@ def q_audio_near_dups(sf_dir: str):
     )
 
 
+def q_video_near_dups(sf_dir: str):
+    """Video near-dup detection: every decodable video row (y4m or
+    animated GIF) is duplicated as a REAL decode -> 0.6x-brightness y4m
+    re-encode, then the per-frame perceptual-hash landmark match
+    (modal-offset vote) must recover ALL those copy pairs — gain- and
+    container-invariant. Synthetic clips share one gradient generator, so
+    structurally-identical distinct clips may legitimately pair too.
+    Returns sorted (id_a, id_b, matches)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduplicatr_ray.functions.gif import decode_gif
+    from deduplicatr_ray.stages.audiofp import video_near_dups
+    from deduplicatr_ray.stages.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        gen_fake_media,
+    )
+
+    def dim_copies(b: pa.Table) -> pa.Table:
+        ids, payloads, metas = [], [], []
+        for mid, kind, p, m in zip(
+            b["media_id"].to_pylist(),
+            b["kind"].to_pylist(),
+            b["payload"].to_pylist(),
+            b["meta"].to_pylist(),
+        ):
+            if kind != "video" or not p:
+                continue
+            if p[:9] == b"YUV4MPEG2":
+                frames = decode_y4m(p)
+            elif p[:4] == b"GIF8":
+                frames = decode_gif(p)[0]
+            else:
+                continue  # opaque codec blob
+            if frames.shape[3] == 1:
+                frames = np.repeat(frames, 3, axis=3)
+            dim = (frames.astype(np.float32) * 0.6).astype(np.uint8)
+            ids.append(mid + "#dim")
+            payloads.append(encode_y4m(dim, colorspace="444"))
+            metas.append(m)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    media = gen_fake_media(120)
+    copies = media.map_batches(
+        dim_copies, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = video_near_dups(media.union(copies), min_matches=3)
+    return (
+        pairs.to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_paragraph_dedup(sf_dir: str):
     """Sub-document exact dedup (MassiveText/Gopher paragraph pass): keep
     the first corpus-wide occurrence of every >= 3-char paragraph, per-doc
@@ -1792,6 +1854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_quarantine": q_media_quarantine,
         "media_near_dups": q_media_near_dups,
         "audio_near_dups": q_audio_near_dups,
+        "video_near_dups": q_video_near_dups,
         "dir_summaries": q_dir_summaries,
         "dir_dup_groups": q_dir_dup_groups,
         "doc_stats_by_lang": q_doc_stats_by_lang,

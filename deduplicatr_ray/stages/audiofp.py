@@ -1,8 +1,10 @@
-"""Audio near-dup detection over spectral-peak fingerprints.
+"""Audio + video near-dup detection over landmark fingerprints.
 
 ``audio_fingerprint_stage`` explodes WAV rows into (vid, h, t) landmark
 rows (actor pool, REAL stdlib decode + numpy FFT — see
-``functions/audio.py``); ``audio_near_dups`` matches them with the
+``functions/audio.py``); ``video_fingerprint_stage`` does the same for
+decodable video (per-frame perceptual hashes over real y4m / animated-GIF
+frames). ``landmark_near_dups`` matches either schema with the
 engine's standard key-only machinery:
 
 1. hash-partition shuffle on the int64 landmark hash ``h`` (no samples,
@@ -119,6 +121,101 @@ def audio_fingerprint_stage(
     )
 
 
+def video_fingerprint_stage(
+    media,
+    *,
+    max_frames: int = 64,
+    batch_size: int = 32,
+    concurrency=(1, 4),
+):
+    """MEDIA_SCHEMA Dataset -> (vid, h, t) landmark rows for the decodable
+    video rows (YUV4MPEG2 / animated GIF). The landmark is a per-frame
+    perceptual hash: the 16 grayscale block means of the shared pixel
+    feature, range-normalized ((b - min) / (max - min): any per-frame
+    gain cancels EXACTLY, and tied blocks stay tied) then quantized to 4
+    levels -> a 32-bit hash, emitted on TWO half-bin-shifted quantization
+    grids (a block sitting on a grid-A level boundary — the one codec
+    rounding can flip — is bin-central on grid B, so a copy matches at
+    least one grid per frame with high probability; grid id is packed
+    into the hash so grids never cross-collide). Structure-free flat
+    frames hash to level 0 on both grids and are absorbed by
+    ``hash_cap``. Same schema as the audio stage, so
+    ``landmark_near_dups`` matches either."""
+
+    class VfpActor:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.gif import decode_gif
+            from ..stages.multimodal import (
+                _pixel_feature,
+                decode_y4m,
+                media_vec_id,
+            )
+
+            vids, hs, ts = [], [], []
+            for mid, kind, p in zip(
+                batch["media_id"].to_pylist(),
+                batch["kind"].to_pylist(),
+                batch["payload"].to_pylist(),
+            ):
+                if kind != "video" or not p:
+                    continue
+                try:
+                    if p[:9] == b"YUV4MPEG2":
+                        frames = decode_y4m(p)
+                    elif p[:4] == b"GIF8":
+                        frames, _alpha = decode_gif(p)
+                    else:
+                        continue
+                except Exception:
+                    continue
+                frames = frames[:max_frames]
+                if len(frames) == 0:
+                    continue
+                hh = np.empty(2 * len(frames), np.int64)
+                tt = np.empty(2 * len(frames), np.int32)
+                for t, f in enumerate(frames):
+                    blocks = _pixel_feature(f.astype(np.float32))[:16]
+                    rng_ = float(blocks.max() - blocks.min())
+                    rel = (blocks - blocks.min()) / (rng_ + 1e-6)
+                    for grid in (0, 1):
+                        lv = np.minimum(
+                            (rel * 4 + 0.5 * grid).astype(np.int64), 3
+                        )
+                        h = grid
+                        for v in lv:
+                            h = (h << 2) | int(v)
+                        hh[2 * t + grid] = h
+                        tt[2 * t + grid] = t
+                vid = media_vec_id(mid)
+                vids.append(np.full(len(hh), vid, np.int64))
+                hs.append(hh)
+                ts.append(tt)
+            if not vids:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "h": pa.array([], pa.int64()),
+                        "t": pa.array([], pa.int32()),
+                    }
+                )
+            return pa.table(
+                {
+                    "vid": pa.array(np.concatenate(vids), pa.int64()),
+                    "h": pa.array(np.concatenate(hs), pa.int64()),
+                    "t": pa.array(np.concatenate(ts), pa.int32()),
+                }
+            )
+
+    return media.map_batches(
+        VfpActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def audio_near_dups(
     media,
     *,
@@ -131,17 +228,53 @@ def audio_near_dups(
     at the modal offset >= ``min_matches``). ``fingerprints`` overrides
     the fingerprint Dataset (e.g. a checkpointed one); default runs
     ``audio_fingerprint_stage(media)``."""
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else audio_fingerprint_stage(media)
+    )
+    return landmark_near_dups(
+        fps,
+        min_matches=min_matches,
+        hash_cap=hash_cap,
+        num_partitions=num_partitions,
+    )
+
+
+def video_near_dups(
+    media,
+    *,
+    min_matches: int = 3,
+    hash_cap: int = 64,
+    num_partitions: int | None = None,
+):
+    """Video near-dup pairs over per-frame perceptual-hash landmarks —
+    the same modal-offset vote as audio (a true copy aligns most frames at
+    one offset; brightness-scaled and frame-shifted copies still align).
+    ``min_matches`` is a FRAME count (clips are short; default 3 aligned
+    frames)."""
+    return landmark_near_dups(
+        video_fingerprint_stage(media),
+        min_matches=min_matches,
+        hash_cap=hash_cap,
+        num_partitions=num_partitions,
+    )
+
+
+def landmark_near_dups(
+    fps,
+    *,
+    min_matches: int = 16,
+    hash_cap: int = 64,
+    num_partitions: int | None = None,
+):
+    """Shared landmark matcher over (vid, h, t) rows — see module doc."""
     import pyarrow.compute as pc
 
     from ..functions.hashing import add_hash_part
     from .lsh import default_num_partitions
 
     P = num_partitions or default_num_partitions()
-    fps = (
-        fingerprints
-        if fingerprints is not None
-        else audio_fingerprint_stage(media)
-    )
 
     def part_by_hash(b: pa.Table) -> pa.Table:
         return add_hash_part(b, ["h"], P)

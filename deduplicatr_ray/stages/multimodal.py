@@ -1065,18 +1065,24 @@ def _gen_ppm(rng) -> bytes:
 
 
 def _gen_y4m(rng) -> bytes:
-    """Deterministic REAL y4m clip: 3-6 frames of drifting gradient+noise,
+    """Deterministic REAL y4m clip: 3-6 frames of a drifting gradient
+    with a PER-CLIP random orientation and channel mix (so distinct clips
+    are structurally distinct, like real footage — not one shared ramp),
     rotating through the 444 / 420jpeg / mono colorspace paths."""
     nf = int(rng.integers(3, 7))
     h, w = int(rng.integers(8, 17)) * 2, int(rng.integers(8, 17)) * 2
-    yy = np.mgrid[0:h, 0:w][0]
+    yy, xx = np.mgrid[0:h, 0:w]
+    ky = int(rng.integers(2, 9)) * (1 if rng.integers(0, 2) else -1)
+    kx = int(rng.integers(-8, 9))
+    mix = rng.uniform(0.25, 1.0, 3)
     frames = []
     for f in range(nf):
-        base = ((yy + 7 * f) * 255 // max(1, h - 1))[..., None] * np.array(
-            [1, 0.3, 0.6]
-        )
-        noise = rng.integers(0, 32, (h, w, 3))
-        frames.append(np.clip(base + noise, 0, 255).astype(np.uint8))
+        base = yy * ky + xx * kx + 9 * f
+        span = max(1, int(base.max() - base.min()))
+        base = (base - base.min()) * 220 // span
+        pix = base[..., None] * mix[None, None, :]
+        noise = rng.integers(0, 12, (h, w, 3))
+        frames.append(np.clip(pix + noise, 0, 255).astype(np.uint8))
     frames = np.stack(frames)
     cs = ["444", "420jpeg", "mono"][int(rng.integers(0, 3))]
     if cs == "mono":

@@ -129,3 +129,119 @@ def test_audio_near_dups_hash_cap_drops_common_landmarks(ray_session):
         rd.from_arrow(rows), min_matches=1, hash_cap=1, num_partitions=2
     ).to_pandas()
     assert len(out) == 0
+
+
+def _y4m_clip(seed=0, nf=6, h=16, w=16, scale=1.0, prepend=0):
+    """Structured moving-gradient clip (real video has structure; flat
+    noise is the documented aHash degenerate case)."""
+    import numpy as np
+
+    from deduplicatr_ray.stages.multimodal import encode_y4m
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    if seed % 2 == 0:  # distinct seeds get distinct gradient orientations
+        yy = yy[::-1]
+        xx = xx[:, ::-1]
+    phase = int(rng.integers(0, 5))
+    frames = []
+    for f in range(nf):
+        # smooth monotone gradients: block means are well-separated, so
+        # the sign-vs-median hash survives brightness scaling + YUV
+        # rounding (flat/periodic content is the documented weak case)
+        # keep the range below saturation so scaling is a pure gain (a
+        # clipped highlight would be a real structural change, not gain),
+        # and use coprime slopes so no two block means tie — a tie AT the
+        # median is the hash's documented instability
+        drift = 4 * f + 2 * phase
+        base = yy * 8 + xx * 3 + drift
+        pix = np.stack([base, base + 10, base + 20], axis=-1)
+        frames.append(
+            np.clip(pix.astype(np.float32) * scale, 0, 255).astype(np.uint8)
+        )
+    if prepend:
+        pre = [
+            np.full((h, w, 3), 32 * (k + 1), np.uint8)
+            for k in range(prepend)
+        ]
+        frames = pre + frames
+    return encode_y4m(np.stack(frames), colorspace="444")
+
+
+def test_video_near_dups_end_to_end(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.audiofp import video_near_dups
+    from deduplicatr_ray.stages.multimodal import MEDIA_SCHEMA, media_vec_id
+
+    rows = pa.table(
+        {
+            "media_id": ["orig", "dim", "shifted", "other", "blob"],
+            "kind": ["video"] * 5,
+            "payload": pa.array(
+                [
+                    _y4m_clip(seed=3),
+                    _y4m_clip(seed=3, scale=0.6),   # brightness-scaled
+                    _y4m_clip(seed=3, prepend=2),   # 2 junk frames prepended
+                    _y4m_clip(seed=8),              # unrelated clip
+                    b"\x00opaque",                  # undecodable: skipped
+                ],
+                pa.binary(),
+            ),
+            "meta": ["{}"] * 5,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = video_near_dups(
+        rd.from_arrow(rows), min_matches=4, num_partitions=4
+    ).to_pandas()
+    ids = {media_vec_id(m): m for m in rows["media_id"].to_pylist()}
+    got = {
+        tuple(sorted((ids[a], ids[b]))) for a, b in zip(out.id_a, out.id_b)
+    }
+    assert got == {
+        ("dim", "orig"), ("orig", "shifted"), ("dim", "shifted"),
+    }
+
+
+def test_video_fingerprint_gif_matches_y4m(ray_session):
+    """The same frames through y4m and animated GIF produce the same
+    perceptual frame hashes (palette-exact pixels), so cross-container
+    video copies pair."""
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.gif import encode_gif
+    from deduplicatr_ray.stages.audiofp import video_near_dups
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_y4m,
+        media_vec_id,
+    )
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    idx = rng.integers(0, 64, (5, 16, 16), dtype=np.uint8)
+    frames_rgb = pal[idx]  # (5, 16, 16, 3) exact in both containers
+    rows = pa.table(
+        {
+            "media_id": ["as_y4m", "as_gif"],
+            "kind": ["video", "video"],
+            "payload": pa.array(
+                [
+                    encode_y4m(frames_rgb, colorspace="444"),
+                    encode_gif(idx, pal),
+                ],
+                pa.binary(),
+            ),
+            "meta": ["{}"] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = video_near_dups(
+        rd.from_arrow(rows), min_matches=4, num_partitions=2
+    ).to_pandas()
+    ids = {media_vec_id(m): m for m in rows["media_id"].to_pylist()}
+    got = {
+        tuple(sorted((ids[a], ids[b]))) for a, b in zip(out.id_a, out.id_b)
+    }
+    assert got == {("as_gif", "as_y4m")}
