@@ -851,13 +851,16 @@ def resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
 class MediaResizeActor:
     """Actor-pool stage: resize image payloads to (target_w, target_h).
 
-    ``decode="real"``: PPM/PGM, 8-bit PNG and uncompressed BMP payloads
-    get a REAL nearest-neighbor resample re-encoded in the same container;
-    codec formats raise ``NotImplementedError``
-    (PIL seam) unless ``fallback=True`` routes them to the stand-in. The
-    stand-in re-encodes the payload to a size proportional to the target
-    area and rewrites the metadata — exercising the Ray-side contract:
-    binary in/out, small batches, meta passthrough."""
+    ``decode="real"``: PPM/PGM, 8-bit PNG, DCT-Huffman JPEG, GIF and
+    uncompressed BMP payloads get a REAL nearest-neighbor resample
+    re-encoded in the same container; codec formats raise
+    ``NotImplementedError`` (PIL seam) unless ``on_error="fallback"``
+    routes them to the stand-in or ``on_error="quarantine"`` passes the
+    payload through untouched with ``decode_ok``/``decode_error`` columns
+    (the production error channel — same contract as the feature actor).
+    The stand-in re-encodes the payload to a size proportional to the
+    target area and rewrites the metadata — exercising the Ray-side
+    contract: binary in/out, small batches, meta passthrough."""
 
     def __init__(
         self,
@@ -865,11 +868,17 @@ class MediaResizeActor:
         target_h: int,
         decode: str = "fake",
         fallback: bool = False,
+        on_error: str | None = None,
     ) -> None:
         if decode not in ("fake", "real"):
             raise ValueError(f"unknown decode mode {decode!r}")
+        if on_error is None:
+            on_error = "fallback" if fallback else "raise"
+        if on_error not in ("raise", "fallback", "quarantine"):
+            raise ValueError(f"unknown on_error mode {on_error!r}")
         self.decode = decode
-        self.fallback = fallback
+        self.fallback = on_error == "fallback"
+        self.quarantine = on_error == "quarantine"
         self.target_w, self.target_h = target_w, target_h
 
     def _resize(self, p: bytes) -> bytes:
@@ -903,6 +912,7 @@ class MediaResizeActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs, metas = [], []
+        errors: list[str | None] = []
         for kind, p, m in zip(
             batch["kind"].to_pylist(),
             batch["payload"].to_pylist(),
@@ -912,19 +922,37 @@ class MediaResizeActor:
             if kind != "image":  # resize transforms images; others pass through
                 outs.append(p)
                 metas.append(m)
+                errors.append(None)
                 continue
             meta = json.loads(m or "{}")
             meta["width"], meta["height"] = self.target_w, self.target_h
-            outs.append(self._resize(p))
-            metas.append(json.dumps(meta, sort_keys=True))
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "payload": pa.array(outs, pa.binary()),
-                "meta": pa.array(metas, pa.string()),
-            }
-        )
+            if self.quarantine:
+                # bad payload: pass through UNRESIZED (original meta) with
+                # the reason, never a dead task or a fake payload
+                try:
+                    outs.append(self._resize(p))
+                    metas.append(json.dumps(meta, sort_keys=True))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine anything
+                    outs.append(p)
+                    metas.append(m)
+                    errors.append(f"{type(e).__name__}: {e}")
+            else:
+                outs.append(self._resize(p))
+                metas.append(json.dumps(meta, sort_keys=True))
+                errors.append(None)
+        cols = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(outs, pa.binary()),
+            "meta": pa.array(metas, pa.string()),
+        }
+        if self.quarantine:
+            cols["decode_ok"] = pa.array(
+                [e is None for e in errors], pa.bool_()
+            )
+            cols["decode_error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
 
 
 def media_resize_stage(
@@ -935,11 +963,14 @@ def media_resize_stage(
     batch_size: int = 64,
     decode: str = "fake",
     fallback: bool = False,
+    on_error: str | None = None,
 ):
     return media.map_batches(
         MediaResizeActor,
         fn_constructor_args=(width, height),
-        fn_constructor_kwargs={"decode": decode, "fallback": fallback},
+        fn_constructor_kwargs={
+            "decode": decode, "fallback": fallback, "on_error": on_error,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -783,3 +783,41 @@ def test_media_near_dups_cross_container(ray_session):
     # the distinct image and the quarantined blobs never pair
     assert {("a_jpg", "a_png"), ("a_jpg", "a_ppm"), ("a_bmp", "a_jpg")} <= loose
     assert not any("b_ppm" in p or "bad" in p[0] or "bad" in p[1] for p in loose)
+
+
+def test_media_resize_quarantine_mode(ray_session):
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_pnm,
+        encode_pnm,
+        media_resize_stage,
+    )
+
+    pix = np.full((6, 6, 3), 90, np.uint8)
+    rows = pa.table(
+        {
+            "media_id": ["good", "bad"],
+            "kind": ["image", "image"],
+            "payload": pa.array(
+                [encode_pnm(pix), b"\xff\xd8\xff corrupt jpeg"], pa.binary()
+            ),
+            "meta": ['{"width":6,"height":6}'] * 2,
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_resize_stage(
+            rd.from_arrow(rows), width=3, height=3, decode="real",
+            on_error="quarantine",
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["good", "decode_ok"])
+    assert decode_pnm(bytes(out.loc["good", "payload"])).shape == (3, 3, 3)
+    assert not bool(out.loc["bad", "decode_ok"])
+    # quarantined payload passes through untouched, original meta kept
+    assert bytes(out.loc["bad", "payload"]) == b"\xff\xd8\xff corrupt jpeg"
+    assert "Error" in str(out.loc["bad", "decode_error"])
