@@ -219,16 +219,37 @@ def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
     return out, i
 
 
+def _geometry(frame):
+    """Per-frame block geometry: MCU grid + per-component padded block
+    grid (bw, bh) and tight (data-bearing) block grid (twt, tht)."""
+    h, w, comps = frame
+    maxh = max(c[1] for c in comps)
+    maxv = max(c[2] for c in comps)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    geo = {}
+    for cid, hf, vf, _qid in comps:
+        cw = -(-(w * hf) // maxh)
+        ch_ = -(-(h * vf) // maxv)
+        geo[cid] = (mcux * hf, mcuy * vf, -(-cw // 8), -(-ch_ // 8))
+    return maxh, maxv, mcux, mcuy, geo
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> (h, w, c) uint8 pixels (c = 1 grayscale or 3 RGB) —
-    REAL baseline-sequential decoding, stdlib + numpy only. Progressive /
-    arithmetic / 12-bit streams raise ``NotImplementedError``."""
+    REAL DCT-Huffman decoding, stdlib + numpy only. Baseline sequential
+    (SOF0/1, any sampling factors, DRI/RSTn) and progressive (SOF2,
+    spectral selection + successive approximation) are both supported;
+    arithmetic-coded / lossless / hierarchical / 12-bit streams raise
+    ``NotImplementedError``."""
     if payload[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG payload (missing SOI)")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None        # (h, w, [(comp_id, hf, vf, qid), ...])
+    store: dict[int, np.ndarray] = {}  # cid -> (nblocks, 64) zigzag coefs
     restart_interval = 0
+    saw_scan = False
     i = 2
     n = len(payload)
     while i < n:
@@ -262,7 +283,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[j + 17 : j + 17 + cnt])
                 htabs[(tc, th)] = _canonical_codes(bits, vals)
                 j += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1: baseline seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -271,11 +292,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, qid = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, qid))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            _, _, _, _, geo = _geometry(frame)
+            store = {
+                cid: np.zeros((bw * bh, 64), np.int32)
+                for cid, (bw, bh, _t, _u) in geo.items()
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline-sequential JPEG (SOF0/SOF1) is supported "
-                f"(found SOF marker 0xFF{marker:02X})"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                f"are supported (found SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
@@ -283,74 +309,178 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise NotImplementedError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = {}  # comp_id -> (dc_table, ac_table)
+            scan = []  # (comp_id, dc_table, ac_table) in SOS order
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tt >> 4, tt & 0xF)
+                scan.append((cid, tt >> 4, tt & 0xF))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             intervals, i = _split_entropy(payload, i)
-            return _decode_scan(
-                frame, scan, qtabs, htabs, intervals, restart_interval
+            _decode_sos(
+                frame, scan, ss, se, a >> 4, a & 0xF,
+                store, htabs, intervals, restart_interval,
             )
+            saw_scan = True
         # APPn/COM/other segments: skipped
-    raise NotImplementedError("JPEG stream ended without a scan")
+    if not saw_scan:
+        raise NotImplementedError("JPEG stream ended without a scan")
+    return _reconstruct(frame, store, qtabs)
 
 
-def _decode_scan(frame, scan, qtabs, htabs, intervals, restart_interval):
-    h, w, comps = frame
-    maxh = max(c[1] for c in comps)
-    maxv = max(c[2] for c in comps)
-    mcux = -(-w // (8 * maxh))
-    mcuy = -(-h // (8 * maxv))
-    n_mcus = mcux * mcuy
-    # per component: list of zigzag coefficient rows, one per block
-    coef: dict[int, list[np.ndarray]] = {c[0]: [] for c in comps}
-    pred: dict[int, int] = {c[0]: 0 for c in comps}
+def _scan_mcus(frame, scan):
+    """Yield the block visit order of one scan: lists of (cid, blk_index)
+    per restart-countable MCU. Interleaved scans (ns > 1) walk the MCU
+    grid with hf x vf blocks per component; single-component scans walk
+    the component's TIGHT block grid (one block per MCU), using the padded
+    grid's row stride for indexing."""
+    _maxh, _maxv, mcux, mcuy, geo = _geometry(frame)
+    comps = {c[0]: c for c in frame[2]}
+    if len(scan) == 1:
+        cid = scan[0][0]
+        bw, _bh, twt, tht = geo[cid]
+        for r in range(tht):
+            for c in range(twt):
+                yield [(cid, r * bw + c)]
+        return
+    for my in range(mcuy):
+        for mx in range(mcux):
+            group = []
+            for cid, _dc, _ac in scan:
+                _, hf, vf, _qid = comps[cid]
+                bw = geo[cid][0]
+                for by in range(vf):
+                    for bx in range(hf):
+                        group.append(
+                            (cid, (my * vf + by) * bw + (mx * hf + bx))
+                        )
+            yield group
+
+
+def _refine_ac(rdr, ac_t, row, ss, se, al, eobrun):
+    """Successive-approximation AC refinement for one block (spec
+    G.1.2.3; the correction-bit walk libjpeg's jdphuff implements).
+    Returns the remaining EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients below
+            else:
+                if s != 1:
+                    raise NotImplementedError("invalid JPEG AC refine size")
+                val = p1 if rdr.read(1) else m1
+            while k <= se:
+                if row[k] != 0:
+                    if rdr.read(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                if rdr.read(1) and (row[k] & p1) == 0:
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_sos(frame, scan, ss, se, ah, al, store, htabs, intervals, ri):
+    """Decode one entropy-coded scan into the zigzag coefficient store.
+    Baseline is the ss=0, se=63, ah=al=0 special case; progressive scans
+    carry a spectral band + successive-approximation bit position."""
+    if ss > 0 and len(scan) > 1:
+        raise NotImplementedError("interleaved JPEG AC scan")
+    tabs = {}
+    for cid, dc_id, ac_id in scan:
+        dc_t = htabs.get((0, dc_id))
+        ac_t = htabs.get((1, ac_id))
+        if (ss == 0 and ah == 0 and dc_t is None) or (se > 0 and ac_t is None):
+            raise NotImplementedError("JPEG scan references missing DHT")
+        tabs[cid] = (dc_t, ac_t)
+    pred = {c[0]: 0 for c in scan}
+    eobrun = 0
     rdr = _BitReader(intervals[0])
     seg_idx = 0
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
+    for m, group in enumerate(_scan_mcus(frame, scan)):
+        if ri and m and m % ri == 0:
             seg_idx += 1
             if seg_idx >= len(intervals):
                 raise NotImplementedError("JPEG missing restart interval data")
             rdr = _BitReader(intervals[seg_idx])
-            pred = {c[0]: 0 for c in comps}
-        for cid, hf, vf, _q in comps:
-            dc_t = htabs.get((0, scan[cid][0]))
-            ac_t = htabs.get((1, scan[cid][1]))
-            if dc_t is None or ac_t is None:
-                raise NotImplementedError("JPEG scan references missing DHT")
-            for _b in range(hf * vf):
-                blk = np.zeros(64, np.int32)
-                size = rdr.decode(dc_t)
-                pred[cid] += _extend(rdr.read(size), size)
-                blk[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = rdr.decode(ac_t)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL: 16 zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise NotImplementedError("JPEG AC run overflow")
-                    blk[k] = _extend(rdr.read(s), s)
-                    k += 1
-                coef[cid].append(blk)
-    # vectorized reconstruction per component
+            pred = {c[0]: 0 for c in scan}
+            eobrun = 0
+        for cid, blk in group:
+            row = store[cid][blk]
+            dc_t, ac_t = tabs[cid]
+            if ss == 0:
+                if ah == 0:  # DC first (baseline, or progressive Al-shifted)
+                    size = rdr.decode(dc_t)
+                    pred[cid] += _extend(rdr.read(size), size)
+                    row[0] = pred[cid] << al
+                elif rdr.read(1):  # DC refinement: one raw bit per block
+                    row[0] |= 1 << al
+            kstart = max(ss, 1)
+            if se < kstart:
+                continue
+            if ah != 0:
+                eobrun = _refine_ac(rdr, ac_t, row, kstart, se, al, eobrun)
+                continue
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = kstart
+            while k <= se:
+                rs = rdr.decode(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOB run of 2^r (+ appended bits) blocks
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.read(r)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise NotImplementedError("JPEG AC run overflow")
+                row[k] = _extend(rdr.read(s), s) << al
+                k += 1
+
+
+def _reconstruct(frame, store, qtabs):
+    """Zigzag coefficient store -> pixels: dequantize, vectorized IDCT over
+    every block at once, plane assembly, chroma upsample, YCbCr->RGB."""
+    h, w, comps = frame
+    maxh, maxv, _mcux, _mcuy, geo = _geometry(frame)
     planes = []
     for cid, hf, vf, qid in comps:
-        zz = np.stack(coef[cid])  # (nblocks, 64) in zigzag order
-        dq = zz * qtabs[qid][None, :]
+        bw, bh, _twt, _tht = geo[cid]
+        if qid not in qtabs:
+            raise NotImplementedError("JPEG frame references missing DQT")
+        dq = store[cid] * qtabs[qid][None, :]
         blocks = _idct_blocks(
             dq[:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64)
         )
         px = np.clip(np.round(blocks) + 128, 0, 255).astype(np.uint8)
-        # blocks are ordered MCU-major, then vf rows x hf cols inside the MCU
-        px = px.reshape(mcuy, mcux, vf, hf, 8, 8)
-        plane = px.transpose(0, 2, 4, 1, 3, 5).reshape(mcuy * vf * 8, mcux * hf * 8)
+        # store is raster-ordered over the padded (bh, bw) block grid
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
+            bh * 8, bw * 8
+        )
         # upsample to full luma grid, crop to image size
         plane = np.repeat(np.repeat(plane, maxv // vf, 0), maxh // hf, 1)
         planes.append(plane[:h, :w])
@@ -411,16 +541,23 @@ def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
     return ql.astype(np.int32), qc.astype(np.int32)
 
 
-def _encode_block(wtr, zz, pred, dc_codes, ac_codes) -> int:
-    """Huffman-encode one zigzag block; returns the new DC predictor."""
-    diff = int(zz[0]) - pred
+def _encode_dc(wtr, dcval, pred, dc_codes) -> int:
+    """Huffman-encode one DPCM DC value; returns the new predictor."""
+    diff = int(dcval) - pred
     size = int(diff != 0 and int(abs(diff)).bit_length())
     code, ln = dc_codes[size]
     wtr.write(code, ln)
     if size:
         wtr.write(diff if diff > 0 else diff + (1 << size) - 1, size)
-    nz = np.nonzero(zz[1:])[0]
-    last = 0
+    return int(dcval)
+
+
+def _encode_ac_band(wtr, zz, ac_codes, kstart: int = 1, kend: int = 63) -> None:
+    """Huffman-encode the AC band [kstart, kend] of one zigzag block
+    (baseline full band, or a progressive spectral-selection band; the
+    trailing EOB doubles as a progressive EOB run of one)."""
+    nz = kstart + np.nonzero(zz[kstart : kend + 1])[0]
+    last = kstart
     for idx in nz:
         run = int(idx) - last
         last = int(idx) + 1
@@ -428,15 +565,21 @@ def _encode_block(wtr, zz, pred, dc_codes, ac_codes) -> int:
             code, ln = ac_codes[0xF0]
             wtr.write(code, ln)
             run -= 16
-        v = int(zz[1 + idx])
+        v = int(zz[idx])
         s = int(abs(v)).bit_length()
         code, ln = ac_codes[(run << 4) | s]
         wtr.write(code, ln)
         wtr.write(v if v > 0 else v + (1 << s) - 1, s)
-    if last < 63:
+    if last <= kend:
         code, ln = ac_codes[0x00]  # EOB
         wtr.write(code, ln)
-    return int(zz[0])
+
+
+def _encode_block(wtr, zz, pred, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzag block; returns the new DC predictor."""
+    pred = _encode_dc(wtr, zz[0], pred, dc_codes)
+    _encode_ac_band(wtr, zz, ac_codes)
+    return pred
 
 
 def encode_jpeg(
@@ -445,13 +588,16 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 -> baseline JPEG bytes
+    """(h, w, 3) RGB or (h, w, 1)/(h, w) gray uint8 -> JPEG bytes
     (spec Annex K Huffman tables; inverse seam of decode_jpeg).
     ``subsampling``: ``"444"`` or ``"420"`` (2x2 box-averaged chroma,
     interleaved 4-Y-block MCUs). ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs — together these exercise every decoder
-    path hermetically."""
+    markers every that many MCUs. ``progressive`` emits an SOF2 stream
+    (interleaved Al=1 DC scan, per-component spectral AC scans, DC
+    refinement scan — hermetic coverage of the progressive decode paths;
+    444 only). Together these exercise every decoder path."""
     if pixels.ndim == 2:
         pixels = pixels[..., None]
     h, w, c = pixels.shape
@@ -459,6 +605,8 @@ def encode_jpeg(
         raise ValueError("encode_jpeg takes 1- or 3-channel pixels")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if progressive and (subsampling != "444" or restart_interval):
+        raise ValueError("progressive encoding supports 444 without restarts")
     ql, qc = _quality_tables(quality)
     sub = 2 if (subsampling == "420" and c == 3) else 1
     if c == 3:
@@ -490,7 +638,8 @@ def encode_jpeg(
     ac_enc = [_encode_codes(*_HUFF_AC_LUMA), _encode_codes(*_HUFF_AC_CHROMA)]
     qts = [ql, qc]
     # quantized zigzag blocks per component, MCU-major (my, mx, by, bx) —
-    # the exact order _decode_scan consumes (edge-replicated padding)
+    # the scan visit order the decoder walks (edge-replicated padding);
+    # with 1x1 factors this equals the component's raster block order
     comp_zz = []
     for plane, qid, (hf, vf) in zip(planes, qids, factors):
         th_, tw_ = mcuy * vf * 8, mcux * hf * 8
@@ -507,28 +656,15 @@ def encode_jpeg(
         coefs = _dct_blocks(blocks - 128.0).reshape(-1, 64)[:, _ZIGZAG]
         q = qts[qid][None, :].astype(np.float64)
         comp_zz.append(np.round(coefs / q).astype(np.int32))
-    wtr = _BitWriter()
-    preds = [0] * c
-    rst = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            wtr.marker(0xD0 + rst % 8)
-            rst += 1
-            preds = [0] * c
-        for ci, (hf, vf) in enumerate(factors):
-            base = m * hf * vf
-            for b in range(hf * vf):
-                preds[ci] = _encode_block(
-                    wtr,
-                    comp_zz[ci][base + b],
-                    preds[ci],
-                    dc_enc[tids[ci]],
-                    ac_enc[tids[ci]],
-                )
-    entropy = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_seg(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, tids[ci] << 4 | tids[ci]])
+        return seg(0xDA, body + bytes([ss, se, ah << 4 | al]))
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)))
@@ -537,7 +673,7 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, c)
     for ci, (hf, vf) in enumerate(factors):
         sof += bytes([ci + 1, hf << 4 | vf, qids[ci]])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     tables = [((0, 0), _HUFF_DC_LUMA), ((1, 0), _HUFF_AC_LUMA)]
     if c == 3:
         tables += [((0, 1), _HUFF_DC_CHROMA), ((1, 1), _HUFF_AC_CHROMA)]
@@ -545,11 +681,59 @@ def encode_jpeg(
         out += seg(0xC4, bytes([tc << 4 | th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([c])
-    for ci in range(c):
-        sos += bytes([ci + 1, tids[ci] << 4 | tids[ci]])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
-    out += entropy
+
+    n_blocks = mcux * mcuy  # per component in 444/gray (1x1 factors)
+    if progressive:
+        # scan 1: interleaved DC first at Al=1 (arithmetic >> keeps sign)
+        wtr = _BitWriter()
+        preds = [0] * c
+        for bi in range(n_blocks):
+            for ci in range(c):
+                preds[ci] = _encode_dc(
+                    wtr, int(comp_zz[ci][bi][0]) >> 1, preds[ci],
+                    dc_enc[tids[ci]],
+                )
+        out += sos_seg(list(range(c)), 0, 0, 0, 1)
+        out += wtr.flush()
+        # per-component spectral AC scans (split band for the luma, the
+        # same shape libjpeg's default progression uses)
+        bands = [(1, 8), (9, 63)] if c == 3 else [(1, 63)]
+        for ci in range(c):
+            for ss, se in bands if ci == 0 else [(1, 63)]:
+                wtr = _BitWriter()
+                for bi in range(n_blocks):
+                    _encode_ac_band(
+                        wtr, comp_zz[ci][bi], ac_enc[tids[ci]], ss, se
+                    )
+                out += sos_seg([ci], ss, se, 0, 0)
+                out += wtr.flush()
+        # final scan: interleaved DC refinement (the Al=1 scan's low bit)
+        wtr = _BitWriter()
+        for bi in range(n_blocks):
+            for ci in range(c):
+                wtr.write(int(comp_zz[ci][bi][0]) & 1, 1)
+        out += sos_seg(list(range(c)), 0, 0, 1, 0)
+        out += wtr.flush()
+    else:
+        wtr = _BitWriter()
+        preds = [0] * c
+        rst = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                wtr.marker(0xD0 + rst % 8)
+                rst += 1
+                preds = [0] * c
+            for ci, (hf, vf) in enumerate(factors):
+                base = m * hf * vf
+                for b in range(hf * vf):
+                    preds[ci] = _encode_block(
+                        wtr,
+                        comp_zz[ci][base + b],
+                        preds[ci],
+                        dc_enc[tids[ci]],
+                        ac_enc[tids[ci]],
+                    )
+        out += sos_seg(list(range(c)), 0, 63, 0, 0)
+        out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)

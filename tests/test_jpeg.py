@@ -81,13 +81,61 @@ def test_unsupported_variants_raise():
     grad = _gradient(16, 16)
     payload = bytearray(encode_jpeg(grad))
     sof = payload.index(b"\xff\xc0")
-    payload[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    payload[sof + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic coding)
+    with pytest.raises(NotImplementedError, match="SOF marker"):
         decode_jpeg(bytes(payload))
     with pytest.raises(ValueError):
         encode_jpeg(grad, subsampling="422")
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+    with pytest.raises(ValueError):  # progressive is 444-only, no restarts
+        encode_jpeg(grad, progressive=True, subsampling="420")
+    with pytest.raises(ValueError):
+        encode_jpeg(grad, progressive=True, restart_interval=2)
+
+
+def test_progressive_roundtrip_identical_to_baseline():
+    """The progressive scan script carries the SAME quantized coefficients
+    as baseline (DC split Al=1 + refine, split spectral AC bands), so the
+    reconstruction must be bit-identical."""
+    grad = _gradient(33, 41)
+    base = decode_jpeg(encode_jpeg(grad, quality=95))
+    prog = decode_jpeg(encode_jpeg(grad, quality=95, progressive=True))
+    assert (base == prog).all()
+    gray = grad[..., 0]
+    bg = decode_jpeg(encode_jpeg(gray, quality=95))
+    pg = decode_jpeg(encode_jpeg(gray, quality=95, progressive=True))
+    assert (bg == pg).all()
+
+
+def test_progressive_noise_roundtrip():
+    # dense AC coefficients stress ZRL/EOB paths in the band scans
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(noise, quality=95))
+    prog = decode_jpeg(encode_jpeg(noise, quality=95, progressive=True))
+    assert (base == prog).all()
+
+
+def test_decodes_progressive_system_jpegs():
+    """Real libjpeg progressive streams, including AC successive
+    approximation (Al=1 first scans + Ah=1 refinement scans) the hermetic
+    encoder does not emit. Content is known (white stripes): the decode
+    must land near-white, and a refine-path bug would produce noise."""
+    import os
+
+    path = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no progressive system fixture present")
+    pix = decode_jpeg(open(path, "rb").read())
+    assert pix.shape == (312, 493, 3)
+    assert pix.mean() > 245
+    assert (pix[150:160, 240:250] == 255).all()  # stripe interior is white
+    thin = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(thin):
+        pix = decode_jpeg(open(thin, "rb").read())
+        assert pix.shape == (58, 493, 3)
+        assert pix.mean() > 200
 
 
 def test_decodes_independent_system_jpegs():
