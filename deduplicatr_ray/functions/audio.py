@@ -80,7 +80,13 @@ def fingerprints(
 
     Each peak pairs with up to ``fanout`` subsequent peaks within
     ``max_dt`` frames; hash packs (f1, f2, dt) — 9+9+5 bits, collision
-    -free for n_fft <= 1024."""
+    -free for n_fft <= 512 (bin index max n_fft//2 must fit 9 bits;
+    at n_fft=1024 bin 512 would overflow f2 into f1's field)."""
+    if n_fft > 512:
+        raise ValueError(
+            f"n_fft={n_fft}: bin indices exceed the 9-bit hash field; "
+            "use n_fft <= 512"
+        )
     spec = spectrogram(samples, n_fft=n_fft, hop=hop)
     t, f = _peaks(spec)
     order = np.lexsort((f, t))

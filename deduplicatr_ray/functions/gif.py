@@ -172,6 +172,14 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, np.ndarray]:
         elif block == 0x2C:  # image descriptor
             left, top, iw, ih, ipacked = struct.unpack_from("<HHHHB", payload, i)
             i += 9
+            if left + iw > w or top + ih > h:
+                # structural corruption: the frame region must stay inside
+                # the logical screen, else the canvas assignment below would
+                # silently slice-truncate / shape-mismatch
+                raise NotImplementedError(
+                    f"GIF image descriptor {iw}x{ih}@({left},{top}) exceeds "
+                    f"logical screen {w}x{h}"
+                )
             pal = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 7)

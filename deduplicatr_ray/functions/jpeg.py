@@ -2,11 +2,12 @@
 
 REAL decoding for the single most common web-image codec, so a multimodal
 corpus of actual JPEG payloads runs through the media stages without the
-deterministic fallback. Scope: baseline DCT sequential (SOF0), 8-bit,
-1- or 3-component (grayscale / YCbCr), any sampling factors, restart
-markers (DRI/RSTn) supported. Progressive (SOF2), arithmetic coding,
-12-bit and hierarchical modes raise ``NotImplementedError`` naming the
-variant — the dispatch contract the media actors rely on.
+deterministic fallback. Scope: baseline DCT sequential (SOF0) AND progressive (SOF2, spectral
+selection + successive approximation), 8-bit, 1- or 3-component
+(grayscale / YCbCr), integer-ratio sampling factors, restart markers
+(DRI/RSTn) supported. Arithmetic coding, 12-bit and hierarchical modes
+raise ``NotImplementedError`` naming the variant — the dispatch
+contract the media actors rely on.
 
 The entropy decode is table-driven Python (inherently bit-serial); the
 numeric heavy lifting — dezigzag, dequantize, 2-D IDCT over all blocks at
@@ -482,6 +483,12 @@ def _reconstruct(frame, store, qtabs):
             bh * 8, bw * 8
         )
         # upsample to full luma grid, crop to image size
+        if maxv % vf or maxh % hf:
+            # e.g. 3:2 factors — legal per spec but the np.repeat
+            # integer-ratio upsample below can't express it
+            raise NotImplementedError(
+                f"JPEG non-integer sampling ratio {maxh}:{hf} x {maxv}:{vf}"
+            )
         plane = np.repeat(np.repeat(plane, maxv // vf, 0), maxh // hf, 1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:

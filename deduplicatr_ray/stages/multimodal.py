@@ -894,9 +894,11 @@ class MediaResizeActor:
                     return resize_gif(p, self.target_w, self.target_h)
                 if p[:2] == b"BM":
                     return resize_bmp(p, self.target_w, self.target_h)
-            except NotImplementedError:
-                # e.g. arithmetic-coded JPEG, truncated header: only the
-                # fallback stand-in can absorb it
+            except Exception:  # noqa: BLE001 — corrupt payloads raise
+                # anything (truncated GIF -> ValueError, bad zlib stream ->
+                # zlib.error, arithmetic JPEG -> NotImplementedError); in
+                # fallback mode ALL of them route to the stand-in, matching
+                # MediaFeatureActor._feature
                 if not self.fallback:
                     raise
         if self.decode == "real" and not self.fallback:
@@ -1008,16 +1010,29 @@ def frame_sample_stage(
         ]
 
     def _frames(payload: bytes) -> list[bytes]:
-        if decode == "real" and payload[:9] == _Y4M_SIG:
-            return y4m_frames_png(payload, every_n=every_n, max_frames=max_frames)
-        if decode == "real" and payload[:4] == _GIF_SIG:
-            from ..functions.gif import decode_gif
+        if decode == "real" and (
+            payload[:9] == _Y4M_SIG or payload[:4] == _GIF_SIG
+        ):
+            # a truncated stream can match the magic yet raise mid-decode
+            # (ValueError from a short buffer, zlib.error, ...): with
+            # fallback=True every decode failure routes to the stand-in,
+            # matching MediaFeatureActor._feature
+            try:
+                if payload[:9] == _Y4M_SIG:
+                    return y4m_frames_png(
+                        payload, every_n=every_n, max_frames=max_frames
+                    )
+                from ..functions.gif import decode_gif
 
-            frames, _alpha = decode_gif(payload)
-            return [
-                encode_png(np.ascontiguousarray(f))
-                for f in frames[::every_n][:max_frames]
-            ]
+                frames, _alpha = decode_gif(payload)
+                return [
+                    encode_png(np.ascontiguousarray(f))
+                    for f in frames[::every_n][:max_frames]
+                ]
+            except Exception:  # noqa: BLE001 — corrupt payload
+                if not fallback:
+                    raise
+                return _fake_frames(payload)
         if decode == "real" and not fallback:
             raise NotImplementedError(
                 "codec-container frame sampling needs ffmpeg — the "

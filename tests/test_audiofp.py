@@ -245,3 +245,11 @@ def test_video_fingerprint_gif_matches_y4m(ray_session):
         tuple(sorted((ids[a], ids[b]))) for a, b in zip(out.id_a, out.id_b)
     }
     assert got == {("as_gif", "as_y4m")}
+
+
+def test_fingerprints_reject_overflowing_n_fft():
+    # n_fft=1024 yields bin indices up to 512, overflowing the 9-bit f2
+    # field into f1 — distinct landmarks would alias; must be rejected
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="9-bit"):
+        fingerprints(rng.standard_normal(4096).astype(np.float32), n_fft=1024)

@@ -109,3 +109,15 @@ def test_decodes_independent_system_gifs():
         assert frames.shape[0] >= 1
         checked += 1
     assert checked > 0
+
+
+def test_descriptor_exceeding_screen_raises_named_error():
+    # structural corruption: frame region outside the logical screen must
+    # raise the module's NotImplementedError contract, not a raw
+    # IndexError/ValueError that escapes the media fallback handlers
+    pal = _pal(4)
+    idx = np.zeros((1, 4, 4), np.uint8)
+    payload = bytearray(encode_gif(idx, pal))
+    struct.pack_into("<HH", payload, 6, 2, 2)  # shrink logical screen to 2x2
+    with pytest.raises(NotImplementedError, match="logical screen"):
+        decode_gif(bytes(payload))

@@ -170,3 +170,15 @@ def test_decodes_independent_system_jpegs():
         found += 1
     if not found:
         pytest.skip("no system JPEG fixtures present")
+
+
+def test_non_integer_sampling_ratio_raises_named_error():
+    # legal-per-spec 3:2 factors the np.repeat upsample can't express must
+    # raise the module's NotImplementedError, not a np.stack shape crash
+    from deduplicatr_ray.functions.jpeg import _reconstruct
+
+    frame = (16, 16, [(1, 3, 3, 0), (2, 2, 2, 0), (3, 2, 2, 0)])
+    store = {1: np.zeros((9, 64)), 2: np.zeros((4, 64)), 3: np.zeros((4, 64))}
+    qtabs = {0: np.ones(64, np.int32)}
+    with pytest.raises(NotImplementedError, match="sampling ratio"):
+        _reconstruct(frame, store, qtabs)

@@ -821,3 +821,64 @@ def test_media_resize_quarantine_mode(ray_session):
     # quarantined payload passes through untouched, original meta kept
     assert bytes(out.loc["bad", "payload"]) == b"\xff\xd8\xff corrupt jpeg"
     assert "Error" in str(out.loc["bad", "decode_error"])
+
+
+def test_truncated_gif_routes_to_fallback_not_task_death(ray_session):
+    """A payload whose magic matches but whose body is truncated raises a
+    non-NotImplementedError (e.g. ValueError from a short buffer) mid-decode.
+    With fallback=True BOTH the resize and frame-sample stages must route it
+    to the deterministic stand-in — never kill the Ray task."""
+    import ray.data as rd
+
+    from deduplicatr_ray.functions.gif import encode_gif
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        frame_sample_stage,
+        media_resize_stage,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (3, 16, 16), dtype=np.uint8)
+    good = encode_gif(idx, pal)
+    truncated = good[: len(good) // 2]  # magic intact, body cut
+
+    img_rows = pa.table(
+        {
+            "media_id": ["trunc"],
+            "kind": ["image"],
+            "payload": pa.array([truncated], pa.binary()),
+            "meta": ["{}"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = media_resize_stage(
+        rd.from_arrow(img_rows), width=8, height=8, decode="real", fallback=True
+    ).to_pandas()
+    assert len(out) == 1  # stand-in bytes, task alive
+    assert len(bytes(out.payload.iloc[0])) >= 16
+
+    vid_rows = pa.table(
+        {
+            "media_id": ["trunc_vid", "good_vid"],
+            "kind": ["video", "video"],
+            "payload": pa.array([truncated, good], pa.binary()),
+            "meta": ["{}", "{}"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    frames = frame_sample_stage(
+        rd.from_arrow(vid_rows), decode="real", fallback=True, max_frames=3
+    ).to_pandas()
+    # good GIF really decodes (3 frames); truncated one falls back to slices
+    assert (frames[frames.media_id == "good_vid"].frame_idx.tolist() == [0, 1, 2])
+    assert len(frames[frames.media_id == "trunc_vid"]) >= 1
+
+    # without fallback the corruption surfaces as a real exception
+    import pytest as _pytest
+    import ray.exceptions
+
+    with _pytest.raises(Exception):
+        frame_sample_stage(
+            rd.from_arrow(vid_rows), decode="real", fallback=False
+        ).to_pandas()
