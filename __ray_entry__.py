@@ -632,6 +632,82 @@ def q_charlm_quality(sf_dir: str):
     return charlm_quality(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _fingerprint_oracle_sql(w: int = 25, guarantee_len: int = 50) -> str:
+    """DuckDB replica of ``fingerprint_counts`` (r4 verdict item 4): the
+    winnowed rolling-hash fingerprint count per doc, computed UDF-free.
+
+    The Ray side hashes utf-8 BYTES (``rolling_window_hashes``); the sf
+    corpora are pure ASCII, so ``ascii(substr(...))`` reproduces the bytes
+    exactly. The uint64 wraparound arithmetic (polynomial accumulate +
+    splitmix64 finalizer) runs in HUGEINT with explicit ``% 2^64``;
+    64x64-bit products are split hi32/lo32 so no intermediate exceeds
+    HUGEINT range. Winnowing selects the min hash of every
+    ``guarantee_len - w + 1`` consecutive window hashes; since only
+    DISTINCT selected values are counted, tie-breaking (rightmost-min)
+    cannot change the result — a plain sliding-window MIN suffices."""
+    from deduplicatr_ray.functions.hashing import _SM_GAMMA, _SM_M1, _SM_M2
+    from deduplicatr_ray.functions.textstats import _B
+
+    win = guarantee_len - w + 1
+    m64 = 1 << 64
+    m32 = 1 << 32
+    powers = [1] * w
+    for j in range(w - 2, -1, -1):
+        powers[j] = (powers[j + 1] * int(_B)) % m64
+
+    def mulmod(a: str, b: int) -> str:
+        # (a * b) % 2^64 with a < 2^64: hi/lo 32-bit split keeps every
+        # intermediate under 2^97 (HUGEINT max is 2^127 - 1)
+        return (
+            f"((((({a}) // {m32}) * {b}::HUGEINT) % {m32}) * {m32} "
+            f"+ (({a}) % {m32}) * {b}::HUGEINT) % {m64}::HUGEINT"
+        )
+
+    def xor64(a: str, b: str) -> str:
+        return f"xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))::HUGEINT"
+
+    poly = " + ".join(
+        f"ascii(substr(text, pos + {j}, 1))::HUGEINT * {powers[j]}::HUGEINT"
+        for j in range(w)
+    )
+    return f"""
+        WITH win AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, length(text) - {w - 1})) AS pos,
+                 text
+          FROM documents WHERE length(text) >= {w}
+        ), h0 AS (
+          SELECT doc_id, pos,
+                 (({poly}) % {m64}::HUGEINT + {int(_SM_GAMMA)}::HUGEINT)
+                   % {m64}::HUGEINT AS z0
+          FROM win
+        ), h1 AS (
+          SELECT doc_id, pos,
+                 {mulmod(xor64('z0', f'z0 // {1 << 30}'), int(_SM_M1))} AS z1
+          FROM h0
+        ), h2 AS (
+          SELECT doc_id, pos,
+                 {mulmod(xor64('z1', f'z1 // {1 << 27}'), int(_SM_M2))} AS z2
+          FROM h1
+        ), h AS (
+          SELECT doc_id, pos, {xor64('z2', f'z2 // {1 << 31}')} AS hash,
+                 count(*) OVER (PARTITION BY doc_id) AS m
+          FROM h2
+        ), sel AS (
+          SELECT doc_id,
+                 min(hash) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {win - 1} PRECEDING AND CURRENT ROW) AS fp,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+                 m
+          FROM h
+        )
+        SELECT doc_id, count(DISTINCT fp) AS n_fingerprints
+        FROM sel
+        WHERE m <= {win} AND rn = m OR m > {win} AND rn >= {win}
+        GROUP BY doc_id
+    """
+
+
 def _pii_oracle_sql() -> str:
     """Oracle built from the SAME RE2 patterns the Ray stage compiles —
     one source of truth, so pattern drift is impossible."""
@@ -1024,6 +1100,98 @@ def q_dedup_clusters(sf_dir: str):
     return _clusters(sf_dir)
 
 
+def _exact_corpus_docs(sf_dir: str):
+    """documents with text replaced by 8 md5-derived hex words: equality
+    classes are PRESERVED exactly (same text <-> same md5) while every
+    near-dup relation is destroyed (distinct texts share zero word
+    shingles), so flagship cluster output over this corpus provably equals
+    exact-hash grouping — the r4-verdict trick that makes the full
+    signatures -> band shuffle -> union-find -> assignment chain
+    SQL-oracle-checkable. The synthesis is reproduced verbatim in the
+    oracle via DuckDB ``md5()`` (both sides: lowercase 32-hex)."""
+    import pyarrow as pa
+
+    def synth(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            m = hashlib.md5((t or "").encode()).hexdigest()
+            out.append(" ".join(m[i : i + 4] for i in range(0, 32, 4)))
+        return b.set_column(
+            b.column_names.index("text"), "text", pa.array(out, pa.string())
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_clusters_exact_corpus(sf_dir: str):
+    """Flagship end-to-end with a FULL SQL oracle (r4 verdict item 4):
+    ``dedup_pipeline`` over the md5-word corpus (see ``_exact_corpus_docs``)
+    must assign exactly the md5-partition clusters — hash-compared against
+    ``min(doc_id-as-string) OVER (PARTITION BY md5(text))`` in DuckDB.
+    Externally verifies the band shuffle, union-find and assignment
+    machinery, complementing the golden-pinned ``dedup_clusters`` whose
+    near-dup output SQL cannot express."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+    from deduplicatr_ray.sources.pages import _docs_to_pages_batch
+
+    pages = _exact_corpus_docs(sf_dir).map_batches(
+        _docs_to_pages_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clusters = dedup_pipeline(pages).clusters
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(b["url"], 6), pa.int64()
+                ),
+                # cluster_id = lexicographic-min member url; the oracle
+                # reproduces the same string-min over CAST(doc_id AS VARCHAR)
+                "canonical_id": pc.cast(
+                    pc.utf8_slice_codeunits(b["cluster_id"], 6), pa.int64()
+                ),
+                "cluster_size": b["cluster_size"],
+            }
+        )
+
+    return clusters.map_batches(
+        out, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_dedup_against_exact_corpus(sf_dir: str):
+    """Cross-corpus ``dedup_against`` with a FULL SQL oracle: over the
+    md5-word corpus (near-dup-free by construction) an odd-doc_id NEW doc
+    is flagged iff an even-doc_id EXISTING doc shares its md5 — the
+    union-pipeline + per-cluster-verdict machinery hash-checked end to end
+    (the production ``dedup_against`` query stays golden-pinned)."""
+    import functools
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from deduplicatr_ray.pipelines.against import dedup_against
+
+    def parity(b: pa.Table, keep: int) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], pa.scalar(1)), keep)
+        )
+
+    docs = _exact_corpus_docs(sf_dir)
+    existing = docs.map_batches(
+        functools.partial(parity, keep=0), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        functools.partial(parity, keep=1), batch_format="pyarrow"
+    )
+    return dedup_against(new, existing)
+
+
 # session-scoped memo of the materialized verified-pair set per sf_dir:
 # minhash/simhash/ngram queries are FILTERS/JOINS over the same pair table,
 # so the signature+band pipeline runs once per session, not once per query
@@ -1316,17 +1484,29 @@ def q_training_export(sf_dir: str):
 
 
 def q_semdedup_pairs(sf_dir: str):
-    """SemDeDup: k-means-bucketed embedding near-dup pairs (the
-    sub-quadratic semantic-dedup path; within-cluster exact cosine).
-    Threshold 0.4 matches ``embedding_dups`` (this testdata's similarity
-    range tops out ~0.51); production would use ~0.9+. Output is a strict
-    subset of ``embedding_dups``; on THIS testdata the embeddings are
-    near-uniform (no semantic clusters), so cross-cell recall is low by
-    construction — ``test_semdedup_*`` measures recall >= 0.8 on a
+    """SemDeDup in its SQL-verifiable configuration (r4 verdict item 4):
+    ``ncells=1`` puts every vector in one k-means cell, so nothing is
+    pruned and the output provably equals exact all-pairs cosine — the
+    full train/assign/within-cell-pair machinery runs and is hash-compared
+    against the brute-force cosine SQL oracle (same shape as
+    ``embedding_dups``). The production multi-cell pruning path is
+    ``semdedup_cells`` (golden-pinned) and recall-gated on a clustered
+    fixture in ``test_semdedup_*``."""
+    from deduplicatr_ray.stages.similarity import semdedup_pairs
+
+    return semdedup_pairs(_embeddings(sf_dir), threshold=0.4, ncells=1)
+
+
+def q_semdedup_cells(sf_dir: str):
+    """SemDeDup production configuration: 16 k-means cells, within-cell
+    exact cosine — the sub-quadratic semantic-dedup path. Output is a
+    strict subset of ``embedding_dups``; on THIS testdata the embeddings
+    are near-uniform (no semantic clusters), so cross-cell recall is low
+    by construction — ``test_semdedup_*`` measures recall >= 0.8 on a
     clustered fixture, which is the regime SemDeDup is for."""
     from deduplicatr_ray.stages.similarity import semdedup_pairs
 
-    return semdedup_pairs(_embeddings(sf_dir), threshold=0.4)
+    return semdedup_pairs(_embeddings(sf_dir), threshold=0.4, ncells=16)
 
 
 def q_token_chunks(sf_dir: str):
@@ -1778,22 +1958,75 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Insertion order matters: the driver's correctness gate checks only the
-    # FIRST 50 entries, so the flagship dedup family and the other headline
-    # LLM-data-pipeline operators come first (r3 verdict item 1 asked for
-    # exactly this ordering). The queries past the window are NOT
-    # unverified: tools/check_oracles.py runs EVERY entry (85 queries, 68
-    # SQL-matched + 17 golden-pinned) and is the repo's own regression
-    # gate; the driver window only selects which subset the external
-    # report re-verifies. When adding a query above this marker, remember
-    # it pushes the 50th entry out of the external window — run the local
-    # gate to keep full coverage honest.
+    # FIRST 50 entries. Round-5 rotation (r4 verdict item 1): the window now
+    # leads with six flagship regression anchors, then the round-5 SQL-oracle
+    # conversions, then EVERY query that had never appeared in a driver
+    # CORRECTNESS file (media/audio/video, paragraph, DSIR, tiers, against,
+    # reservoir), then the least-recently-checked families (r02/r03). The
+    # r04-green queries move past the window — they are NOT unverified:
+    # tools/check_oracles.py runs EVERY entry (97 queries: 74 SQL-matched +
+    # 23 golden-pinned) and is the repo's own regression gate; the driver
+    # window only selects which subset the external report re-verifies.
     return {
-        # -- flagship near-dup / exact-dup family ---------------------------
+        # -- flagship regression anchors (every round) -----------------------
         "dedup_clusters": q_dedup_clusters,
-        "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
+        "wminhash_near_dups": q_wminhash_near_dups,
         "exact_dup_assign": q_exact_dup_assign,
+        "training_export": q_training_export,
+        # -- round-5 SQL-oracle conversions (r4 verdict item 4) ---------------
+        "dedup_clusters_exact_corpus": q_dedup_clusters_exact_corpus,
+        "dedup_against_exact_corpus": q_dedup_against_exact_corpus,
+        "semdedup_pairs": q_semdedup_pairs,
+        "fingerprint_counts": q_fingerprint_counts,
+        # -- never driver-checked before round 5 (r4 verdict item 1) ---------
+        "paragraph_dedup": q_paragraph_dedup,
+        "paragraph_scrub": q_paragraph_scrub,
+        "dsir_weights": q_dsir_weights,
+        "dedup_tiers": q_dedup_tiers,
+        "dedup_against": q_dedup_against,
+        "reservoir_sample": q_reservoir_sample,
+        "media_features": q_media_features,
+        "media_frame_pipeline": q_media_frame_pipeline,
+        "media_quarantine": q_media_quarantine,
+        "media_near_dups": q_media_near_dups,
+        "audio_near_dups": q_audio_near_dups,
+        "video_near_dups": q_video_near_dups,
+        # -- least-recently-checked (last seen r02/r03) -----------------------
+        "brand_volume": q_brand_volume,
+        "doc_tfidf": q_doc_tfidf,
+        "approx_distinct_tokens": q_approx_distinct_tokens,
+        "heavy_tokens": q_heavy_tokens,
+        "dir_summaries": q_dir_summaries,
+        "dir_dup_groups": q_dir_dup_groups,
+        "doc_stats_by_lang": q_doc_stats_by_lang,
+        "docs_per_source": q_docs_per_source,
+        "lang_source_rollup": q_lang_source_rollup,
+        "top_docs_by_chars": q_top_docs_by_chars,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "sample_docs": q_sample_docs,
+        "stratified_sample": q_stratified_sample,
+        "en_long_docs": q_en_long_docs,
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
+        "user_sessions": q_user_sessions,
+        "running_user_totals": q_running_user_totals,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "latest_event_per_user": q_latest_event_per_user,
+        "orders_by_region": q_orders_by_region,
+        "customers_no_urgent_orders": q_customers_no_urgent_orders,
+        "parts_in_lineitem": q_parts_in_lineitem,
+        "parts_in_lineitem_bloom": q_parts_in_lineitem_bloom,
+        "pricing_summary": q_pricing_summary,
+        "supplier_nation_volume": q_supplier_nation_volume,
+        # ---- driver 50-entry window ends here (50 entries above) -----------
+        # Everything below was externally green in CORRECTNESS_r04 (or is a
+        # sibling variant of an in-window query) and stays covered by the
+        # local 97-query gate.
+        "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "exact_dup_groups": q_exact_dup_groups,
         "sampled_hash_assign": q_sampled_hash_assign,
         "canonical_dup_assign": q_canonical_dup_assign,
@@ -1802,28 +2035,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "url_dedup": q_url_dedup,
         "url_host_stats": q_url_host_stats,
-        # -- substring / span dedup -----------------------------------------
         "suffix_dups": q_suffix_dups,
         "suffix_array_dups": q_suffix_array_dups,
         "substring_pairs_exact": q_substring_pairs_exact,
         "scrub_spans": q_scrub_spans,
         "window_dedup": q_window_dedup,
         "window_scrub": q_window_scrub,
-        # -- similarity anchors + sketches ----------------------------------
         "ngram_jaccard_dups": q_ngram_jaccard_dups,
         "ngram_jaccard_all": q_ngram_jaccard_all,
         "weighted_jaccard_all": q_weighted_jaccard_all,
-        "wminhash_near_dups": q_wminhash_near_dups,
-        "fingerprint_counts": q_fingerprint_counts,
-        # -- embeddings: ANN / SemDeDup -------------------------------------
         "knn_brute": q_knn_brute,
         "embedding_dups": q_embedding_dups,
         "ann_lsh_dups": q_ann_lsh_dups,
         "ann_ivf_knn": q_ann_ivf_knn,
         "ann_ivf_knn_wide": q_ann_ivf_knn_wide,
-        "semdedup_pairs": q_semdedup_pairs,
-        # -- training-data pipeline -----------------------------------------
-        "training_export": q_training_export,
+        "semdedup_cells": q_semdedup_cells,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
         "mixture_plan": q_mixture_plan,
@@ -1832,10 +2058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_chunks": q_mixture_chunks,
         "token_chunks": q_token_chunks,
         "token_chunks_shuffled": q_token_chunks_shuffled,
-        # -- incremental indexes --------------------------------------------
         "incremental_exact": q_incremental_exact,
         "incremental_near": q_incremental_near,
-        # -- text analysis ---------------------------------------------------
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
@@ -1845,52 +2069,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": q_pii_stats,
         "top_tokens": q_top_tokens,
         "token_doc_freq": q_token_doc_freq,
-        "doc_tfidf": q_doc_tfidf,
-        "approx_distinct_tokens": q_approx_distinct_tokens,
-        "heavy_tokens": q_heavy_tokens,
-        # ---- driver 50-entry window ends around here ----------------------
-        "media_features": q_media_features,
-        "media_frame_pipeline": q_media_frame_pipeline,
-        "media_quarantine": q_media_quarantine,
-        "media_near_dups": q_media_near_dups,
-        "audio_near_dups": q_audio_near_dups,
-        "video_near_dups": q_video_near_dups,
-        "dir_summaries": q_dir_summaries,
-        "dir_dup_groups": q_dir_dup_groups,
-        "doc_stats_by_lang": q_doc_stats_by_lang,
-        "docs_per_source": q_docs_per_source,
         "lang_source_counts": q_lang_source_counts,
-        "lang_source_rollup": q_lang_source_rollup,
-        "top_docs_by_chars": q_top_docs_by_chars,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "sample_docs": q_sample_docs,
-        "stratified_sample": q_stratified_sample,
-        "reservoir_sample": q_reservoir_sample,
-        "en_long_docs": q_en_long_docs,
-        "doc_len_quantiles": q_doc_len_quantiles,
         "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
-        "events_by_type": q_events_by_type,
-        "events_windowed": q_events_windowed,
         "events_hopping": q_events_hopping,
-        "user_sessions": q_user_sessions,
-        "running_user_totals": q_running_user_totals,
-        "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
-        "latest_event_per_user": q_latest_event_per_user,
-        "orders_by_region": q_orders_by_region,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
-        "customers_no_urgent_orders": q_customers_no_urgent_orders,
-        "parts_in_lineitem": q_parts_in_lineitem,
-        "parts_in_lineitem_bloom": q_parts_in_lineitem_bloom,
-        "pricing_summary": q_pricing_summary,
-        "supplier_nation_volume": q_supplier_nation_volume,
-        "brand_volume": q_brand_volume,
-        # -- round-4 additions (sub-doc dedup, selection, tier report) -------
-        "paragraph_dedup": q_paragraph_dedup,
-        "paragraph_scrub": q_paragraph_scrub,
-        "dsir_weights": q_dsir_weights,
-        "dedup_tiers": q_dedup_tiers,
-        "dedup_against": q_dedup_against,
     }
 
 
@@ -2458,6 +2640,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        # semdedup_pairs runs at ncells=1 (nothing pruned), which provably
+        # equals exact all-pairs cosine — same oracle as embedding_dups;
+        # the multi-cell pruning path is golden-pinned as semdedup_cells
+        "semdedup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
+        "fingerprint_counts": _fingerprint_oracle_sql(),
+        # the md5-word synthesis (see _exact_corpus_docs) is reproduced
+        # verbatim: equality classes of text <-> equality classes of
+        # md5(text), so flagship clusters == md5 partitions; canonical =
+        # the flagship's lexicographic-min member url == string-min doc_id
+        "dedup_clusters_exact_corpus": """
+            SELECT doc_id,
+                   CAST(min(CAST(doc_id AS VARCHAR)) OVER (
+                     PARTITION BY md5(coalesce(text, ''))) AS BIGINT)
+                     AS canonical_id,
+                   count(*) OVER (PARTITION BY md5(coalesce(text, '')))
+                     AS cluster_size
+            FROM documents
+        """,
+        "dedup_against_exact_corpus": """
+            WITH synth AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS m FROM documents
+            )
+            SELECT n.doc_id,
+                   CAST(CASE WHEN EXISTS (
+                     SELECT 1 FROM synth e
+                     WHERE e.doc_id % 2 = 0 AND e.m = n.m
+                   ) THEN 1 ELSE 0 END AS TINYINT) AS dup_against
+            FROM synth n WHERE n.doc_id % 2 = 1
         """,
         # q_ann_ivf_knn runs in full-probe mode (nprobe == ncells), which
         # provably equals exact brute-force cosine — same oracle shape as

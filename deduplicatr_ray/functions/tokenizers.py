@@ -87,6 +87,110 @@ def bpe_fixture() -> BPETokenizer:
     return BPETokenizer()
 
 
+# ---------------------------------------------------------------------------
+# Byte-level (GPT-2 / HuggingFace) BPE — r4 verdict item 3: the most common
+# public merges.txt format on disk is byte-level; the seam must load it, not
+# reject it.
+# ---------------------------------------------------------------------------
+
+def _bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte<->printable-unicode bijection (Radford et al. 2019,
+    public `encoder.py`): printable latin bytes map to themselves; the
+    remaining bytes shift into U+0100.. so every byte has a visible,
+    whitespace-free symbol (space -> 'Ġ', newline -> 'Ċ')."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_BYTE_ALPHABET = frozenset(_bytes_to_unicode().values())
+
+# GPT-2's pre-tokenization pattern, expressed in stdlib ``re`` (no \p
+# classes): [^\W\d_] = unicode letters, \d = unicode decimal digits
+# (narrower than \p{N} on letter-like numerals — documented deviation),
+# [^\s\w]|_ = everything else non-space.
+_GPT2_PRE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?(?:[^\W\d_])+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+class ByteLevelBPETokenizer(BPETokenizer):
+    """Greedy BPE over GPT-2 byte-level merges: pre-tokenize with the GPT-2
+    pattern (case-PRESERVING, leading space folded into the word), map each
+    pre-token's utf-8 bytes through ``_bytes_to_unicode``, then run the
+    same ranked merge loop as the char-level tokenizer. Counts match a
+    reference GPT-2 BPE apply step over the same merge table (modulo the
+    documented \\d-vs-\\p{N} pre-tokenization deviation)."""
+
+    def __init__(self, merges) -> None:
+        super().__init__(merges)
+        b2u = _bytes_to_unicode()
+        self._byte_map = [b2u[b] for b in range(256)]
+
+    def _word_tokens(self, word: str) -> int:
+        n = self._cache.get(word)
+        if n is not None:
+            return n
+        parts = [self._byte_map[b] for b in word.encode("utf-8")]
+        ranks = self.ranks
+        while len(parts) > 1:
+            best, best_rank = -1, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best_rank is None:
+                break
+            parts[best : best + 2] = [parts[best] + parts[best + 1]]
+        n = len(parts)
+        self._cache[word] = n
+        return n
+
+    def __call__(self, texts: list[str]) -> np.ndarray:
+        out = np.zeros(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            out[i] = sum(
+                self._word_tokens(w) for w in _GPT2_PRE_RE.findall(t)
+            )
+        return out
+
+
+def merges_level(merges) -> str:
+    """Classify a merge table: ``"char"`` when every symbol stays inside
+    the engine's lowercase ``[a-z0-9]`` pre-tokenization alphabet (the
+    fixture format — also the ambiguous case, since that alphabet is a
+    subset of the byte-level one); ``"byte"`` when any symbol leaves it
+    but all stay inside the GPT-2 byte-unicode alphabet (Ġ/Ċ/byte-escape
+    symbols). Anything else (e.g. SentencePiece's ▁ U+2581) raises."""
+    reachable = set("abcdefghijklmnopqrstuvwxyz0123456789")
+    chars = {c for a, b in merges for c in a + b}
+    if chars <= reachable:
+        return "char"
+    if chars <= _BYTE_ALPHABET:
+        return "byte"
+    bad = sorted(chars - _BYTE_ALPHABET)[0]
+    raise ValueError(
+        f"merge table symbol {bad!r} (U+{ord(bad):04X}) is outside both "
+        f"the char-level [a-z0-9] and the GPT-2 byte-level alphabets — "
+        f"unsupported vocab format (SentencePiece-style tables need "
+        f"pre-conversion)"
+    )
+
+
 def load_merges(path: str) -> tuple[tuple[str, str], ...]:
     """Read a user-supplied BPE merge table (the GPT-2 / HuggingFace
     ``merges.txt`` layout: optional ``#``-comment header lines, then one
@@ -112,29 +216,18 @@ def load_merges(path: str) -> tuple[tuple[str, str], ...]:
             merges.append((parts[0], parts[1]))
     if not merges:
         raise ValueError(f"{path}: no merge pairs found")
-    # BYTE-LEVEL vocab guard: GPT-2/HF byte-level merges.txt entries use
-    # marker symbols (Ġ = leading space, Ċ = newline, byte-escape
-    # alphabet) that this engine's [a-z0-9]+ lowercase pre-tokenization
-    # can NEVER produce — loading one would pass strict parsing while
-    # every such merge stays dead, silently inflating token counts vs the
-    # real tokenizer. Fail loudly instead (code-review finding).
-    reachable = set("abcdefghijklmnopqrstuvwxyz0123456789")
-    dead = [
-        (a, b)
-        for a, b in merges
-        if not (set(a) <= reachable and set(b) <= reachable)
-    ]
-    if dead:
-        a, b = dead[0]
-        raise ValueError(
-            f"{path}: merge pair {a!r} {b!r} contains symbols outside "
-            f"[a-z0-9] — this looks like a BYTE-LEVEL (GPT-2/HF) merge "
-            f"table, which cannot apply under this engine's lowercase "
-            f"[a-z0-9]+ pre-tokenization ({len(dead)}/{len(merges)} pairs "
-            f"would be dead and token counts would silently diverge from "
-            f"the real tokenizer). Supply a char-level merge table over "
-            f"[a-z0-9], or pre-convert the vocab."
-        )
+    # Vocab-format validation (r4 verdict item 3 upgraded the old hard
+    # reject): merges_level() classifies the table as char-level
+    # ([a-z0-9], the fixture format) or BYTE-LEVEL (GPT-2/HF markers —
+    # Ġ = leading space, Ċ = newline, byte-escape alphabet), and raises
+    # on anything outside both alphabets. bpe_factory() routes byte-level
+    # tables to ByteLevelBPETokenizer, whose GPT-2 pre-tokenization makes
+    # every marker merge reachable — loading one no longer silently
+    # inflates token counts (the reason the old guard rejected them).
+    try:
+        merges_level(merges)
+    except ValueError as exc:
+        raise ValueError(f"{path}: {exc}") from None
     return tuple(merges)
 
 
@@ -148,6 +241,9 @@ def bpe_factory(merges_path: str | None = None):
     def make() -> BPETokenizer:
         if merges_path is None:
             return BPETokenizer()
-        return BPETokenizer(load_merges(merges_path))
+        merges = load_merges(merges_path)
+        if merges_level(merges) == "byte":
+            return ByteLevelBPETokenizer(merges)
+        return BPETokenizer(merges)
 
     return make

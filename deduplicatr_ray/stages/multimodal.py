@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -642,24 +643,47 @@ def media_vec_id(media_id: str) -> int:
     ) & ((1 << 62) - 1)
 
 
+def media_pairs_budget() -> int:
+    """Row budget below which ``media_near_dups(method="auto")`` keeps the
+    blocked exact-cosine path; past it the query auto-routes to the salted
+    hyperplane-LSH path (env ``GRAFT_MEDIA_PAIRS_MAX``). Same budgeted-
+    crossover pattern as ``semi_join_auto`` / ``components="auto"``."""
+    return int(os.environ.get("GRAFT_MEDIA_PAIRS_MAX", 100_000))
+
+
 def media_near_dups(
     media,
     *,
     threshold: float = 0.999,
     decode: str = "real",
     on_error: str = "quarantine",
+    method: str = "auto",
 ):
     """Multimodal near-dup pairs: REAL-decode feature extraction ->
-    exact cosine pairs over the 32-dim feature vectors (id_a < id_b,
+    cosine pairs over the 32-dim feature vectors (id_a < id_b,
     cos >= threshold). The same pixels through different containers
     (PPM vs PNG vs BMP) produce identical features, so cross-container
     duplicates surface at cos ~ 1.0; lossy JPEG re-encodes land just
-    below. Rides ``similarity.embedding_dup_pairs`` (blocked exact
-    matmul; ``ann_lsh_pairs`` over the same vectors is the sub-quadratic
-    scale path). Quarantined rows (decode failures) are excluded before
-    pairing so corrupt payloads can't alias as mutual near-dups of the
-    zero vector. Returns (id_a, id_b) pairs keyed by ``media_vec_id``."""
-    from .similarity import embedding_dup_pairs
+    below.
+
+    ``method``: ``"exact"`` = ``similarity.embedding_dup_pairs`` (blocked
+    exact matmul — O(n^2) dot products, the verification anchor);
+    ``"ann"`` = ``similarity.ann_lsh_pairs`` (salted hyperplane-LSH
+    buckets + in-bucket exact-cosine verify — the sub-quadratic scale
+    path); ``"auto"`` (default) = exact below ``media_pairs_budget()``
+    feature rows, ANN past it. Both paths emit the identical
+    ``(id_a, id_b)`` schema, and the ANN path exact-verifies every
+    candidate, so precision is identical; at the default near-identity
+    threshold identical vectors share every bucket deterministically
+    (recall 1.0 on exact cross-container dups).
+
+    Quarantined rows (decode failures) are excluded before pairing so
+    corrupt payloads can't alias as mutual near-dups of the zero vector.
+    Returns (id_a, id_b) pairs keyed by ``media_vec_id``."""
+    from .similarity import ann_lsh_pairs, embedding_dup_pairs
+
+    if method not in ("auto", "exact", "ann"):
+        raise ValueError(f"media_near_dups: unknown method {method!r}")
 
     feats = media_feature_stage(media, decode=decode, on_error=on_error)
 
@@ -684,7 +708,17 @@ def media_near_dups(
     vecs = feats.map_batches(
         to_vecs, batch_format="pyarrow", zero_copy_batch=True
     )
-    return embedding_dup_pairs(vecs, threshold)
+    if method == "exact":
+        return embedding_dup_pairs(vecs, threshold)
+    if method == "ann":
+        return ann_lsh_pairs(vecs, threshold)
+    # auto: count the SKINNY projection (vec_id + 32 float64 = ~264 B/row,
+    # not the media payloads) once, pin it so the expensive decode never
+    # re-runs, then route on the row budget.
+    vecs = vecs.materialize()
+    if vecs.count() <= media_pairs_budget():
+        return embedding_dup_pairs(vecs, threshold)
+    return ann_lsh_pairs(vecs, threshold)
 
 
 def resize_pnm(payload: bytes, tw: int, th: int) -> bytes:
