@@ -201,13 +201,23 @@ def _png_unfilter(filt: np.ndarray, ftypes: np.ndarray, bpp: int) -> np.ndarray:
     return recon
 
 
+# Adam7 pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass — each pass is
+# a mini non-interlaced image whose pixels scatter to canvas[y0::dy, x0::dx]
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, c) uint8 pixels — REAL decoding via stdlib
     ``zlib`` + numpy unfiltering, no image libraries. Supports 8-bit
-    non-interlaced grayscale (c=1), RGB (c=3), palette (mapped to c=3),
-    gray+alpha (c=2) and RGBA (c=4); 16-bit, sub-byte depths and Adam7
-    interlacing raise ``NotImplementedError`` (they need no new library,
-    just more decode paths — add here when a corpus hits them)."""
+    grayscale (c=1), RGB (c=3), palette (mapped to c=3), gray+alpha (c=2)
+    and RGBA (c=4), non-interlaced AND Adam7-interlaced (each of the 7
+    passes unfilters as its own mini image, then scatters to the canvas
+    grid — r4 verdict item 7); 16-bit and sub-byte depths raise
+    ``NotImplementedError`` (they need no new library, just more decode
+    paths — add here when a corpus hits them)."""
     import struct
     import zlib
 
@@ -235,8 +245,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise NotImplementedError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"unknown PNG interlace method {interlace}")
     if depth != 8 or color not in _PNG_CHANNELS:
         raise NotImplementedError(
             f"only 8-bit PNG color types 0/2/3/4/6 supported "
@@ -245,10 +255,31 @@ def decode_png(payload: bytes) -> np.ndarray:
     nch = _PNG_CHANNELS[color]
     stride = w * nch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise NotImplementedError("PNG scanline size mismatch")
-    rows = raw.reshape(h, stride + 1)
-    pix = _png_unfilter(rows[:, 1:], rows[:, 0], nch).reshape(h, w, nch)
+    if interlace == 1:
+        pix = np.zeros((h, w, nch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes zero bytes
+            need = ph * (pw * nch + 1)
+            if off + need > len(raw):
+                raise NotImplementedError(
+                    "Adam7 PNG pass scanline size mismatch"
+                )
+            rows = raw[off : off + need].reshape(ph, pw * nch + 1)
+            off += need
+            pix[y0::dy, x0::dx] = _png_unfilter(
+                rows[:, 1:], rows[:, 0], nch
+            ).reshape(ph, pw, nch)
+        if off != len(raw):
+            raise NotImplementedError("Adam7 PNG trailing IDAT bytes")
+    else:
+        if len(raw) != h * (stride + 1):
+            raise NotImplementedError("PNG scanline size mismatch")
+        rows = raw.reshape(h, stride + 1)
+        pix = _png_unfilter(rows[:, 1:], rows[:, 0], nch).reshape(h, w, nch)
     if color == 3:
         if plte is None:
             raise NotImplementedError("palette PNG missing PLTE chunk")
@@ -256,16 +287,63 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(pix)
 
 
-def encode_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
-    """(h, w, c) uint8 (c in 1/2/3/4) -> 8-bit non-interlaced PNG bytes
-    (inverse of decode_png; test/fixture seam). ``filter_type`` applies one
-    filter id to every scanline — filtering from known pixels is fully
-    vectorized, and each id exercises the matching decode path."""
+def encode_png(
+    pixels: np.ndarray, *, filter_type: int = 0, interlace: bool = False
+) -> bytes:
+    """(h, w, c) uint8 (c in 1/2/3/4) -> 8-bit PNG bytes (inverse of
+    decode_png; test/fixture seam). ``filter_type`` applies one filter id
+    to every scanline — filtering from known pixels is fully vectorized,
+    and each id exercises the matching decode path. ``interlace=True``
+    writes Adam7: each of the 7 passes is extracted from the canvas grid
+    and filtered as its own mini image (pass-local Up/Paeth neighbors,
+    exactly what the decoder's per-pass unfilter assumes)."""
     import struct
     import zlib
 
     h, w, c = pixels.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = pixels[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(
+                    _png_filter_body(np.ascontiguousarray(sub), filter_type)
+                )
+        body_bytes = b"".join(p.tobytes() for p in parts)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(body_bytes, 6))
+            + _png_chunk(b"IEND", b"")
+        )
+    body = _png_filter_body(pixels, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _png_filter_body(pixels: np.ndarray, filter_type: int) -> np.ndarray:
+    """(h, w, c) uint8 -> (h, stride+1) filtered scanlines (filter byte +
+    data), one filter id for every row — vectorized forward filtering."""
+    h, w, c = pixels.shape
     stride = w * c
     recon = pixels.reshape(h, stride).astype(np.int32)
     up = np.zeros_like(recon)
@@ -298,22 +376,7 @@ def encode_png(pixels: np.ndarray, *, filter_type: int = 0) -> bytes:
     body = np.empty((h, stride + 1), np.uint8)
     body[:, 0] = filter_type
     body[:, 1:] = (filt & 0xFF).astype(np.uint8)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data))
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
-        + chunk(b"IEND", b"")
-    )
+    return body
 
 
 def png_feature(payload: bytes) -> np.ndarray:
@@ -1209,7 +1272,14 @@ def gen_fake_media(n: int, seed: int = 42):
             if img_i % 5 == 0:
                 p = encode_pnm(pix)
             elif img_i % 5 == 1:
-                p = encode_png(pix, filter_type=(img_i // 5) % 5)
+                # rotate scanline filters AND Adam7 interlacing (every
+                # other PNG row is interlaced, exercising the pass-scatter
+                # decode path through the whole media family)
+                p = encode_png(
+                    pix,
+                    filter_type=(img_i // 5) % 5,
+                    interlace=bool((img_i // 5) % 2),
+                )
             elif img_i % 5 == 2:
                 jmode = (img_i // 5) % 3  # rotate 444 / 420 / progressive
                 p = encode_jpeg(

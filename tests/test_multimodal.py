@@ -313,8 +313,70 @@ def test_png_unsupported_variants_raise():
 
     with pytest.raises(NotImplementedError):
         decode_png(rebuild(depth=16))
+    # interlace=1 with a non-interlaced-layout IDAT: the Adam7 pass walk
+    # must detect the size mismatch, not mis-scatter
     with pytest.raises(NotImplementedError):
         decode_png(rebuild(interlace=1))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7-interlaced PNG decode (r4 verdict item 7): every filter type
+    x odd/even/tiny canvas sizes roundtrips exactly; interlaced and
+    non-interlaced encodings of the same pixels decode identically."""
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    for h, w, c in [(1, 1, 3), (2, 2, 3), (7, 5, 1), (8, 8, 4),
+                    (9, 13, 2), (31, 17, 3)]:
+        pix = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        for ft in range(5):
+            assert np.array_equal(
+                decode_png(encode_png(pix, filter_type=ft, interlace=True)),
+                pix,
+            ), (h, w, c, ft)
+    # palette PNGs can be interlaced too: gray pixels through the same path
+    g = rng.integers(0, 256, (10, 6, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, interlace=True)), g)
+
+
+def test_interlaced_png_decodes_not_quarantines(ray_session):
+    """The r4-verdict done-criterion: interlaced PNGs flow through the
+    strict real-decode feature stage with decode_ok=True (they used to
+    land in the quarantine channel), and their features equal the
+    non-interlaced encoding of the same pixels."""
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        media_feature_stage,
+    )
+
+    pix = _rand_pix((16, 16, 3), seed=77)
+    rows = pa.table(
+        {
+            "media_id": ["plain", "adam7"],
+            "kind": ["image", "image"],
+            "payload": pa.array(
+                [encode_png(pix), encode_png(pix, interlace=True)],
+                pa.binary(),
+            ),
+            "meta": ["{}", "{}"],
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = (
+        media_feature_stage(
+            rd.from_arrow(rows), decode="real", on_error="quarantine"
+        )
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert bool(out.loc["adam7", "decode_ok"])
+    assert np.allclose(
+        np.array(out.loc["adam7", "feature"]),
+        np.array(out.loc["plain", "feature"]),
+    )
 
 
 def test_png_feature_and_resize():
