@@ -209,15 +209,45 @@ _ADAM7 = (
 )
 
 
+def _png_rows_decode(
+    raw: np.ndarray, off: int, ph: int, pw: int, nch: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + unpack one (sub)image of ``ph`` scanlines starting at byte
+    ``off`` of the decompressed IDAT stream; returns ((ph, pw, nch) uint8
+    samples, new offset). 16-bit samples reduce to the high byte (the
+    standard 16->8 downconversion); sub-byte samples come back RAW
+    (0..2^depth-1) — the caller scales gray or maps the palette."""
+    rb = (pw * nch * depth + 7) // 8  # scanline bytes, excl. filter byte
+    need = ph * (rb + 1)
+    if off + need > len(raw):
+        raise NotImplementedError("PNG scanline size mismatch")
+    rows = raw[off : off + need].reshape(ph, rb + 1)
+    bpp = max(1, nch * depth // 8)  # filter lag in BYTES (PNG spec 9.2)
+    rec = _png_unfilter(rows[:, 1:], rows[:, 0], bpp)
+    if depth == 8:
+        out = rec.reshape(ph, pw, nch)
+    elif depth == 16:
+        out = np.ascontiguousarray(rec.reshape(ph, pw, nch, 2)[..., 0])
+    else:  # 1/2/4-bit: big-endian bit packing within each scanline byte
+        bits = np.unpackbits(rec, axis=1)[:, : pw * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        out = (
+            (bits.reshape(ph, pw, depth) * weights)
+            .sum(axis=2, dtype=np.uint16)
+            .astype(np.uint8)[..., None]
+        )
+    return out, off + need
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes -> (h, w, c) uint8 pixels — REAL decoding via stdlib
-    ``zlib`` + numpy unfiltering, no image libraries. Supports 8-bit
-    grayscale (c=1), RGB (c=3), palette (mapped to c=3), gray+alpha (c=2)
-    and RGBA (c=4), non-interlaced AND Adam7-interlaced (each of the 7
-    passes unfilters as its own mini image, then scatters to the canvas
-    grid — r4 verdict item 7); 16-bit and sub-byte depths raise
-    ``NotImplementedError`` (they need no new library, just more decode
-    paths — add here when a corpus hits them)."""
+    ``zlib`` + numpy unfiltering, no image libraries. Supports grayscale
+    (c=1), RGB (c=3), palette (mapped to c=3), gray+alpha (c=2) and RGBA
+    (c=4) at 8-bit depth, 16-bit for the non-palette color types (samples
+    reduce to the high byte, the standard 16->8 downconversion), sub-byte
+    1/2/4-bit grayscale and palette, non-interlaced AND Adam7-interlaced
+    (each of the 7 passes unfilters as its own mini image, then scatters
+    to the canvas grid — r4 verdict item 7)."""
     import struct
     import zlib
 
@@ -247,13 +277,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError("nonstandard PNG compression/filter method")
     if interlace not in (0, 1):
         raise NotImplementedError(f"unknown PNG interlace method {interlace}")
-    if depth != 8 or color not in _PNG_CHANNELS:
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"unknown PNG color type {color}")
+    legal = (8, 16, 1, 2, 4) if color in (0, 3) else (8, 16)
+    if depth not in legal or (color == 3 and depth == 16):
         raise NotImplementedError(
-            f"only 8-bit PNG color types 0/2/3/4/6 supported "
-            f"(depth={depth}, color={color})"
+            f"illegal PNG depth/color combination (depth={depth}, "
+            f"color={color})"
         )
     nch = _PNG_CHANNELS[color]
-    stride = w * nch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
     if interlace == 1:
         pix = np.zeros((h, w, nch), np.uint8)
@@ -263,63 +295,66 @@ def decode_png(payload: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes zero bytes
-            need = ph * (pw * nch + 1)
-            if off + need > len(raw):
-                raise NotImplementedError(
-                    "Adam7 PNG pass scanline size mismatch"
-                )
-            rows = raw[off : off + need].reshape(ph, pw * nch + 1)
-            off += need
-            pix[y0::dy, x0::dx] = _png_unfilter(
-                rows[:, 1:], rows[:, 0], nch
-            ).reshape(ph, pw, nch)
+            sub, off = _png_rows_decode(raw, off, ph, pw, nch, depth)
+            pix[y0::dy, x0::dx] = sub
         if off != len(raw):
             raise NotImplementedError("Adam7 PNG trailing IDAT bytes")
     else:
-        if len(raw) != h * (stride + 1):
+        pix, off = _png_rows_decode(raw, 0, h, w, nch, depth)
+        if off != len(raw):
             raise NotImplementedError("PNG scanline size mismatch")
-        rows = raw.reshape(h, stride + 1)
-        pix = _png_unfilter(rows[:, 1:], rows[:, 0], nch).reshape(h, w, nch)
     if color == 3:
         if plte is None:
             raise NotImplementedError("palette PNG missing PLTE chunk")
         pix = plte[pix[..., 0]]
+    elif depth in (1, 2, 4):  # gray: expand raw sample to full 8-bit range
+        pix = pix * np.uint8(255 // ((1 << depth) - 1))
     return np.ascontiguousarray(pix)
 
 
 def encode_png(
-    pixels: np.ndarray, *, filter_type: int = 0, interlace: bool = False
+    pixels: np.ndarray,
+    *,
+    filter_type: int = 0,
+    interlace: bool = False,
+    depth: int = 8,
 ) -> bytes:
-    """(h, w, c) uint8 (c in 1/2/3/4) -> 8-bit PNG bytes (inverse of
+    """(h, w, c) samples (c in 1/2/3/4) -> PNG bytes (inverse of
     decode_png; test/fixture seam). ``filter_type`` applies one filter id
     to every scanline — filtering from known pixels is fully vectorized,
     and each id exercises the matching decode path. ``interlace=True``
     writes Adam7: each of the 7 passes is extracted from the canvas grid
     and filtered as its own mini image (pass-local Up/Paeth neighbors,
-    exactly what the decoder's per-pass unfilter assumes)."""
+    exactly what the decoder's per-pass unfilter assumes). ``depth=16``
+    takes uint16 samples; ``depth`` 1/2/4 takes raw 0..2^depth-1 samples
+    (c must be 1)."""
     import struct
     import zlib
 
     h, w, c = pixels.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if depth in (1, 2, 4) and c != 1:
+        raise ValueError("sub-byte PNG encode is single-channel only")
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
             sub = pixels[y0::dy, x0::dx]
             if sub.shape[0] and sub.shape[1]:
                 parts.append(
-                    _png_filter_body(np.ascontiguousarray(sub), filter_type)
+                    _png_filter_body(
+                        np.ascontiguousarray(sub), filter_type, depth
+                    )
                 )
         body_bytes = b"".join(p.tobytes() for p in parts)
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
         return (
             _PNG_SIG
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(body_bytes, 6))
             + _png_chunk(b"IEND", b"")
         )
-    body = _png_filter_body(pixels, filter_type)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    body = _png_filter_body(pixels, filter_type, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -340,12 +375,36 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def _png_filter_body(pixels: np.ndarray, filter_type: int) -> np.ndarray:
-    """(h, w, c) uint8 -> (h, stride+1) filtered scanlines (filter byte +
-    data), one filter id for every row — vectorized forward filtering."""
+def _png_pack_rows(pixels: np.ndarray, depth: int) -> tuple[np.ndarray, int]:
+    """(h, w, c) samples -> ((h, row_bytes) uint8 scanline bytes, filter
+    lag in bytes). 8-bit passes through; 16-bit emits big-endian sample
+    pairs (input uint16); sub-byte packs big-endian bits (input = raw
+    0..2^depth-1 sample values, c must be 1)."""
     h, w, c = pixels.shape
-    stride = w * c
-    recon = pixels.reshape(h, stride).astype(np.int32)
+    if depth == 8:
+        return pixels.reshape(h, w * c).astype(np.uint8), c
+    if depth == 16:
+        v = pixels.astype(np.uint16)
+        rows = np.empty((h, w * c, 2), np.uint8)
+        rows[..., 0] = (v >> 8).reshape(h, w * c)
+        rows[..., 1] = (v & 0xFF).reshape(h, w * c)
+        return rows.reshape(h, w * c * 2), 2 * c
+    # 1/2/4-bit single-channel: spread each sample over ``depth`` bits
+    bits = (
+        (pixels.reshape(h, w, 1) >> np.arange(depth - 1, -1, -1)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(h, w * depth), axis=1), 1
+
+
+def _png_filter_body(
+    pixels: np.ndarray, filter_type: int, depth: int = 8
+) -> np.ndarray:
+    """(h, w, c) samples -> (h, row_bytes+1) filtered scanlines (filter
+    byte + data), one filter id for every row — vectorized forward
+    filtering over scanline BYTES with the spec's byte-lag ``bpp``."""
+    recon, c = _png_pack_rows(pixels, depth)
+    recon = recon.astype(np.int32)
+    h, stride = recon.shape
     up = np.zeros_like(recon)
     up[1:] = recon[:-1]
     left = np.zeros_like(recon)

@@ -311,12 +311,91 @@ def test_png_unsupported_variants_raise():
             + chunk(b"IEND", b"")
         )
 
+    # depth=16 with an 8-bit-layout IDAT: size mismatch, not mis-decode
     with pytest.raises(NotImplementedError):
         decode_png(rebuild(depth=16))
+    # genuinely illegal depth/color combinations (PNG spec table 11.1)
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(depth=16, color=3))  # 16-bit palette
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(depth=4, color=2))  # sub-byte RGB
+    with pytest.raises(NotImplementedError):
+        decode_png(rebuild(depth=3))  # not a PNG depth at all
     # interlace=1 with a non-interlaced-layout IDAT: the Adam7 pass walk
     # must detect the size mismatch, not mis-scatter
     with pytest.raises(NotImplementedError):
         decode_png(rebuild(interlace=1))
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG decode (r4 verdict missing item): samples reduce to the
+    high byte; every color type, filter id and Adam7 roundtrip."""
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(16))
+    for c in (1, 2, 3, 4):
+        v = rng.integers(0, 65536, (9, 7, c), dtype=np.uint16)
+        for ft in range(5):
+            back = decode_png(encode_png(v, filter_type=ft, depth=16))
+            assert back.shape == (9, 7, c)
+            assert np.array_equal(back, (v >> 8).astype(np.uint8)), (c, ft)
+        assert np.array_equal(
+            decode_png(encode_png(v, filter_type=4, depth=16, interlace=True)),
+            (v >> 8).astype(np.uint8),
+        ), c
+
+
+def test_png_subbyte_gray_roundtrip():
+    """1/2/4-bit grayscale PNG: raw samples expand to the full 8-bit range
+    (255/85/17 steps); odd widths exercise the scanline bit padding."""
+    from deduplicatr_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    for depth in (1, 2, 4):
+        scale = 255 // ((1 << depth) - 1)
+        for h, w in [(5, 3), (4, 8), (7, 13), (1, 1)]:
+            raw = rng.integers(0, 1 << depth, (h, w, 1), dtype=np.uint8)
+            for ft in range(5):
+                back = decode_png(encode_png(raw, filter_type=ft, depth=depth))
+                assert np.array_equal(back, raw * np.uint8(scale)), (
+                    depth, h, w, ft,
+                )
+            assert np.array_equal(
+                decode_png(encode_png(raw, depth=depth, interlace=True)),
+                raw * np.uint8(scale),
+            ), (depth, h, w)
+
+
+def test_png_subbyte_palette():
+    """Hand-built 4-bit palette PNG (odd width -> padded scanline bits)
+    maps indices through PLTE without scaling."""
+    import struct
+    import zlib
+
+    from deduplicatr_ray.stages.multimodal import decode_png
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # 3x2 indices (0,1,2 / 3,0,1) packed 2-per-byte, 4 pad bits per row
+    scan = bytes([0, 0x01, 0x20, 0, 0x30, 0x10])
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 4, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    pix = decode_png(payload)
+    assert pix.shape == (2, 3, 3)
+    assert pix[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+    assert pix[1].tolist() == [[9, 9, 9], [255, 0, 0], [0, 255, 0]]
 
 
 def test_png_adam7_interlaced_roundtrip():
