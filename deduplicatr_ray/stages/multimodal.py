@@ -62,7 +62,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6) / PGM (P5) bytes -> (h, w, c) uint8 pixels.
-    Pure-numpy header parse — real decoding, no image libraries."""
+    Pure-numpy header parse — real decoding, no image libraries.
+    maxval > 255 streams are two-byte big-endian samples (PNM spec);
+    any maxval != 255 rescales to the full 8-bit range (rounded
+    v*255/maxval)."""
     if payload[:2] not in (b"P5", b"P6"):
         raise NotImplementedError("not a binary PGM/PPM payload")
     # header: magic, width, height, maxval as whitespace-separated tokens
@@ -83,11 +86,23 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         i = j
     i += 1  # the single whitespace after maxval
     w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM not supported")
+    if not (0 < maxval < 65536):
+        raise NotImplementedError(f"illegal PNM maxval {maxval}")
     c = 3 if payload[:2] == b"P6" else 1
-    pix = np.frombuffer(payload, np.uint8, count=h * w * c, offset=i)
-    return pix.reshape(h, w, c)
+    if maxval > 255:  # two bytes per sample, big-endian
+        pix2 = np.frombuffer(payload, np.uint8, count=h * w * c * 2, offset=i)
+        v = pix2.reshape(h, w, c, 2).astype(np.uint32)
+        samples = (v[..., 0] << 8) | v[..., 1]
+    else:
+        samples = np.frombuffer(
+            payload, np.uint8, count=h * w * c, offset=i
+        ).reshape(h, w, c)
+        if maxval == 255:
+            return samples
+        samples = samples.astype(np.uint32)
+    # clip guards corrupt streams carrying samples above maxval
+    scaled = (samples * 255 + maxval // 2) // maxval
+    return np.minimum(scaled, 255).astype(np.uint8)
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

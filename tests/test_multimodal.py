@@ -54,6 +54,30 @@ def test_pnm_roundtrip_and_comment_header():
     assert (decode_pnm(encode_pnm(g)) == g).all()
 
 
+def test_pnm_16bit_and_scaled_maxval():
+    """maxval > 255 PNM decodes two-byte big-endian samples; any
+    maxval != 255 rescales to the full 8-bit range."""
+    rng = np.random.Generator(np.random.PCG64(9))
+    v16 = rng.integers(0, 65536, (4, 5, 3), dtype=np.uint16)
+    body = v16.astype(">u2").tobytes()
+    pix = decode_pnm(b"P6\n5 4\n65535\n" + body)
+    expect = ((v16.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+    assert np.array_equal(pix, expect)
+    # within one count of the PNG high-byte 16->8 convention
+    assert np.abs(pix.astype(int) - (v16 >> 8).astype(int)).max() <= 1
+    # 10-bit gray: samples 0..1023 spread over the full 0..255 range
+    v10 = np.array([[[0], [511], [1023]]], dtype=np.uint16)
+    pix10 = decode_pnm(b"P5\n3 1\n1023\n" + v10.astype(">u2").tobytes())
+    assert pix10.reshape(-1).tolist() == [0, 127, 255]
+    # sub-255 maxval 8-bit gray rescales too
+    pix4 = decode_pnm(b"P5\n3 1\n15\n" + bytes([0, 7, 15]))
+    assert pix4.reshape(-1).tolist() == [0, 119, 255]
+    with pytest.raises(NotImplementedError):
+        decode_pnm(b"P5\n1 1\n0\n\x00")
+    with pytest.raises(NotImplementedError):
+        decode_pnm(b"P5\n1 1\n70000\n\x00\x00")
+
+
 def test_resize_pnm_nearest_neighbor_exact():
     pix = np.array(
         [[[10], [20]],
