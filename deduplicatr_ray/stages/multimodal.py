@@ -106,9 +106,12 @@ def decode_pnm(payload: bytes) -> np.ndarray:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24/32-bit BI_RGB BMP bytes -> (h, w, 3) uint8 RGB.
-    Pure struct/numpy header parse — real decoding, no image libraries
-    (alpha dropped; bottom-up and top-down row orders both handled)."""
+    """Uncompressed BI_RGB BMP bytes -> (h, w, 3) uint8 RGB. Pure
+    struct/numpy header parse — real decoding, no image libraries.
+    24/32-bit truecolor (alpha dropped) AND 1/4/8-bit palette (indices
+    mapped through the BGRA color table — the favicon formats); bottom-up
+    and top-down row orders both handled; RLE compression raises
+    ``NotImplementedError``."""
     import struct
 
     if payload[:2] != b"BM":
@@ -120,11 +123,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
-    if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+    if comp != 0 or bpp not in (1, 4, 8, 24, 32) or w <= 0 or h == 0:
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BI_RGB BMP supported (bpp={bpp}, "
-            f"compression={comp})"
+            f"only uncompressed 1/4/8/24/32-bit BI_RGB BMP supported "
+            f"(bpp={bpp}, compression={comp})"
         )
+    if bpp in (1, 4, 8):
+        return _decode_bmp_palette(payload, w, h, bpp, data_off, hdr_size)
     bottom_up = h > 0
     h = abs(h)
     nch = bpp // 8
@@ -134,6 +139,44 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return np.ascontiguousarray(rows[..., 2::-1])  # BGR(A) -> RGB
+
+
+def _decode_bmp_palette(
+    payload: bytes, w: int, h: int, bpp: int, data_off: int, hdr_size: int
+) -> np.ndarray:
+    """1/4/8-bit palette BMP body -> (h, w, 3) uint8 RGB. The color table
+    (BGRA quads) sits right after the info header; rows are 4-byte aligned
+    and bit-packed big-endian-within-byte for the sub-byte depths."""
+    import struct
+
+    bottom_up = h > 0
+    h = abs(h)
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+    tbl_off = 14 + hdr_size
+    quads = np.frombuffer(
+        payload, np.uint8, count=n_colors * 4, offset=tbl_off
+    ).reshape(n_colors, 4)
+    palette = quads[:, 2::-1]  # BGRA -> RGB
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
+    buf = np.frombuffer(
+        payload, np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if bpp == 8:
+        idx = buf[:, :w]
+    else:
+        bits = np.unpackbits(buf, axis=1)[:, : w * bpp]
+        weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint16)
+        idx = (
+            (bits.reshape(h, w, bpp) * weights)
+            .sum(axis=2, dtype=np.uint16)
+            .astype(np.uint8)
+        )
+    if int(idx.max(initial=0)) >= n_colors:
+        raise NotImplementedError("BMP palette index out of range")
+    pix = palette[idx]
+    if bottom_up:
+        pix = pix[::-1]
+    return np.ascontiguousarray(pix)
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:

@@ -157,6 +157,58 @@ def _to_ds(df):
     return rd.from_pandas(df)
 
 
+def _palette_bmp(w, h, bpp, palette_rgb, idx_rows, n_colors_field=None):
+    """Hand-build an uncompressed palette BMP (bottom-up) from index rows."""
+    import struct
+
+    n = len(palette_rgb)
+    quads = b"".join(bytes([b, g, r, 0]) for r, g, b in palette_rgb)
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
+    body = bytearray()
+    for row in idx_rows[::-1]:  # bottom-up storage
+        bits = np.array(
+            [(v >> s) & 1 for v in row for s in range(bpp - 1, -1, -1)],
+            dtype=np.uint8,
+        )
+        packed = np.packbits(bits).tobytes()
+        body += packed + b"\x00" * (row_bytes - len(packed))
+    data_off = 54 + 4 * n
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+        n if n_colors_field is None else n_colors_field, 0,
+    )
+    return hdr + info + quads + bytes(body)
+
+
+def test_bmp_palette_depths():
+    """1/4/8-bit palette BMP decode: indices map through the BGRA color
+    table; odd widths exercise row alignment + bit padding."""
+    from deduplicatr_ray.stages.multimodal import decode_bmp
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    idx = [[0, 1, 2], [3, 0, 1]]
+    for bpp in (8, 4):
+        pix = decode_bmp(_palette_bmp(3, 2, bpp, pal, idx))
+        assert pix.shape == (2, 3, 3)
+        assert pix[0].tolist() == [[255, 0, 0], [0, 255, 0], [0, 0, 255]]
+        assert pix[1].tolist() == [[9, 9, 9], [255, 0, 0], [0, 255, 0]]
+    # 1-bit: two colors, 9-wide row (2 data bytes + alignment padding)
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    rows = [[1, 0, 1, 0, 1, 0, 1, 0, 1], [0] * 9]
+    pix1 = decode_bmp(_palette_bmp(9, 2, 1, pal2, rows))
+    assert pix1.shape == (2, 9, 3)
+    assert pix1[0, :, 0].tolist() == [255, 0, 255, 0, 255, 0, 255, 0, 255]
+    assert (pix1[1] == 0).all()
+    # clrUsed=0 means the full 2^bpp table is present
+    full_pal = [(i, i, i) for i in range(16)]
+    pix0 = decode_bmp(_palette_bmp(2, 1, 4, full_pal, [[5, 15]], n_colors_field=0))
+    assert pix0[0].tolist() == [[5, 5, 5], [15, 15, 15]]
+    # out-of-range index -> the named quarantine contract, not an IndexError
+    with pytest.raises(NotImplementedError):
+        decode_bmp(_palette_bmp(2, 1, 4, pal, [[0, 9]]))
+
+
 def test_bmp_roundtrip_and_feature_matches_pnm(ray_session):
     """encode_bmp/decode_bmp roundtrip exactly; the BMP feature of the
     same pixels equals the PNM feature (shared pixel-statistic kernel),
