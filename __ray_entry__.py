@@ -1749,6 +1749,33 @@ def q_media_near_dups(sf_dir: str):
     )
 
 
+def q_media_probe(sf_dir: str):
+    """Container probing — typed metadata WITHOUT codec decode, the
+    routing front door of the media family at crawl scale: header-only
+    parsing classifies every payload (container, codec fourcc, dims,
+    duration, sample rate, channels, stream/frame counts) before any
+    decode pool spends CPU on it. Covers BOTH the stdlib-decodable
+    formats AND the codec containers behind the PIL/ffmpeg seam —
+    ISO-BMFF/MP4 box trees, MP3/ID3v2 frame-header walks, Ogg
+    Vorbis/Opus identification headers (functions/containers.py, all
+    public-spec parsing). Only gen_fake_media's opaque random blobs
+    land probe_ok=False. Returns every probed row sorted by
+    media_id."""
+    from deduplicatr_ray.stages.multimodal import (
+        gen_container_media,
+        gen_fake_media,
+        media_probe_stage,
+    )
+
+    media = gen_fake_media(90).union(gen_container_media(45))
+    return (
+        media_probe_stage(media)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_audio_near_dups(sf_dir: str):
     """Audio near-dup detection: every WAV row is duplicated as a REAL
     decode -> half-volume re-encode, then the spectral-peak landmark
@@ -2073,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles_sketch": q_doc_len_quantiles_sketch,
         "events_hopping": q_events_hopping,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
+        "media_probe": q_media_probe,
     }
 
 

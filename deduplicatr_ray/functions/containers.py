@@ -1,0 +1,541 @@
+"""Media container probing: typed metadata from opaque binary payloads
+WITHOUT codec decode — ISO-BMFF/MP4, MPEG audio (MP3) incl. ID3v2, and
+Ogg (Vorbis/Opus).
+
+A 100 TB crawl's most common media containers carry codecs no
+stdlib-only sandbox can decode (H.264, AAC, MP3 bitstreams, Vorbis),
+but the *container structure* is plain public-spec parsing: ISO/IEC
+14496-12 box trees, the MPEG-1/2 audio frame header, RFC 3533 Ogg pages
+plus the Vorbis I / RFC 7845 (Opus) identification headers. Probing
+turns every such payload into a typed metadata row (container, codec
+fourcc, dimensions, duration, sample rate, channels, stream/frame
+counts) so the pipeline can route/filter/group media by real properties
+while the decode itself stays behind the documented PIL/ffmpeg seam.
+
+Each ``probe_*`` raises ``ValueError`` on structural corruption (the
+probe stage routes that to ``probe_ok=False``); each ``build_*`` exists
+so tests and fixtures synthesise valid payloads deterministically — no
+external data enters the repo. Probes never allocate proportional to
+payload size: they walk headers and fixed-size tables only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# ISO-BMFF / MP4 (ISO/IEC 14496-12 box structure)
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in [start, end).
+    Handles 32-bit sizes, size==1 largesize and size==0 (to end)."""
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated box header")
+        size = int.from_bytes(buf[off : off + 4], "big")
+        btype = buf[off + 4 : off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = int.from_bytes(buf[off + 8 : off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"box {btype!r} overruns payload")
+        yield btype, off + hdr, off + size
+        off += size
+
+
+def _find_box(buf: bytes, start: int, end: int, btype: bytes):
+    for t, s, e in _iter_boxes(buf, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def _fixed_16_16(b: bytes) -> float:
+    return int.from_bytes(b, "big") / 65536.0
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF/MP4 payload -> typed metadata dict (no codec decode).
+
+    Walks ftyp + moov (mvhd, per-trak tkhd/mdhd/hdlr/stsd/stsz):
+    returns container/brand, per-track codec fourccs, movie duration,
+    video dimensions + sample (frame) count, audio sample rate +
+    channel count, and the stream count. mdat is never touched."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (no leading ftyp)")
+    out: dict = {
+        "container": "mp4",
+        "codec": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "channels": None,
+        "n_streams": 0,
+    }
+    codecs: list[str] = []
+    moov = None
+    for btype, s, e in _iter_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            if e - s < 8:
+                raise ValueError("truncated ftyp")
+            brand = payload[s : s + 4].decode("latin-1").strip()
+            out["container"] = f"mp4/{brand}"
+        elif btype == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("no moov box (streaming-only fragment?)")
+    ms, me = moov
+    mvhd = _find_box(payload, ms, me, b"mvhd")
+    if mvhd is not None:
+        s, e = mvhd
+        ver = payload[s]
+        if ver == 1:
+            tscale = int.from_bytes(payload[s + 20 : s + 24], "big")
+            dur = int.from_bytes(payload[s + 24 : s + 32], "big")
+        else:
+            tscale = int.from_bytes(payload[s + 12 : s + 16], "big")
+            dur = int.from_bytes(payload[s + 16 : s + 20], "big")
+        if tscale:
+            out["duration_ms"] = int(round(dur * 1000.0 / tscale))
+    for btype, ts, te in _iter_boxes(payload, ms, me):
+        if btype != b"trak":
+            continue
+        out["n_streams"] += 1
+        handler = None
+        mdia = _find_box(payload, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find_box(payload, mdia[0], mdia[1], b"hdlr")
+        if hdlr is not None:
+            handler = payload[hdlr[0] + 8 : hdlr[0] + 12]
+        tkhd = _find_box(payload, ts, te, b"tkhd")
+        if handler == b"vide" and tkhd is not None:
+            s, e = tkhd
+            woff = s + (88 if payload[s] == 1 else 76)
+            if e - woff >= 8:
+                out["width"] = int(_fixed_16_16(payload[woff : woff + 4]))
+                out["height"] = int(
+                    _fixed_16_16(payload[woff + 4 : woff + 8])
+                )
+        minf = _find_box(payload, mdia[0], mdia[1], b"minf")
+        stbl = (
+            _find_box(payload, minf[0], minf[1], b"stbl") if minf else None
+        )
+        if stbl is None:
+            continue
+        stsd = _find_box(payload, stbl[0], stbl[1], b"stsd")
+        if stsd is not None and stsd[1] - stsd[0] >= 16:
+            s = stsd[0]
+            n_entries = int.from_bytes(payload[s + 4 : s + 8], "big")
+            if n_entries >= 1:
+                entry = s + 8
+                fourcc = (
+                    payload[entry + 4 : entry + 8]
+                    .decode("latin-1")
+                    .strip()
+                )
+                codecs.append(fourcc)
+                if handler == b"soun" and stsd[1] - entry >= 36:
+                    out["channels"] = int.from_bytes(
+                        payload[entry + 24 : entry + 26], "big"
+                    )
+                    out["sample_rate"] = int.from_bytes(
+                        payload[entry + 32 : entry + 34], "big"
+                    )
+        stsz = _find_box(payload, stbl[0], stbl[1], b"stsz")
+        if handler == b"vide" and stsz is not None:
+            s = stsz[0]
+            out["n_frames"] = int.from_bytes(payload[s + 8 : s + 12], "big")
+    out["codec"] = ",".join(codecs) if codecs else None
+    return out
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+
+def _full(btype: bytes, ver: int, body: bytes) -> bytes:
+    return _box(btype, bytes([ver, 0, 0, 0]) + body)
+
+
+def build_mp4(
+    *,
+    duration_ms: int = 2000,
+    width: int = 0,
+    height: int = 0,
+    n_frames: int = 0,
+    video_codec: bytes = b"avc1",
+    audio_codec: bytes | None = None,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    mdat: bytes = b"",
+    version1: bool = False,
+) -> bytes:
+    """Deterministic minimal-but-valid ISO-BMFF file for fixtures/tests:
+    ftyp + moov (mvhd, one video and/or one audio trak with tkhd/mdhd/
+    hdlr/stbl) + mdat. The mdat bytes stand in for the coded stream."""
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
+    tscale = 1000
+    if version1:
+        mvhd = _full(
+            b"mvhd",
+            1,
+            (0).to_bytes(8, "big") * 2
+            + tscale.to_bytes(4, "big")
+            + duration_ms.to_bytes(8, "big")
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _full(
+            b"mvhd",
+            0,
+            (0).to_bytes(4, "big") * 2
+            + tscale.to_bytes(4, "big")
+            + duration_ms.to_bytes(4, "big")
+            + b"\x00" * 76,
+        )
+    traks = []
+
+    def _trak(handler: bytes, entry: bytes, n_samples: int, track_id: int):
+        if version1:
+            tkhd = _full(
+                b"tkhd",
+                1,
+                (0).to_bytes(8, "big") * 2
+                + track_id.to_bytes(4, "big")
+                + (0).to_bytes(4, "big")
+                + duration_ms.to_bytes(8, "big")
+                + b"\x00" * 52
+                + (width << 16).to_bytes(4, "big")
+                + (height << 16).to_bytes(4, "big"),
+            )
+        else:
+            tkhd = _full(
+                b"tkhd",
+                0,
+                (0).to_bytes(4, "big") * 2
+                + track_id.to_bytes(4, "big")
+                + (0).to_bytes(4, "big")
+                + duration_ms.to_bytes(4, "big")
+                + b"\x00" * 52
+                + (width << 16).to_bytes(4, "big")
+                + (height << 16).to_bytes(4, "big"),
+            )
+        mdhd = _full(
+            b"mdhd",
+            0,
+            (0).to_bytes(4, "big") * 2
+            + tscale.to_bytes(4, "big")
+            + duration_ms.to_bytes(4, "big")
+            + b"\x55\xc4\x00\x00",
+        )
+        hdlr = _full(
+            b"hdlr", 0, (0).to_bytes(4, "big") + handler + b"\x00" * 13
+        )
+        stsd = _full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
+        stts = _full(b"stts", 0, (0).to_bytes(4, "big"))
+        stsc = _full(b"stsc", 0, (0).to_bytes(4, "big"))
+        stsz = _full(
+            b"stsz",
+            0,
+            (0).to_bytes(4, "big") + n_samples.to_bytes(4, "big"),
+        )
+        stco = _full(b"stco", 0, (0).to_bytes(4, "big"))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", tkhd + mdia)
+
+    if width and height:
+        ventry = _box(
+            video_codec,
+            b"\x00" * 6
+            + (1).to_bytes(2, "big")  # data_reference_index
+            + b"\x00" * 16  # pre_defined/reserved
+            + width.to_bytes(2, "big")
+            + height.to_bytes(2, "big")
+            + b"\x00" * 46,
+        )
+        traks.append(_trak(b"vide", ventry, n_frames, 1))
+    if audio_codec is not None:
+        aentry = _box(
+            audio_codec,
+            b"\x00" * 6
+            + (1).to_bytes(2, "big")
+            + b"\x00" * 8  # reserved
+            + channels.to_bytes(2, "big")
+            + (16).to_bytes(2, "big")  # samplesize
+            + b"\x00" * 4  # pre_defined + reserved
+            + (sample_rate << 16).to_bytes(4, "big"),
+        )
+        traks.append(_trak(b"soun", aentry, 0, 2))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) frame headers + ID3v2 (public header layouts)
+# ---------------------------------------------------------------------------
+
+# kbit/s by (version-group, layer): index 0 is "free format" (unsupported)
+_MP3_BITRATES = {
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+
+
+def _mp3_frame(buf: bytes, off: int):
+    """Parse one MPEG audio frame header at ``off``; returns
+    (frame_len, samples_per_frame, rate_hz, bitrate_kbps, channels,
+    layer) or raises ValueError."""
+    if off + 4 > len(buf):
+        raise ValueError("truncated MPEG frame header")
+    b1, b2, b3 = buf[off + 1], buf[off + 2], buf[off + 3]
+    if buf[off] != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise ValueError("no MPEG frame sync")
+    vbits = (b1 >> 3) & 0x3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(vbits)
+    if version is None:
+        raise ValueError("reserved MPEG version")
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)  # bits -> layer number
+    if layer is None:
+        raise ValueError("reserved MPEG layer")
+    bidx = (b2 >> 4) & 0xF
+    ridx = (b2 >> 2) & 0x3
+    if bidx in (0, 15) or ridx == 3:
+        raise ValueError("free-format/reserved bitrate or rate")
+    group = "1" if version == "1" else "2"
+    bitrate = _MP3_BITRATES[(group, layer)][bidx]
+    rate = _MP3_RATES[version][ridx]
+    padding = (b2 >> 1) & 0x1
+    channels = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == "1") else 576
+        flen = spf // 8 * bitrate * 1000 // rate + padding
+    if flen < 4:
+        raise ValueError("degenerate MPEG frame length")
+    return flen, spf, rate, bitrate, channels, layer
+
+
+def _syncsafe(b: bytes) -> int:
+    if any(x & 0x80 for x in b):
+        raise ValueError("non-syncsafe ID3v2 size byte")
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def probe_mp3(payload: bytes, *, max_sync_scan: int = 2048) -> dict:
+    """MPEG audio payload -> typed metadata (no bitstream decode).
+
+    Skips a leading ID3v2 tag (syncsafe size, optional footer), locates
+    the first frame sync within ``max_sync_scan`` junk bytes, then walks
+    the CBR/VBR frame chain header-by-header (4 bytes read per frame —
+    never the coded payload) counting frames for an exact duration."""
+    off = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = _syncsafe(payload[6:10])
+        off = 10 + size + (10 if payload[5] & 0x10 else 0)
+        if off > len(payload):
+            raise ValueError("ID3v2 tag overruns payload")
+    sync = None
+    for j in range(off, min(len(payload) - 3, off + max_sync_scan)):
+        if payload[j] == 0xFF and (payload[j + 1] & 0xE0) == 0xE0:
+            try:
+                _mp3_frame(payload, j)
+            except ValueError:
+                continue
+            sync = j
+            break
+    if sync is None:
+        raise ValueError("no MPEG audio frame sync found")
+    flen, spf, rate, bitrate, channels, layer = _mp3_frame(payload, sync)
+    n_frames, samples, pos = 0, 0, sync
+    while pos + 4 <= len(payload):
+        try:
+            flen, spf, rate2, _, _, _ = _mp3_frame(payload, pos)
+        except ValueError:
+            break  # trailing tag (ID3v1/APE) or truncated final frame
+        n_frames += 1
+        samples += spf
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame")
+    return {
+        "container": "mp3" if layer == 3 else f"mpeg-l{layer}",
+        "codec": f"mpeg-layer{layer}",
+        "width": None,
+        "height": None,
+        "duration_ms": int(round(samples * 1000.0 / rate)),
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_streams": 1,
+    }
+
+
+def build_mp3(
+    *,
+    n_frames: int = 38,
+    bitrate_kbps: int = 128,
+    rate: int = 44100,
+    mono: bool = False,
+    id3_payload: bytes | None = None,
+) -> bytes:
+    """Deterministic MPEG-1 Layer III CBR stream for fixtures: optional
+    ID3v2.3 tag + ``n_frames`` valid frame headers with zeroed coded
+    payloads (the probe never reads them)."""
+    bidx = _MP3_BITRATES[("1", 3)].index(bitrate_kbps)
+    ridx = _MP3_RATES["1"].index(rate)
+    out = bytearray()
+    if id3_payload is not None:
+        n = len(id3_payload)
+        out += b"ID3\x03\x00\x00" + bytes(
+            [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+        )
+        out += id3_payload
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG-1, Layer III, no CRC
+            (bidx << 4) | (ridx << 2),  # no padding
+            0xC0 if mono else 0x00,  # mode bits
+        ]
+    )
+    flen = 1152 // 8 * bitrate_kbps * 1000 // rate
+    frame = hdr + b"\x00" * (flen - 4)
+    out += frame * n_frames
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) + Vorbis I / Opus (RFC 7845) identification headers
+# ---------------------------------------------------------------------------
+
+
+def probe_ogg(payload: bytes) -> dict:
+    """Ogg payload -> typed metadata: codec from the BOS identification
+    packet (Vorbis I ``\\x01vorbis`` / Opus ``OpusHead``), duration from
+    the last page's granule position (PCM sample count for Vorbis;
+    48 kHz units for Opus). Page CRCs are not validated — probing is a
+    routing step, not an integrity check."""
+    if payload[:4] != b"OggS" or len(payload) < 28:
+        raise ValueError("not an Ogg payload")
+    if payload[4] != 0:
+        raise ValueError(f"unknown Ogg stream structure v{payload[4]}")
+    nsegs = payload[26]
+    body = 27 + nsegs
+    if body >= len(payload):
+        raise ValueError("truncated first Ogg page")
+    pkt = payload[body : body + 64]
+    out: dict = {
+        "container": "ogg",
+        "codec": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "channels": None,
+        "n_streams": 1,
+    }
+    gran_rate = None
+    if pkt[:7] == b"\x01vorbis":
+        if len(pkt) < 16:
+            raise ValueError("truncated Vorbis identification header")
+        out["codec"] = "vorbis"
+        out["channels"] = pkt[11]
+        out["sample_rate"] = int.from_bytes(pkt[12:16], "little")
+        gran_rate = out["sample_rate"]
+    elif pkt[:8] == b"OpusHead":
+        if len(pkt) < 14:
+            raise ValueError("truncated OpusHead")
+        out["codec"] = "opus"
+        out["channels"] = pkt[9]
+        out["sample_rate"] = int.from_bytes(pkt[12:16], "little") or 48000
+        gran_rate = 48000  # Opus granules are always 48 kHz units
+    else:
+        raise ValueError("unrecognized Ogg BOS packet (not Vorbis/Opus)")
+    last = payload.rfind(b"OggS")
+    if last >= 0 and last + 14 <= len(payload) and gran_rate:
+        granule = int.from_bytes(payload[last + 6 : last + 14], "little")
+        if granule != 0xFFFFFFFFFFFFFFFF:
+            out["duration_ms"] = int(round(granule * 1000.0 / gran_rate))
+    return out
+
+
+def _ogg_page(
+    serial: int, seq: int, header_type: int, granule: int, packet: bytes
+) -> bytes:
+    if len(packet) >= 255 * 255:
+        raise ValueError("fixture packet too large for one page")
+    segs = [255] * (len(packet) // 255) + [len(packet) % 255]
+    return (
+        b"OggS\x00"
+        + bytes([header_type])
+        + granule.to_bytes(8, "little")
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00" * 4  # CRC zeroed: probe routes, it does not verify
+        + bytes([len(segs)])
+        + bytes(segs)
+        + packet
+    )
+
+
+def build_ogg(
+    *,
+    codec: str = "vorbis",
+    rate: int = 44100,
+    channels: int = 2,
+    granule: int = 44100 * 3,
+    serial: int = 0x1D,
+) -> bytes:
+    """Deterministic two-page Ogg stream (BOS identification packet +
+    EOS data page) for fixtures. CRCs are zeroed (see probe_ogg)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + (0).to_bytes(4, "little")
+            + bytes([channels])
+            + rate.to_bytes(4, "little")
+            + b"\x00" * 16
+            + b"\x01"
+        )
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([channels])
+            + (312).to_bytes(2, "little")  # pre-skip
+            + rate.to_bytes(4, "little")
+            + b"\x00" * 3
+        )
+    else:
+        raise ValueError(f"unknown fixture codec {codec!r}")
+    rng = np.random.Generator(np.random.PCG64(serial))
+    data = rng.bytes(200)
+    return _ogg_page(serial, 0, 0x02, 0, ident) + _ogg_page(
+        serial, 1, 0x04, granule, data
+    )

@@ -20,7 +20,10 @@ payloads, output layout — is real and tested. Decode modes:
   an actual external codec (arithmetic-coded JPEG/MP4...) raise
   ``NotImplementedError`` naming the needed library (``fallback=True``
   routes them to the deterministic stand-in instead, so mixed tables keep
-  flowing).
+  flowing) — but their CONTAINER metadata is still fully extracted by
+  ``media_probe_stage`` (ISO-BMFF/MP4, MP3/ID3, Ogg Vorbis/Opus via
+  ``functions/containers.py``), so routing/filtering never needs the
+  codec.
 * ``decode=\"fake\"``: deterministic, dependency-free stand-in
   (byte-histogram features, metadata-derived shapes) exercising the full
   data path.
@@ -1463,3 +1466,365 @@ def gen_fake_media(n: int, seed: int = 42):
     import ray.data as rd
 
     return rd.from_arrow(pa.table(rows, schema=MEDIA_SCHEMA))
+
+
+# ---------------------------------------------------------------------------
+# Container probing: typed metadata WITHOUT decode (the routing front door
+# for payloads whose codecs live behind the PIL/ffmpeg seam)
+# ---------------------------------------------------------------------------
+
+
+def _probe_wav(payload: bytes) -> dict:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as w:
+        rate, nf = w.getframerate(), w.getnframes()
+        return {
+            "container": "wav",
+            "codec": f"pcm_s{8 * w.getsampwidth()}",
+            "duration_ms": int(round(nf * 1000.0 / rate)) if rate else None,
+            "n_frames": nf,
+            "sample_rate": rate,
+            "channels": w.getnchannels(),
+        }
+
+
+def _probe_png(payload: bytes) -> dict:
+    if payload[12:16] != b"IHDR" or len(payload) < 26:
+        raise ValueError("PNG missing IHDR")
+    return {
+        "container": "png",
+        "codec": f"png{payload[24]}",  # bit depth in the codec tag
+        "width": int.from_bytes(payload[16:20], "big"),
+        "height": int.from_bytes(payload[20:24], "big"),
+    }
+
+
+def _probe_jpeg(payload: bytes) -> dict:
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = payload[i + 1]
+        if m == 0xD8 or (0xD0 <= m <= 0xD7) or m == 0x01 or m == 0xFF:
+            i += 2
+            continue
+        seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            kind = "progressive" if m in (0xC2, 0xCA) else "baseline"
+            arith = "-arith" if m in (0xC9, 0xCA, 0xCB) else ""
+            return {
+                "container": "jpeg",
+                "codec": f"jpeg-{kind}{arith}",
+                "width": w,
+                "height": h,
+            }
+        i += 2 + seglen
+    raise ValueError("JPEG without SOF header")
+
+
+def _probe_gif(payload: bytes) -> dict:
+    import struct
+
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    if packed & 0x80:
+        i += 3 * (2 << (packed & 7))
+    frames = 0
+    while i < len(payload):
+        block = payload[i]
+        i += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            i += 1  # label
+        elif block == 0x2C:
+            frames += 1
+            ipacked = payload[i + 8]
+            i += 9
+            if ipacked & 0x80:
+                i += 3 * (2 << (ipacked & 7))
+            i += 1  # LZW min code size
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        while i < len(payload) and payload[i]:  # skip data sub-blocks
+            i += payload[i] + 1
+        i += 1
+    if frames == 0:
+        raise ValueError("GIF without image descriptors")
+    return {
+        "container": "gif",
+        "codec": "gif-lzw",
+        "width": w,
+        "height": h,
+        "n_frames": frames,
+    }
+
+
+def _probe_bmp(payload: bytes) -> dict:
+    import struct
+
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    return {
+        "container": "bmp",
+        "codec": f"bmp{bpp}",
+        "width": w,
+        "height": abs(h),
+    }
+
+
+def _probe_pnm(payload: bytes) -> dict:
+    toks = payload.split(None, 4)
+    if len(toks) < 4:
+        raise ValueError("truncated PNM header")
+    return {
+        "container": "pnm",
+        "codec": toks[0].decode("latin-1").lower(),
+        "width": int(toks[1]),
+        "height": int(toks[2]),
+    }
+
+
+def _probe_y4m(payload: bytes) -> dict:
+    nl = payload.index(b"\n")
+    w = h = 0
+    cs = "420jpeg"
+    for tok in payload[10:nl].split(b" "):
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            cs = tok[1:].decode("ascii", "replace")
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("mono"):
+        frame_size = w * h
+    else:
+        sx, sy = _Y4M_SUBSAMPLE.get(cs[:3], (1, 1))
+        frame_size = w * h + 2 * ((w // sx) * (h // sy))
+    # walk FRAME headers exactly (raw plane bytes may contain b"FRAME")
+    frames, i = 0, nl + 1
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            raise ValueError("y4m frame desync")
+        i = payload.index(b"\n", i) + 1 + frame_size
+        frames += 1
+    return {
+        "container": "y4m",
+        "codec": f"rawvideo-{cs}",
+        "width": w,
+        "height": h,
+        "n_frames": frames,
+    }
+
+
+_PROBE_FIELDS = (
+    "container",
+    "codec",
+    "width",
+    "height",
+    "duration_ms",
+    "n_frames",
+    "sample_rate",
+    "channels",
+    "n_streams",
+)
+
+
+def probe_media(payload: bytes) -> dict:
+    """Any media payload -> typed metadata dict (``_PROBE_FIELDS``,
+    missing keys None) by magic-byte dispatch. Covers BOTH the
+    stdlib-decodable formats (header-only reads — no pixel/sample
+    decode) and the codec containers the sandbox cannot decode
+    (ISO-BMFF/MP4, MP3/ID3, Ogg Vorbis/Opus via
+    ``functions/containers.py``) — those get real container metadata
+    instead of a blind quarantine. Raises ``ValueError`` on unknown or
+    structurally corrupt payloads."""
+    from ..functions import containers as _ct
+
+    try:
+        if payload[4:8] == b"ftyp":
+            out = _ct.probe_mp4(payload)
+        elif payload[:4] == b"OggS":
+            out = _ct.probe_ogg(payload)
+        elif payload[:3] == b"ID3" or (
+            len(payload) >= 4
+            and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0
+        ):
+            out = _ct.probe_mp3(payload)
+        elif payload[:4] == b"RIFF":
+            out = _probe_wav(payload)
+        elif payload[:8] == _PNG_SIG:
+            out = _probe_png(payload)
+        elif payload[:3] == _JPEG_SIG:
+            out = _probe_jpeg(payload)
+        elif payload[:4] == _GIF_SIG:
+            out = _probe_gif(payload)
+        elif payload[:2] == b"BM":
+            out = _probe_bmp(payload)
+        elif payload[:2] in (b"P5", b"P6"):
+            out = _probe_pnm(payload)
+        elif payload[:9] == _Y4M_SIG:
+            out = _probe_y4m(payload)
+        else:
+            raise ValueError("unrecognized media payload magic")
+    except ValueError:
+        raise
+    except Exception as e:  # noqa: BLE001 — corrupt header arithmetic
+        raise ValueError(f"{type(e).__name__}: {e}") from e
+    return {k: out.get(k) for k in _PROBE_FIELDS}
+
+
+def media_probe_stage(media, *, batch_size: int = 256):
+    """MEDIA_SCHEMA Dataset -> one typed-metadata row per payload:
+    (media_id, kind, n_bytes, container, codec, width, height,
+    duration_ms, n_frames, sample_rate, channels, n_streams, probe_ok,
+    probe_error).
+
+    Probing is the routing front door of the media family at 100 TB:
+    header-only parsing (bytes read ∝ header size, never payload size)
+    classifies every blob BEFORE any decode pool spends CPU on it —
+    dimension/duration filters, codec routing and corrupt-payload
+    quarantine all come from this one cheap stage. Stateless header
+    parse ⇒ plain task ``map_batches`` (no actor pool needed); larger
+    batches than the decode stages since no pixels are materialized."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        rows: list[dict | None] = []
+        errors: list[str | None] = []
+        for p in payloads:
+            try:
+                rows.append(probe_media(p or b""))
+                errors.append(None)
+            except ValueError as e:
+                rows.append(None)
+                errors.append(str(e))
+        cols: dict = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "n_bytes": pa.array(
+                [len(p or b"") for p in payloads], pa.int64()
+            ),
+        }
+        types = {
+            "container": pa.string(),
+            "codec": pa.string(),
+            "width": pa.int32(),
+            "height": pa.int32(),
+            "duration_ms": pa.int64(),
+            "n_frames": pa.int64(),
+            "sample_rate": pa.int32(),
+            "channels": pa.int32(),
+            "n_streams": pa.int32(),
+        }
+        for f in _PROBE_FIELDS:
+            cols[f] = pa.array(
+                [(r[f] if r is not None else None) for r in rows], types[f]
+            )
+        cols["probe_ok"] = pa.array([r is not None for r in rows], pa.bool_())
+        cols["probe_error"] = pa.array(errors, pa.string())
+        return pa.table(cols)
+
+    return media.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
+def gen_container_media(n: int, seed: int = 7):
+    """Deterministic codec-container media table (no external data):
+    rotates MP4 video (+audio track), MP4 audio-only, MP3 with ID3v2,
+    bare mono MP3, Ogg Vorbis and Ogg Opus — all built by the
+    ``functions/containers.py`` fixture builders. These payloads are
+    exactly the crawl formats whose CODEC decode sits behind the
+    documented seam; the probe stage still extracts their full container
+    metadata."""
+    from ..functions import containers as _ct
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n):
+        v = i % 6
+        if v == 0:
+            w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
+            nf = int(rng.integers(24, 720))
+            dur = int(rng.integers(500, 30_000))
+            p = _ct.build_mp4(
+                duration_ms=dur,
+                width=w,
+                height=h,
+                n_frames=nf,
+                audio_codec=b"mp4a",
+                sample_rate=48000,
+                channels=2,
+                mdat=rng.bytes(int(rng.integers(64, 512))),
+                version1=bool(i % 2),
+            )
+            kind, meta = "video", {"width": w, "height": h, "frames": nf}
+        elif v == 1:
+            dur = int(rng.integers(500, 30_000))
+            p = _ct.build_mp4(
+                duration_ms=dur,
+                audio_codec=b"mp4a",
+                sample_rate=44100,
+                channels=1,
+                mdat=rng.bytes(int(rng.integers(64, 512))),
+            )
+            kind, meta = "audio", {"rate": 44100, "channels": 1}
+        elif v == 2:
+            nf = int(rng.integers(10, 200))
+            p = _ct.build_mp3(
+                n_frames=nf, id3_payload=rng.bytes(int(rng.integers(16, 96)))
+            )
+            kind, meta = "audio", {"rate": 44100, "channels": 2}
+        elif v == 3:
+            nf = int(rng.integers(10, 200))
+            p = _ct.build_mp3(
+                n_frames=nf, bitrate_kbps=64, rate=32000, mono=True
+            )
+            kind, meta = "audio", {"rate": 32000, "channels": 1}
+        elif v == 4:
+            rate = [22050, 44100, 48000][i % 3]
+            p = _ct.build_ogg(
+                codec="vorbis",
+                rate=rate,
+                channels=2,
+                granule=int(rng.integers(rate, 60 * rate)),
+                serial=i + 1,
+            )
+            kind, meta = "audio", {"rate": rate, "channels": 2}
+        else:
+            p = _ct.build_ogg(
+                codec="opus",
+                rate=48000,
+                channels=1,
+                granule=int(rng.integers(48000, 60 * 48000)),
+                serial=i + 1,
+            )
+            kind, meta = "audio", {"rate": 48000, "channels": 1}
+        ids.append(f"codec://{i:06d}")
+        kinds.append(kind)
+        payloads.append(p)
+        metas.append(json.dumps(meta))
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "media_id": ids,
+                "kind": kinds,
+                "payload": payloads,
+                "meta": metas,
+            },
+            schema=MEDIA_SCHEMA,
+        )
+    )

@@ -1,0 +1,209 @@
+"""Container probing: typed metadata without codec decode
+(functions/containers.py + stages/multimodal.py probe_media /
+media_probe_stage) — ISO-BMFF/MP4, MP3/ID3, Ogg Vorbis/Opus, plus
+header-only probes of every stdlib-decodable format."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deduplicatr_ray.functions import containers as ct
+from deduplicatr_ray.stages import multimodal as mm
+
+
+def test_mp4_video_audio_roundtrip():
+    p = ct.build_mp4(
+        duration_ms=2500,
+        width=640,
+        height=360,
+        n_frames=75,
+        audio_codec=b"mp4a",
+        sample_rate=48000,
+        channels=2,
+        mdat=b"\x42" * 100,
+    )
+    d = ct.probe_mp4(p)
+    assert d["container"] == "mp4/isom"
+    assert d["codec"] == "avc1,mp4a"
+    assert (d["width"], d["height"]) == (640, 360)
+    assert d["duration_ms"] == 2500
+    assert d["n_frames"] == 75
+    assert (d["sample_rate"], d["channels"]) == (48000, 2)
+    assert d["n_streams"] == 2
+
+
+def test_mp4_version1_boxes_and_audio_only():
+    d = ct.probe_mp4(
+        ct.build_mp4(
+            duration_ms=7000, width=320, height=240, n_frames=10, version1=True
+        )
+    )
+    assert (d["width"], d["height"], d["duration_ms"]) == (320, 240, 7000)
+    a = ct.probe_mp4(
+        ct.build_mp4(
+            duration_ms=1500,
+            audio_codec=b"mp4a",
+            sample_rate=44100,
+            channels=1,
+        )
+    )
+    assert a["codec"] == "mp4a"
+    assert a["width"] is None and a["n_frames"] is None
+    assert (a["sample_rate"], a["channels"]) == (44100, 1)
+
+
+def test_mp4_corruption_raises_value_error():
+    p = ct.build_mp4(duration_ms=100, width=16, height=16, n_frames=1)
+    with pytest.raises(ValueError):
+        ct.probe_mp4(p[:40])  # truncated box
+    with pytest.raises(ValueError):
+        ct.probe_mp4(b"\x00" * 32)  # no ftyp
+    # ftyp-only (no moov: a streaming fragment) is structurally valid
+    # but unprobeable
+    ftyp = p[: int.from_bytes(p[:4], "big")]
+    with pytest.raises(ValueError, match="moov"):
+        ct.probe_mp4(ftyp)
+
+
+def test_mp3_cbr_walk_exact_duration():
+    d = ct.probe_mp3(ct.build_mp3(n_frames=38, id3_payload=b"\x00" * 50))
+    assert d["container"] == "mp3"
+    assert d["n_frames"] == 38
+    assert d["sample_rate"] == 44100 and d["channels"] == 2
+    # 38 frames * 1152 samples / 44100 Hz = 992.6 ms
+    assert d["duration_ms"] == round(38 * 1152 * 1000 / 44100)
+
+
+def test_mp3_mono_low_rate_and_trailing_id3v1():
+    p = ct.build_mp3(n_frames=20, bitrate_kbps=64, rate=32000, mono=True)
+    d = ct.probe_mp3(p)
+    assert (d["sample_rate"], d["channels"], d["n_frames"]) == (32000, 1, 20)
+    # an ID3v1 tail tag must not be counted as frames
+    d2 = ct.probe_mp3(p + b"TAG" + b"\x00" * 125)
+    assert d2["n_frames"] == 20
+
+
+def test_mp3_sync_scan_and_garbage():
+    p = ct.build_mp3(n_frames=5)
+    assert ct.probe_mp3(b"\x00\x01\x02" + p)["n_frames"] == 5  # junk prefix
+    with pytest.raises(ValueError):
+        ct.probe_mp3(b"\x00" * 4096)
+    with pytest.raises(ValueError):
+        ct.probe_mp3(b"ID3\x03\x00\x00\x7f\x7f\x7f\x7f")  # tag overruns
+
+
+def test_ogg_vorbis_and_opus():
+    v = ct.probe_ogg(
+        ct.build_ogg(codec="vorbis", rate=44100, channels=2, granule=44100 * 3)
+    )
+    assert v["codec"] == "vorbis"
+    assert (v["sample_rate"], v["channels"]) == (44100, 2)
+    assert v["duration_ms"] == 3000
+    o = ct.probe_ogg(
+        ct.build_ogg(codec="opus", rate=48000, channels=1, granule=96000)
+    )
+    assert o["codec"] == "opus" and o["duration_ms"] == 2000
+    with pytest.raises(ValueError):
+        ct.probe_ogg(b"OggS\x01" + b"\x00" * 40)  # bad version
+    with pytest.raises(ValueError):
+        ct.probe_ogg(b"not ogg at all, clearly " * 2)
+
+
+def test_probe_media_header_only_agrees_with_real_decoders():
+    from deduplicatr_ray.functions.gif import encode_gif
+    from deduplicatr_ray.functions.jpeg import encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    pix = mm._gen_pixels(rng)
+    h, w = pix.shape[:2]
+    q = ((pix >> 6) << 6).astype(np.uint8)
+    colors, inv = np.unique(q.reshape(-1, 3), axis=0, return_inverse=True)
+    idx = inv.astype(np.uint8).reshape(1, h, w)
+    gif3 = encode_gif(
+        np.concatenate([idx, idx, idx]), colors.astype(np.uint8)
+    )
+    checks = {
+        "pnm": (mm.encode_pnm(pix), "p6"),
+        "png": (mm.encode_png(pix, filter_type=2, interlace=True), "png8"),
+        "jpeg-progressive": (
+            encode_jpeg(pix, subsampling="444", progressive=True),
+            "jpeg-progressive",
+        ),
+        "jpeg-baseline": (
+            encode_jpeg(pix, subsampling="420"),
+            "jpeg-baseline",
+        ),
+        "bmp": (mm.encode_bmp(pix), "bmp24"),
+    }
+    for name, (payload, codec) in checks.items():
+        d = mm.probe_media(payload)
+        assert d["codec"] == codec, name
+        assert (d["width"], d["height"]) == (w, h), name
+    g = mm.probe_media(gif3)
+    assert g["n_frames"] == 3 and (g["width"], g["height"]) == (w, h)
+    wav = mm._gen_wav(rng)
+    samples, rate = mm.decode_wav(wav)
+    dw = mm.probe_media(wav)
+    assert dw["sample_rate"] == rate and dw["n_frames"] == len(samples)
+    assert dw["duration_ms"] == round(len(samples) * 1000 / rate)
+    y4m = mm._gen_y4m(rng)
+    frames = mm.decode_y4m(y4m)
+    dy = mm.probe_media(y4m)
+    assert dy["n_frames"] == frames.shape[0]
+    assert (dy["width"], dy["height"]) == (frames.shape[2], frames.shape[1])
+
+
+def test_probe_media_rejects_unknown_and_corrupt():
+    with pytest.raises(ValueError):
+        mm.probe_media(b"\x01\x02\x03\x04garbage bytes here")
+    # magic matches but structure is corrupt -> ValueError, never a raw
+    # IndexError/struct.error escaping into the stage
+    p = ct.build_mp4(duration_ms=10, width=8, height=8, n_frames=1)
+    with pytest.raises(ValueError):
+        mm.probe_media(p[:30])
+    with pytest.raises(ValueError):
+        mm.probe_media(b"GIF89a\x10\x00\x10\x00\x00\x00\x00\xff")
+    with pytest.raises(ValueError):
+        mm.probe_media(mm._PNG_SIG + b"\x00" * 8)
+    with pytest.raises(ValueError):
+        mm.probe_media(b"\xff\xd8\xff\xe0\x00\x04\x00\x00")  # no SOF
+
+
+def test_media_probe_stage_end_to_end(ray_session):
+    media = mm.gen_fake_media(30).union(mm.gen_container_media(12))
+    out = media_probe_df(media)
+    assert len(out) == 42
+    bad = out[~out["probe_ok"]]
+    good = out[out["probe_ok"]]
+    # the only unprobeable rows are gen_fake_media's opaque random blobs
+    assert all(m.startswith("media://") for m in bad["media_id"])
+    assert (bad["container"].isna()).all()
+    assert bad["probe_error"].str.len().gt(0).all()
+    # every codec-container row probed with full typed metadata
+    codec_rows = out[out["media_id"].str.startswith("codec://")]
+    assert codec_rows["probe_ok"].all()
+    mp4v = codec_rows[codec_rows["container"] == "mp4/isom"]
+    assert len(mp4v) == 4  # 2 video + 2 audio-only of 12 rows
+    assert (
+        codec_rows["container"]
+        .isin(["mp4/isom", "mp3", "ogg"])
+        .all()
+    )
+    # probed kinds carry duration for all audio containers
+    audio = codec_rows[codec_rows["kind"] == "audio"]
+    assert audio["duration_ms"].gt(0).all()
+    # decodable fixture rows: dims/duration populated per kind
+    img = good[good["kind"] == "image"]
+    assert img["width"].gt(0).all() and img["height"].gt(0).all()
+
+
+def media_probe_df(media):
+    import pandas as pd  # noqa: F401
+
+    return (
+        mm.media_probe_stage(media)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
