@@ -539,3 +539,214 @@ def build_ogg(
     return _ogg_page(serial, 0, 0x02, 0, ident) + _ogg_page(
         serial, 1, 0x04, granule, data
     )
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (EBML structure per RFC 8794 + the public Matroska IDs)
+# ---------------------------------------------------------------------------
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACK_ENTRY = 0xAE
+_MKV_DOCTYPE = 0x4282
+_MKV_TIMESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACK_TYPE = 0x83
+_MKV_CODEC_ID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_AUDIO = 0xE1
+_MKV_PIXEL_W = 0xB0
+_MKV_PIXEL_H = 0xBA
+_MKV_SAMPLE_FREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+
+
+def _ebml_vint(buf: bytes, off: int, end: int, *, is_id: bool):
+    """Read one EBML variable-length integer at ``off``; returns
+    (value, next_offset). IDs keep the length-marker bit; sizes clear
+    it. An all-value-bits-set size means "unknown" -> returns None."""
+    if off >= end:
+        raise ValueError("truncated EBML vint")
+    b0 = buf[off]
+    if b0 == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    n = 8 - b0.bit_length() + 1
+    if off + n > end:
+        raise ValueError("truncated EBML vint body")
+    raw = int.from_bytes(buf[off : off + n], "big")
+    if is_id:
+        return raw, off + n
+    val = raw & ~(1 << (7 * n))
+    if val == (1 << (7 * n)) - 1:
+        return None, off + n  # unknown size
+    return val, off + n
+
+
+def _ebml_elements(buf: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) across [start, end)."""
+    off = start
+    while off < end:
+        eid, off = _ebml_vint(buf, off, end, is_id=True)
+        size, off = _ebml_vint(buf, off, end, is_id=False)
+        body_end = end if size is None else off + size
+        if body_end > end:
+            raise ValueError(f"EBML element 0x{eid:x} overruns payload")
+        yield eid, off, body_end
+        off = body_end
+
+
+def _ebml_uint(buf: bytes, s: int, e: int) -> int:
+    return int.from_bytes(buf[s:e], "big")
+
+
+def _ebml_float(buf: bytes, s: int, e: int) -> float:
+    import struct
+
+    if e - s == 4:
+        return struct.unpack(">f", buf[s:e])[0]
+    if e - s == 8:
+        return struct.unpack(">d", buf[s:e])[0]
+    raise ValueError(f"EBML float of width {e - s}")
+
+
+def probe_mkv(payload: bytes) -> dict:
+    """Matroska/WebM payload -> typed metadata (no codec decode):
+    DocType, Segment Info duration (TimestampScale x Duration), per
+    TrackEntry the CodecID, video PixelWidth/PixelHeight and audio
+    SamplingFrequency/Channels. Cluster bodies are never walked."""
+    elems = _ebml_elements(payload, 0, len(payload))
+    try:
+        first = next(elems)
+    except StopIteration:
+        raise ValueError("empty EBML stream") from None
+    if first[0] != _EBML_HEADER:
+        raise ValueError("not an EBML/Matroska payload")
+    doctype = "matroska"
+    for eid, s, e in _ebml_elements(payload, first[1], first[2]):
+        if eid == _MKV_DOCTYPE:
+            doctype = payload[s:e].decode("latin-1").rstrip("\x00")
+    out: dict = {
+        "container": doctype,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "channels": None,
+        "n_streams": 0,
+    }
+    codecs: list[str] = []
+    segment = None
+    for eid, s, e in elems:
+        if eid == _MKV_SEGMENT:
+            segment = (s, e)
+            break
+    if segment is None:
+        raise ValueError("Matroska payload without Segment")
+    tscale_ns, duration_ticks = 1_000_000, None
+    for eid, s, e in _ebml_elements(payload, segment[0], segment[1]):
+        if eid == _MKV_INFO:
+            for i2, s2, e2 in _ebml_elements(payload, s, e):
+                if i2 == _MKV_TIMESCALE:
+                    tscale_ns = _ebml_uint(payload, s2, e2)
+                elif i2 == _MKV_DURATION:
+                    duration_ticks = _ebml_float(payload, s2, e2)
+        elif eid == _MKV_TRACKS:
+            for i2, s2, e2 in _ebml_elements(payload, s, e):
+                if i2 != _MKV_TRACK_ENTRY:
+                    continue
+                out["n_streams"] += 1
+                for i3, s3, e3 in _ebml_elements(payload, s2, e2):
+                    if i3 == _MKV_CODEC_ID:
+                        codecs.append(
+                            payload[s3:e3].decode("latin-1").rstrip("\x00")
+                        )
+                    elif i3 == _MKV_VIDEO:
+                        for i4, s4, e4 in _ebml_elements(payload, s3, e3):
+                            if i4 == _MKV_PIXEL_W:
+                                out["width"] = _ebml_uint(payload, s4, e4)
+                            elif i4 == _MKV_PIXEL_H:
+                                out["height"] = _ebml_uint(payload, s4, e4)
+                    elif i3 == _MKV_AUDIO:
+                        for i4, s4, e4 in _ebml_elements(payload, s3, e3):
+                            if i4 == _MKV_SAMPLE_FREQ:
+                                out["sample_rate"] = int(
+                                    _ebml_float(payload, s4, e4)
+                                )
+                            elif i4 == _MKV_CHANNELS:
+                                out["channels"] = _ebml_uint(
+                                    payload, s4, e4
+                                )
+    if duration_ticks is not None:
+        out["duration_ms"] = int(
+            round(duration_ticks * tscale_ns / 1_000_000.0)
+        )
+    out["codec"] = ",".join(codecs) if codecs else None
+    return out
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+    n = len(body)
+    for w in range(1, 9):  # smallest size width that fits n with marker
+        if n < (1 << (7 * w)) - 1:
+            return idb + (n | (1 << (7 * w))).to_bytes(w, "big") + body
+    raise ValueError("fixture element too large")
+
+
+def build_mkv(
+    *,
+    doctype: str = "webm",
+    duration_ms: int | None = 4000,
+    width: int = 0,
+    height: int = 0,
+    video_codec: str = "V_VP9",
+    audio_codec: str | None = None,
+    sample_rate: int = 48000,
+    channels: int = 2,
+    cluster: bytes = b"",
+) -> bytes:
+    """Deterministic minimal Matroska/WebM fixture: EBML header
+    (DocType) + Segment (Info with TimestampScale/Duration, Tracks with
+    video and/or audio TrackEntry, one opaque Cluster blob)."""
+    import struct
+
+    header = _ebml_el(
+        _EBML_HEADER, _ebml_el(_MKV_DOCTYPE, doctype.encode())
+    )
+    info = _ebml_el(_MKV_TIMESCALE, (1_000_000).to_bytes(3, "big"))
+    if duration_ms is not None:
+        info += _ebml_el(_MKV_DURATION, struct.pack(">d", float(duration_ms)))
+    tracks = b""
+    if width and height:
+        tracks += _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(_MKV_TRACK_TYPE, b"\x01")
+            + _ebml_el(_MKV_CODEC_ID, video_codec.encode())
+            + _ebml_el(
+                _MKV_VIDEO,
+                _ebml_el(_MKV_PIXEL_W, width.to_bytes(2, "big"))
+                + _ebml_el(_MKV_PIXEL_H, height.to_bytes(2, "big")),
+            ),
+        )
+    if audio_codec is not None:
+        tracks += _ebml_el(
+            _MKV_TRACK_ENTRY,
+            _ebml_el(_MKV_TRACK_TYPE, b"\x02")
+            + _ebml_el(_MKV_CODEC_ID, audio_codec.encode())
+            + _ebml_el(
+                _MKV_AUDIO,
+                _ebml_el(_MKV_SAMPLE_FREQ, struct.pack(">f", sample_rate))
+                + _ebml_el(_MKV_CHANNELS, bytes([channels])),
+            ),
+        )
+    segment = _ebml_el(
+        _MKV_SEGMENT,
+        _ebml_el(_MKV_INFO, info)
+        + _ebml_el(_MKV_TRACKS, tracks)
+        + _ebml_el(0x1F43B675, cluster),  # Cluster: opaque to the probe
+    )
+    return header + segment

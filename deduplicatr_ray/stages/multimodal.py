@@ -1650,6 +1650,8 @@ def probe_media(payload: bytes) -> dict:
     try:
         if payload[4:8] == b"ftyp":
             out = _ct.probe_mp4(payload)
+        elif payload[:4] == b"\x1a\x45\xdf\xa3":
+            out = _ct.probe_mkv(payload)
         elif payload[:4] == b"OggS":
             out = _ct.probe_ogg(payload)
         elif payload[:3] == b"ID3" or (
@@ -1743,8 +1745,9 @@ def media_probe_stage(media, *, batch_size: int = 256):
 def gen_container_media(n: int, seed: int = 7):
     """Deterministic codec-container media table (no external data):
     rotates MP4 video (+audio track), MP4 audio-only, MP3 with ID3v2,
-    bare mono MP3, Ogg Vorbis and Ogg Opus — all built by the
-    ``functions/containers.py`` fixture builders. These payloads are
+    bare mono MP3, Ogg Vorbis, Ogg Opus, WebM VP9+Opus video and
+    Matroska H.264 video — all built by the ``functions/containers.py``
+    fixture builders. These payloads are
     exactly the crawl formats whose CODEC decode sits behind the
     documented seam; the probe stage still extracts their full container
     metadata."""
@@ -1753,8 +1756,35 @@ def gen_container_media(n: int, seed: int = 7):
     rng = np.random.Generator(np.random.PCG64(seed))
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        v = i % 6
-        if v == 0:
+        v = i % 8
+        if v == 6:
+            w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
+            dur = int(rng.integers(500, 30_000))
+            p = _ct.build_mkv(
+                doctype="webm",
+                duration_ms=dur,
+                width=w,
+                height=h,
+                video_codec="V_VP9",
+                audio_codec="A_OPUS",
+                sample_rate=48000,
+                channels=2,
+                cluster=rng.bytes(int(rng.integers(64, 512))),
+            )
+            kind, meta = "video", {"width": w, "height": h}
+        elif v == 7:
+            w, h = int(rng.integers(16, 1280)), int(rng.integers(16, 720))
+            dur = int(rng.integers(500, 30_000))
+            p = _ct.build_mkv(
+                doctype="matroska",
+                duration_ms=dur,
+                width=w,
+                height=h,
+                video_codec="V_MPEG4/ISO/AVC",
+                cluster=rng.bytes(int(rng.integers(64, 512))),
+            )
+            kind, meta = "video", {"width": w, "height": h}
+        elif v == 0:
             w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
             nf = int(rng.integers(24, 720))
             dur = int(rng.integers(500, 30_000))

@@ -110,6 +110,42 @@ def test_ogg_vorbis_and_opus():
         ct.probe_ogg(b"not ogg at all, clearly " * 2)
 
 
+def test_mkv_webm_and_matroska():
+    p = ct.build_mkv(
+        doctype="webm",
+        duration_ms=5500,
+        width=1280,
+        height=720,
+        video_codec="V_VP9",
+        audio_codec="A_OPUS",
+        sample_rate=48000,
+        channels=2,
+        cluster=b"\x42" * 300,
+    )
+    d = ct.probe_mkv(p)
+    assert d["container"] == "webm"
+    assert d["codec"] == "V_VP9,A_OPUS"
+    assert (d["width"], d["height"], d["duration_ms"]) == (1280, 720, 5500)
+    assert (d["sample_rate"], d["channels"], d["n_streams"]) == (48000, 2, 2)
+    m = ct.probe_mkv(
+        ct.build_mkv(
+            doctype="matroska",
+            duration_ms=None,
+            width=640,
+            height=480,
+            video_codec="V_MPEG4/ISO/AVC",
+        )
+    )
+    assert m["container"] == "matroska"
+    assert m["duration_ms"] is None and m["n_streams"] == 1
+    # dispatch through the stage-level prober
+    assert mm.probe_media(p)["container"] == "webm"
+    with pytest.raises(ValueError):
+        ct.probe_mkv(p[:20])  # truncated element
+    with pytest.raises(ValueError):
+        ct.probe_mkv(b"\x42\x45\xdf\xa3" + b"\x00" * 30)  # wrong magic
+
+
 def test_probe_media_header_only_agrees_with_real_decoders():
     from deduplicatr_ray.functions.gif import encode_gif
     from deduplicatr_ray.functions.jpeg import encode_jpeg
@@ -183,13 +219,13 @@ def test_media_probe_stage_end_to_end(ray_session):
     # every codec-container row probed with full typed metadata
     codec_rows = out[out["media_id"].str.startswith("codec://")]
     assert codec_rows["probe_ok"].all()
-    mp4v = codec_rows[codec_rows["container"] == "mp4/isom"]
-    assert len(mp4v) == 4  # 2 video + 2 audio-only of 12 rows
-    assert (
-        codec_rows["container"]
-        .isin(["mp4/isom", "mp3", "ogg"])
-        .all()
-    )
+    assert codec_rows["container"].value_counts().to_dict() == {
+        "mp4/isom": 4,  # 2 video + 2 audio-only of 12 rows
+        "mp3": 4,
+        "ogg": 2,
+        "webm": 1,
+        "matroska": 1,
+    }
     # probed kinds carry duration for all audio containers
     audio = codec_rows[codec_rows["kind"] == "audio"]
     assert audio["duration_ms"].gt(0).all()
