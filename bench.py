@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dsir_weights",          # DSIR importance weights (two zero-shuffle scans)
     "media_features",        # REAL multimodal decode (WAV/PNG/JPEG/GIF/y4m...)
     "media_near_dups",       # media features -> exact-cosine dup pairs
+    "media_probe",           # container metadata WITHOUT decode (MP4/MP3/Ogg/WebM)
 ]
 
 FLAGSHIP = "dedup_clusters"
