@@ -1776,6 +1776,58 @@ def q_media_probe(sf_dir: str):
     )
 
 
+def q_warc_extract(sf_dir: str):
+    """WARC ingest end-to-end (S-family source; `sources/warc.py`):
+    every document is html-escaped, wrapped in tags, and framed as a
+    WARC/1.0 response record in a deterministic Common-Crawl-layout
+    .warc.gz (one gzip member per record, plus a warcinfo record and a
+    404 that ingest must skip); read_warc (one parse task per file) ->
+    extract_stage must then recover exactly the whitespace-collapsed
+    original text per url. SQL-matched: the oracle applies the same
+    collapse to documents.text directly."""
+    import hashlib
+    import html as _h
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deduplicatr_ray.sources.warc import build_warc, read_warc
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    recs = [
+        {
+            "url": f"warc://{d:08d}",
+            "date": "2021-05-01T12:00:00Z",
+            "html": (
+                "<html><head><title></title></head><body>"
+                f"<p>{_h.escape(t)}</p></body></html>"
+            ).encode(),
+        }
+        for d, t in zip(
+            docs["doc_id"].to_pylist(), docs["text"].to_pylist()
+        )
+    ]
+    recs.append(  # a 404 response: ingest must skip it
+        {"url": "warc://gone", "html": b"<p>nope</p>", "status": 404}
+    )
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{len(recs)}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/graft_warc_{tag}.warc.gz"
+    if not os.path.exists(path):  # deterministic content -> cacheable
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs))
+        os.replace(tmp, path)
+    out = extract_stage(read_warc(path)).select_columns(
+        ["url", "n_chars", "text"]
+    )
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
 def q_audio_near_dups(sf_dir: str):
     """Audio near-dup detection: every WAV row is duplicated as a REAL
     decode -> half-volume re-encode, then the spectral-peak landmark
@@ -2101,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "media_probe": q_media_probe,
+        "warc_extract": q_warc_extract,
     }
 
 
@@ -3091,5 +3144,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
                      AS n_removed
             FROM marked GROUP BY doc_id
+        """,
+        # warc_extract: the WARC fixture html-escapes each document and
+        # wraps it in tags, so the frozen extractor (tag strip ->
+        # unescape -> whitespace collapse) must recover exactly the
+        # ws-collapsed original text. DuckDB applies the same collapse.
+        "warc_extract": """
+            SELECT 'warc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                     AS url,
+                   length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                     ::BIGINT AS n_chars,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+            FROM documents
+            ORDER BY url
         """,
     }

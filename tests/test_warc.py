@@ -1,0 +1,96 @@
+"""WARC source (sources/warc.py): record framing, per-record gzip
+members, HTTP response split, and the read_warc -> extract_stage path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from deduplicatr_ray.sources import warc as W
+
+RECS = [
+    {
+        "url": "http://a.example/x",
+        "date": "2021-05-01T12:00:00Z",
+        "html": b"<html><body>Hello &amp; goodbye</body></html>",
+    },
+    {"url": "http://b.example/y", "html": b"<p>gone</p>", "status": 404},
+    {"url": "http://c.example/z", "html": b"<p>three</p>"},
+]
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_build_parse_roundtrip(gz):
+    buf = W.build_warc(RECS, gzip_per_record=gz)
+    t = W.warc_bytes_to_pages(buf)
+    # warcinfo and the 404 are skipped; 200s become pages rows
+    assert t["url"].to_pylist() == ["http://a.example/x", "http://c.example/z"]
+    assert t["html"].to_pylist()[0] == RECS[0]["html"]
+    assert t["text"].to_pylist() == [None, None]
+    assert t["lang"].to_pylist() == ["und", "und"]
+    ts = t["warc_ts"].to_pylist()[0]
+    assert (ts.year, ts.month, ts.hour) == (2021, 5, 12)
+
+
+def test_gzip_members_are_concatenated_per_record():
+    buf = W.build_warc(RECS, gzip_per_record=True)
+    # Common Crawl layout: one gzip member per record, concatenated —
+    # more than one member magic must appear
+    assert buf[:2] == b"\x1f\x8b" and buf.count(b"\x1f\x8b\x08") >= 3
+    # and the concatenation inflates to the plain layout
+    assert gzip.decompress(buf) == W.build_warc(RECS, gzip_per_record=False)
+
+
+def test_split_http_response():
+    body = b"HTTP/1.1 200 OK\r\nX: y\r\n\r\npayload bytes"
+    assert W.split_http_response(body) == (200, b"payload bytes")
+    with pytest.raises(ValueError):
+        W.split_http_response(b"no terminator at all")
+    with pytest.raises(ValueError):
+        W.split_http_response(b"GARBAGE line\r\n\r\nx")
+
+
+def test_framing_corruption_raises_value_error():
+    plain = W.build_warc(RECS, gzip_per_record=False)
+    with pytest.raises(ValueError):
+        W.warc_bytes_to_pages(plain[:-40])  # body overruns
+    with pytest.raises(ValueError):
+        W.warc_bytes_to_pages(b"NOTAWARC" * 4)
+    with pytest.raises(ValueError):
+        W.warc_bytes_to_pages(b"WARC/1.0\r\nno-content-length: 1\r\n\r\n")
+
+
+def test_resource_record_body_is_payload():
+    # a record without the application/http content type: body IS html
+    body = b"<p>body</p>"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://r.example/\r\n"
+        b"WARC-Date: 2020-01-01T00:00:00Z\r\n"
+        b"Content-Type: text/html\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n"
+        + body
+        + b"\r\n\r\n"
+    )
+    t = W.warc_bytes_to_pages(rec)
+    assert t["html"].to_pylist() == [body]
+
+
+def test_read_warc_extract_end_to_end(ray_session, tmp_path):
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    path = tmp_path / "fixture.warc.gz"
+    path.write_bytes(W.build_warc(RECS))
+    out = (
+        extract_stage(W.read_warc(str(path)))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(out["url"]) == ["http://a.example/x", "http://c.example/z"]
+    # tag strip -> unescape -> collapse
+    assert list(out["text"]) == ["Hello & goodbye", "three"]
+    assert list(out["n_chars"]) == [15, 5]
