@@ -40,6 +40,8 @@ def _init_ray(num_cpus: int | None, address: str = "local") -> None:
 
 
 def cmd_run(args: argparse.Namespace) -> int:
+    import os
+
     import ray
 
     from .pipelines.flagship import dedup_pipeline, dedup_pipeline_partitioned
@@ -75,6 +77,25 @@ def cmd_run(args: argparse.Namespace) -> int:
                 checkpoint_dir=args.ckpt,
                 run_id=args.run_id,
                 num_partitions=args.partitions,
+            )
+        elif args.input.endswith((".warc", ".warc.gz")) or (
+            os.path.isdir(args.input)
+            and any(
+                f.endswith((".warc", ".warc.gz"))
+                for f in os.listdir(args.input)
+            )
+        ):
+            # Common Crawl-native ingest: WARC file(s) straight into the
+            # flagship (lang filter is a post-extract concern — WARC
+            # carries no language metadata)
+            from .sources.warc import read_warc
+
+            res = dedup_pipeline(
+                read_warc(args.input),
+                cfg,
+                checkpoint_dir=args.ckpt,
+                run_id=args.run_id,
+                components=args.components,
             )
         else:
             pages = read_pages(args.input, lang=args.lang)

@@ -94,3 +94,32 @@ def test_read_warc_extract_end_to_end(ray_session, tmp_path):
     # tag strip -> unescape -> collapse
     assert list(out["text"]) == ["Hello & goodbye", "three"]
     assert list(out["n_chars"]) == [15, 5]
+
+
+def test_read_warc_feeds_flagship_dedup(ray_session, tmp_path):
+    # the CLI's WARC ingest path: WARC file -> read_warc -> dedup_pipeline
+    from deduplicatr_ray.config import CANONICAL
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    recs = []
+    for i in range(30):
+        t = (
+            text
+            if i % 3 == 0
+            else f"document {i} body " + ("tokens all over " * 30)
+        )
+        recs.append(
+            {
+                "url": f"http://w{i:02d}.example/",
+                "html": f"<html><body>{t}</body></html>".encode(),
+            }
+        )
+    path = tmp_path / "pages.warc.gz"
+    path.write_bytes(W.build_warc(recs))
+    res = dedup_pipeline(W.read_warc(str(path)), CANONICAL)
+    df = res.clusters.to_pandas()
+    assert len(df) == 30
+    sizes = df["cluster_size"].value_counts().to_dict()
+    # 10 exact copies cluster together; the 20 near-identical docs too
+    assert sizes == {10: 10, 20: 20}
