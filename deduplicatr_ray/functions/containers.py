@@ -84,6 +84,7 @@ def probe_mp4(payload: bytes) -> dict:
     }
     codecs: list[str] = []
     moov = None
+    moofs: list[tuple[int, int]] = []
     for btype, s, e in _iter_boxes(payload, 0, len(payload)):
         if btype == b"ftyp":
             if e - s < 8:
@@ -92,9 +93,12 @@ def probe_mp4(payload: bytes) -> dict:
             out["container"] = f"mp4/{brand}"
         elif btype == b"moov":
             moov = (s, e)
+        elif btype == b"moof":
+            moofs.append((s, e))
     if moov is None:
         raise ValueError("no moov box (streaming-only fragment?)")
     ms, me = moov
+    tscale = 0
     mvhd = _find_box(payload, ms, me, b"mvhd")
     if mvhd is not None:
         s, e = mvhd
@@ -105,7 +109,19 @@ def probe_mp4(payload: bytes) -> dict:
         else:
             tscale = int.from_bytes(payload[s + 12 : s + 16], "big")
             dur = int.from_bytes(payload[s + 16 : s + 20], "big")
-        if tscale:
+        if tscale and dur:
+            out["duration_ms"] = int(round(dur * 1000.0 / tscale))
+    if out["duration_ms"] is None and tscale:
+        # fragmented MP4: mvhd duration is 0; mvex/mehd carries the
+        # whole-movie fragment duration when the muxer knows it
+        mvex = _find_box(payload, ms, me, b"mvex")
+        mehd = _find_box(payload, *mvex, b"mehd") if mvex else None
+        if mehd is not None:
+            s, e = mehd
+            dur = int.from_bytes(
+                payload[s + 4 : s + 12 if payload[s] == 1 else s + 8],
+                "big",
+            )
             out["duration_ms"] = int(round(dur * 1000.0 / tscale))
     for btype, ts, te in _iter_boxes(payload, ms, me):
         if btype != b"trak":
@@ -156,6 +172,20 @@ def probe_mp4(payload: bytes) -> dict:
         if handler == b"vide" and stsz is not None:
             s = stsz[0]
             out["n_frames"] = int.from_bytes(payload[s + 8 : s + 12], "big")
+    if moofs and not out["n_frames"]:
+        # fragmented MP4: sample counts live in moof/traf/trun, one
+        # fragment per moof — sum them for the stream's frame count
+        total = 0
+        for fs, fe in moofs:
+            for b2, s2, e2 in _iter_boxes(payload, fs, fe):
+                if b2 != b"traf":
+                    continue
+                for b3, s3, e3 in _iter_boxes(payload, s2, e2):
+                    if b3 == b"trun" and e3 - s3 >= 8:
+                        total += int.from_bytes(
+                            payload[s3 + 4 : s3 + 8], "big"
+                        )
+        out["n_frames"] = total or None
     out["codec"] = ",".join(codecs) if codecs else None
     return out
 
@@ -180,12 +210,20 @@ def build_mp4(
     channels: int = 2,
     mdat: bytes = b"",
     version1: bool = False,
+    fragments: list[int] | None = None,
 ) -> bytes:
     """Deterministic minimal-but-valid ISO-BMFF file for fixtures/tests:
     ftyp + moov (mvhd, one video and/or one audio trak with tkhd/mdhd/
-    hdlr/stbl) + mdat. The mdat bytes stand in for the coded stream."""
+    hdlr/stbl) + mdat. The mdat bytes stand in for the coded stream.
+
+    ``fragments=[n1, n2, ...]`` builds the fragmented (DASH/streaming)
+    layout instead: mvhd duration 0, moov/mvex/mehd carrying
+    ``duration_ms``, then one moof (mfhd + traf/tfhd + trun with that
+    sample count) + mdat pair per entry."""
     ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isommp42")
     tscale = 1000
+    movie_dur = 0 if fragments is not None else duration_ms
+    duration_ms, real_dur = movie_dur, duration_ms
     if version1:
         mvhd = _full(
             b"mvhd",
@@ -279,8 +317,24 @@ def build_mp4(
             + (sample_rate << 16).to_bytes(4, "big"),
         )
         traks.append(_trak(b"soun", aentry, 0, 2))
-    moov = _box(b"moov", mvhd + b"".join(traks))
-    return ftyp + moov + _box(b"mdat", mdat)
+    if fragments is None:
+        moov = _box(b"moov", mvhd + b"".join(traks))
+        return ftyp + moov + _box(b"mdat", mdat)
+    mvex = _box(
+        b"mvex", _full(b"mehd", 0, real_dur.to_bytes(4, "big"))
+    )
+    moov = _box(b"moov", mvhd + b"".join(traks) + mvex)
+    frags = b""
+    for seq, count in enumerate(fragments, start=1):
+        traf = _box(
+            b"traf",
+            _full(b"tfhd", 0, (1).to_bytes(4, "big"))
+            + _full(b"trun", 0, count.to_bytes(4, "big")),
+        )
+        frags += _box(
+            b"moof", _full(b"mfhd", 0, seq.to_bytes(4, "big")) + traf
+        ) + _box(b"mdat", mdat or b"\x00" * 16)
+    return ftyp + moov + frags
 
 
 # ---------------------------------------------------------------------------

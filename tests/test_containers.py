@@ -243,3 +243,21 @@ def media_probe_df(media):
         .sort_values("media_id")
         .reset_index(drop=True)
     )
+
+
+def test_mp4_fragmented_dash_layout():
+    # fMP4: mvhd duration 0, mvex/mehd carries it; frame count comes
+    # from summing moof/traf/trun sample counts
+    p = ct.build_mp4(
+        duration_ms=8000,
+        width=640,
+        height=360,
+        n_frames=0,
+        fragments=[30, 30, 15],
+    )
+    d = ct.probe_mp4(p)
+    assert d["duration_ms"] == 8000
+    assert d["n_frames"] == 75
+    assert (d["width"], d["height"]) == (640, 360)
+    # and dispatches through the stage-level prober
+    assert mm.probe_media(p)["n_frames"] == 75
