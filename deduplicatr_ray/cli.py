@@ -78,10 +78,10 @@ def cmd_run(args: argparse.Namespace) -> int:
                 run_id=args.run_id,
                 num_partitions=args.partitions,
             )
-        elif args.input.endswith((".warc", ".warc.gz")) or (
+        elif args.input.endswith((".warc", ".warc.gz", ".wet", ".wet.gz")) or (
             os.path.isdir(args.input)
             and any(
-                f.endswith((".warc", ".warc.gz"))
+                f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz"))
                 for f in os.listdir(args.input)
             )
         ):

@@ -101,35 +101,46 @@ def _warc_date_us(value: str) -> int:
 
 
 def warc_bytes_to_pages(buf: bytes) -> pa.Table:
-    """One WARC file's bytes (gzip members or plain) -> PAGES-shaped
-    Arrow table. Only ``WARC-Type: response`` records with an HTTP 200
-    become rows; html is the HTTP payload, ``text`` is null (extraction
-    is the downstream stage), ``lang`` is ``"und"`` (no language
-    metadata exists at the container level)."""
+    """One WARC/WET file's bytes (gzip members or plain) -> PAGES-shaped
+    Arrow table.
+
+    ``WARC-Type: response`` records with an HTTP 200 become html rows
+    (``text`` null — extraction is the downstream stage). ``WARC-Type:
+    conversion`` records — the Common Crawl WET layout, text/plain
+    bodies — become text rows directly (``html`` null; the extractor's
+    non-null-text passthrough keeps them byte-identical). ``lang`` is
+    ``"und"`` (no language metadata exists at the container level)."""
     if buf[:2] == b"\x1f\x8b":
         buf = gzip.decompress(buf)  # reads ALL concatenated members
     urls: list[str] = []
     ts: list[int] = []
-    htmls: list[bytes] = []
+    htmls: list[bytes | None] = []
+    texts: list[str | None] = []
     for headers, body in iter_warc_records(buf):
-        if headers.get("warc-type") != "response":
-            continue
-        ctype = headers.get("content-type", "")
-        if ctype.startswith("application/http"):
-            status, payload = split_http_response(body)
-            if status != 200:
-                continue
+        wtype = headers.get("warc-type")
+        if wtype == "response":
+            ctype = headers.get("content-type", "")
+            if ctype.startswith("application/http"):
+                status, payload = split_http_response(body)
+                if status != 200:
+                    continue
+            else:
+                payload = body  # resource-style record: body IS payload
+            htmls.append(payload)
+            texts.append(None)
+        elif wtype == "conversion":  # WET: body is extracted text
+            htmls.append(None)
+            texts.append(body.decode("utf-8", errors="replace"))
         else:
-            payload = body  # resource-style record: body IS the payload
+            continue
         urls.append(headers.get("warc-target-uri", ""))
         ts.append(_warc_date_us(headers.get("warc-date", "1970-01-01T00:00:00Z")))
-        htmls.append(payload)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
-            "text": pa.array([None] * len(urls), pa.string()),
+            "text": pa.array(texts, pa.string()),
             "lang": pa.array(["und"] * len(urls), pa.string()),
         }
     )
@@ -165,7 +176,9 @@ def build_warc(
     warcinfo: bool = True,
 ) -> bytes:
     """Deterministic WARC bytes for fixtures/tests. Each record dict:
-    ``{"url": str, "date": str ISO-Z, "html": bytes, "status": int}``.
+    ``{"url": str, "date": str ISO-Z, "html": bytes, "status": int}``
+    (a response record), or ``{"url": ..., "text": str}`` (a WET-style
+    conversion record with a text/plain body).
     ``gzip_per_record=True`` produces the Common Crawl member-per-record
     layout (mtime pinned to 0 so output is byte-deterministic)."""
 
@@ -199,6 +212,24 @@ def build_warc(
             )
         )
     for r in records:
+        if "text" in r:  # WET-style conversion record
+            out.append(
+                _gz(
+                    _record(
+                        [
+                            ("WARC-Type", "conversion"),
+                            ("WARC-Target-URI", r["url"]),
+                            (
+                                "WARC-Date",
+                                r.get("date", "2020-01-01T00:00:00Z"),
+                            ),
+                            ("Content-Type", "text/plain"),
+                        ],
+                        r["text"].encode("utf-8"),
+                    )
+                )
+            )
+            continue
         status = int(r.get("status", 200))
         http = (
             f"HTTP/1.1 {status} OK".encode()

@@ -123,3 +123,35 @@ def test_read_warc_feeds_flagship_dedup(ray_session, tmp_path):
     sizes = df["cluster_size"].value_counts().to_dict()
     # 10 exact copies cluster together; the 20 near-identical docs too
     assert sizes == {10: 10, 20: 20}
+
+
+def test_wet_conversion_records(ray_session, tmp_path):
+    # Common Crawl WET layout: conversion records with text/plain
+    # bodies become text rows; the extractor passthrough keeps them
+    # byte-identical (incl. whitespace runs — no html collapse applies)
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    recs = [
+        {"url": "http://t.example/1", "text": "plain  text \n with runs"},
+        {"url": "http://t.example/2", "html": b"<p>mixed file</p>"},
+        {"url": "http://t.example/3", "text": "unicode café"},
+    ]
+    buf = W.build_warc(recs)
+    t = W.warc_bytes_to_pages(buf)
+    assert t.num_rows == 3
+    assert t["text"].to_pylist() == [recs[0]["text"], None, recs[2]["text"]]
+    assert t["html"].to_pylist()[1] == recs[1]["html"]
+    path = tmp_path / "pages.wet.gz"
+    path.write_bytes(buf)
+    out = (
+        extract_stage(W.read_warc(str(path)))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    # WET text passes through UNCHANGED; html rows still extract
+    assert list(out["text"]) == [
+        "plain  text \n with runs",
+        "mixed file",
+        "unicode café",
+    ]
