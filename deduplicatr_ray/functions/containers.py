@@ -804,3 +804,265 @@ def build_mkv(
         + _ebml_el(0x1F43B675, cluster),  # Cluster: opaque to the probe
     )
     return header + segment
+
+
+# ---------------------------------------------------------------------------
+# WebP (RIFF container; VP8 lossy / VP8L lossless / VP8X extended headers)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) over a RIFF chunk run;
+    chunk bodies are padded to even length."""
+    off = start
+    while off + 8 <= end:
+        fourcc = buf[off : off + 4]
+        size = int.from_bytes(buf[off + 4 : off + 8], "little")
+        body = off + 8
+        if body + size > end:
+            raise ValueError(f"RIFF chunk {fourcc!r} overruns payload")
+        yield fourcc, body, body + size
+        off = body + size + (size & 1)
+
+
+def probe_webp(payload: bytes) -> dict:
+    """WebP payload -> typed metadata: dims from the VP8 (lossy key
+    frame header), VP8L (lossless signature bits) or VP8X (extended
+    canvas) chunk; animation frame count from ANMF chunks."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    out: dict = {
+        "container": "webp",
+        "codec": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "n_streams": 1,
+    }
+    n_anmf = 0
+    for fourcc, s, e in _riff_chunks(payload, 12, len(payload)):
+        if fourcc == b"VP8 " and e - s >= 10:
+            if payload[s + 3 : s + 6] != b"\x9d\x01\x2a":
+                raise ValueError("VP8 key frame start code missing")
+            out["codec"] = "vp8"
+            out["width"] = (
+                int.from_bytes(payload[s + 6 : s + 8], "little") & 0x3FFF
+            )
+            out["height"] = (
+                int.from_bytes(payload[s + 8 : s + 10], "little") & 0x3FFF
+            )
+        elif fourcc == b"VP8L" and e - s >= 5:
+            if payload[s] != 0x2F:
+                raise ValueError("VP8L signature byte missing")
+            bits = int.from_bytes(payload[s + 1 : s + 5], "little")
+            out["codec"] = "vp8l"
+            out["width"] = (bits & 0x3FFF) + 1
+            out["height"] = ((bits >> 14) & 0x3FFF) + 1
+        elif fourcc == b"VP8X" and e - s >= 10:
+            out["codec"] = out["codec"] or "vp8x"
+            out["width"] = (
+                int.from_bytes(payload[s + 4 : s + 7], "little") + 1
+            )
+            out["height"] = (
+                int.from_bytes(payload[s + 7 : s + 10], "little") + 1
+            )
+        elif fourcc == b"ANMF":
+            n_anmf += 1
+    if out["codec"] is None:
+        raise ValueError("WebP without VP8/VP8L/VP8X chunk")
+    if n_anmf:
+        out["n_frames"] = n_anmf
+        out["codec"] += "-anim"
+    return out
+
+
+def build_webp(
+    *, width: int = 320, height: int = 240, lossless: bool = False,
+    n_frames: int = 0,
+) -> bytes:
+    """Deterministic minimal WebP fixture (headers only — the coded
+    stream is stand-in bytes the probe never reads)."""
+    chunks = b""
+    if n_frames:
+        vp8x = (
+            b"\x02\x00\x00\x00"  # animation flag
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+        )
+        chunks += b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+        for i in range(n_frames):
+            body = bytes(16) + b"\x00" * 8
+            chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+    elif lossless:
+        bits = (width - 1) | ((height - 1) << 14)
+        body = b"\x2f" + bits.to_bytes(4, "little") + b"\x00" * 8
+        chunks += b"VP8L" + len(body).to_bytes(4, "little") + body
+    else:
+        body = (
+            b"\x00\x00\x00"  # frame tag
+            + b"\x9d\x01\x2a"
+            + (width & 0x3FFF).to_bytes(2, "little")
+            + (height & 0x3FFF).to_bytes(2, "little")
+            + b"\x00" * 8
+        )
+        chunks += b"VP8 " + len(body).to_bytes(4, "little") + body
+    riff = b"WEBP" + chunks
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ---------------------------------------------------------------------------
+# TIFF (classic 6.0 IFD structure)
+# ---------------------------------------------------------------------------
+
+_TIFF_COMPRESSION = {
+    1: "none", 2: "ccitt-g3", 5: "lzw", 6: "ojpeg", 7: "jpeg",
+    8: "deflate", 32773: "packbits",
+}
+
+
+def probe_tiff(payload: bytes) -> dict:
+    """TIFF payload -> typed metadata from IFD0: ImageWidth/Length,
+    Compression, SamplesPerPixel; IFD count = n_frames (multi-page)."""
+    if payload[:4] == b"II*\x00":
+        bo = "little"
+    elif payload[:4] == b"MM\x00*":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u(s, e):
+        return int.from_bytes(payload[s:e], bo)
+
+    out: dict = {
+        "container": "tiff",
+        "codec": "tiff-none",
+        "width": None,
+        "height": None,
+        "n_frames": 0,
+        "n_streams": 1,
+        "channels": None,
+    }
+    ifd_off = u(4, 8)
+    first = True
+    while ifd_off:
+        if ifd_off + 2 > len(payload):
+            raise ValueError("TIFF IFD offset overruns payload")
+        n = u(ifd_off, ifd_off + 2)
+        end = ifd_off + 2 + 12 * n
+        if end + 4 > len(payload):
+            raise ValueError("TIFF IFD entries overrun payload")
+        out["n_frames"] += 1
+        if first:
+            for i in range(n):
+                o = ifd_off + 2 + 12 * i
+                tag, typ = u(o, o + 2), u(o + 2, o + 4)
+                # inline SHORT/LONG values only (count 1)
+                val = u(o + 8, o + 10) if typ == 3 else u(o + 8, o + 12)
+                if tag == 256:
+                    out["width"] = val
+                elif tag == 257:
+                    out["height"] = val
+                elif tag == 259:
+                    out["codec"] = (
+                        f"tiff-{_TIFF_COMPRESSION.get(val, val)}"
+                    )
+                elif tag == 277:
+                    out["channels"] = val
+            first = False
+        ifd_off = u(end, end + 4)
+    if out["width"] is None or out["height"] is None:
+        raise ValueError("TIFF IFD0 without ImageWidth/ImageLength")
+    return out
+
+
+def build_tiff(
+    *, width: int = 320, height: int = 240, compression: int = 1,
+    pages: int = 1, big_endian: bool = False,
+) -> bytes:
+    """Deterministic minimal TIFF fixture: ``pages`` chained IFDs with
+    ImageWidth/Length/Compression/SamplesPerPixel entries."""
+    bo = "big" if big_endian else "little"
+
+    def ent(tag, typ, val):
+        v = val.to_bytes(2, bo) + b"\x00\x00" if typ == 3 else val.to_bytes(4, bo)
+        return tag.to_bytes(2, bo) + typ.to_bytes(2, bo) + (1).to_bytes(4, bo) + v
+
+    hdr = (b"MM\x00*" if big_endian else b"II*\x00") + (8).to_bytes(4, bo)
+    out = bytearray(hdr)
+    off = 8
+    for p in range(pages):
+        entries = (
+            ent(256, 4, width)
+            + ent(257, 4, height)
+            + ent(259, 3, compression)
+            + ent(277, 3, 3)
+        )
+        n = 4
+        nxt = off + 2 + 12 * n + 4
+        out += n.to_bytes(2, bo) + entries
+        out += (nxt if p + 1 < pages else 0).to_bytes(4, bo)
+        off = nxt
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container; avih main header)
+# ---------------------------------------------------------------------------
+
+
+def probe_avi(payload: bytes) -> dict:
+    """AVI payload -> typed metadata from the avih main header:
+    dims, total frames, duration (MicroSecPerFrame x TotalFrames),
+    stream count. Codec stream data is never read."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    for fourcc, s, e in _riff_chunks(payload, 12, len(payload)):
+        if fourcc != b"LIST" or payload[s : s + 4] != b"hdrl":
+            continue
+        for f2, s2, e2 in _riff_chunks(payload, s + 4, e):
+            if f2 != b"avih" or e2 - s2 < 40:
+                continue
+            us_per_frame = int.from_bytes(payload[s2 : s2 + 4], "little")
+            total = int.from_bytes(payload[s2 + 16 : s2 + 20], "little")
+            streams = int.from_bytes(payload[s2 + 24 : s2 + 28], "little")
+            w = int.from_bytes(payload[s2 + 32 : s2 + 36], "little")
+            h = int.from_bytes(payload[s2 + 36 : s2 + 40], "little")
+            return {
+                "container": "avi",
+                "codec": None,
+                "width": w,
+                "height": h,
+                "duration_ms": int(round(us_per_frame * total / 1000.0))
+                if us_per_frame and total
+                else None,
+                "n_frames": total or None,
+                "n_streams": streams or 1,
+            }
+    raise ValueError("AVI without hdrl/avih header")
+
+
+def build_avi(
+    *, width: int = 640, height: int = 480, n_frames: int = 120,
+    fps: int = 30, streams: int = 1,
+) -> bytes:
+    """Deterministic minimal AVI fixture: hdrl LIST with an avih chunk
+    (+ a stand-in movi LIST)."""
+    avih = (
+        (1_000_000 // fps).to_bytes(4, "little")
+        + b"\x00" * 12
+        + n_frames.to_bytes(4, "little")
+        + b"\x00" * 4
+        + streams.to_bytes(4, "little")
+        + b"\x00" * 4
+        + width.to_bytes(4, "little")
+        + height.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+    movi = b"movi" + b"\x00" * 16
+    body = (
+        b"AVI "
+        + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+        + b"LIST" + len(movi).to_bytes(4, "little") + movi
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -1661,7 +1661,15 @@ def probe_media(payload: bytes) -> dict:
         ):
             out = _ct.probe_mp3(payload)
         elif payload[:4] == b"RIFF":
-            out = _probe_wav(payload)
+            form = payload[8:12]
+            if form == b"WEBP":
+                out = _ct.probe_webp(payload)
+            elif form == b"AVI ":
+                out = _ct.probe_avi(payload)
+            else:
+                out = _probe_wav(payload)
+        elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+            out = _ct.probe_tiff(payload)
         elif payload[:8] == _PNG_SIG:
             out = _probe_png(payload)
         elif payload[:3] == _JPEG_SIG:
@@ -1745,8 +1753,9 @@ def media_probe_stage(media, *, batch_size: int = 256):
 def gen_container_media(n: int, seed: int = 7):
     """Deterministic codec-container media table (no external data):
     rotates MP4 video (+audio track), MP4 audio-only, MP3 with ID3v2,
-    bare mono MP3, Ogg Vorbis, Ogg Opus, WebM VP9+Opus video and
-    Matroska H.264 video — all built by the ``functions/containers.py``
+    bare mono MP3, Ogg Vorbis, Ogg Opus, WebM VP9+Opus video,
+    Matroska H.264 video, lossy/lossless/animated WebP, multi-page LZW
+    TIFF and AVI video — all built by the ``functions/containers.py``
     fixture builders. These payloads are
     exactly the crawl formats whose CODEC decode sits behind the
     documented seam; the probe stage still extracts their full container
@@ -1756,8 +1765,35 @@ def gen_container_media(n: int, seed: int = 7):
     rng = np.random.Generator(np.random.PCG64(seed))
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        v = i % 8
-        if v == 6:
+        v = i % 11
+        if v == 8:
+            w, h = int(rng.integers(16, 2048)), int(rng.integers(16, 2048))
+            mode = i % 3  # rotate lossy / lossless / animated
+            p = _ct.build_webp(
+                width=w,
+                height=h,
+                lossless=mode == 1,
+                n_frames=int(rng.integers(2, 9)) if mode == 2 else 0,
+            )
+            kind, meta = "image", {"width": w, "height": h}
+        elif v == 9:
+            w, h = int(rng.integers(16, 4096)), int(rng.integers(16, 4096))
+            p = _ct.build_tiff(
+                width=w,
+                height=h,
+                compression=[1, 5, 32773][i % 3],
+                pages=int(rng.integers(1, 4)),
+                big_endian=bool(i % 2),
+            )
+            kind, meta = "image", {"width": w, "height": h}
+        elif v == 10:
+            w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
+            nf = int(rng.integers(24, 720))
+            p = _ct.build_avi(
+                width=w, height=h, n_frames=nf, fps=[24, 25, 30][i % 3]
+            )
+            kind, meta = "video", {"width": w, "height": h, "frames": nf}
+        elif v == 6:
             w, h = int(rng.integers(16, 1920)), int(rng.integers(16, 1080))
             dur = int(rng.integers(500, 30_000))
             p = _ct.build_mkv(

@@ -220,11 +220,14 @@ def test_media_probe_stage_end_to_end(ray_session):
     codec_rows = out[out["media_id"].str.startswith("codec://")]
     assert codec_rows["probe_ok"].all()
     assert codec_rows["container"].value_counts().to_dict() == {
-        "mp4/isom": 4,  # 2 video + 2 audio-only of 12 rows
-        "mp3": 4,
+        "mp4/isom": 3,  # 12 rows over the 11-container rotation
+        "mp3": 2,
         "ogg": 2,
         "webm": 1,
         "matroska": 1,
+        "webp": 1,
+        "tiff": 1,
+        "avi": 1,
     }
     # probed kinds carry duration for all audio containers
     audio = codec_rows[codec_rows["kind"] == "audio"]
@@ -261,3 +264,33 @@ def test_mp4_fragmented_dash_layout():
     assert (d["width"], d["height"]) == (640, 360)
     # and dispatches through the stage-level prober
     assert mm.probe_media(p)["n_frames"] == 75
+
+
+def test_webp_tiff_avi_probes():
+    w = ct.probe_webp(ct.build_webp(width=320, height=240))
+    assert (w["codec"], w["width"], w["height"]) == ("vp8", 320, 240)
+    wl = ct.probe_webp(ct.build_webp(width=100, height=50, lossless=True))
+    assert (wl["codec"], wl["width"], wl["height"]) == ("vp8l", 100, 50)
+    wa = ct.probe_webp(ct.build_webp(width=64, height=64, n_frames=5))
+    assert wa["codec"] == "vp8x-anim" and wa["n_frames"] == 5
+    t = ct.probe_tiff(ct.build_tiff(width=800, height=600, compression=5))
+    assert (t["codec"], t["width"], t["height"]) == ("tiff-lzw", 800, 600)
+    t3 = ct.probe_tiff(
+        ct.build_tiff(width=80, height=60, pages=3, big_endian=True)
+    )
+    assert t3["n_frames"] == 3  # chained IFDs = multi-page
+    a = ct.probe_avi(
+        ct.build_avi(width=640, height=480, n_frames=120, fps=30, streams=2)
+    )
+    assert (a["width"], a["height"], a["n_frames"]) == (640, 480, 120)
+    assert a["duration_ms"] == 4000 and a["n_streams"] == 2
+    # stage dispatch: RIFF family fans out by form type; TIFF by magic
+    assert mm.probe_media(ct.build_webp())["container"] == "webp"
+    assert mm.probe_media(ct.build_avi())["container"] == "avi"
+    assert mm.probe_media(ct.build_tiff())["container"] == "tiff"
+    with pytest.raises(ValueError):
+        ct.probe_webp(b"RIFF\x10\x00\x00\x00WEBPxxxxyyyyzzzz")  # no VP8*
+    with pytest.raises(ValueError):
+        ct.probe_tiff(b"II*\x00\xff\xff\xff\xff")  # IFD overrun
+    with pytest.raises(ValueError):
+        ct.probe_avi(b"RIFF\x08\x00\x00\x00AVI zzzz")  # no avih
