@@ -586,6 +586,31 @@ def resize_jpeg(payload: bytes, tw: int, th: int) -> bytes:
     return encode_jpeg(np.ascontiguousarray(pix[ys][:, xs]))
 
 
+_TIFF_SIGS = (b"II*\x00", b"MM\x00*")
+
+
+def tiff_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature over decoded baseline-TIFF pixels
+    (none/PackBits/LZW strips — ``functions/tiff.py``)."""
+    from ..functions.tiff import decode_tiff
+
+    return _pixel_feature(decode_tiff(payload).astype(np.float32))
+
+
+def resize_tiff(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a baseline TIFF, re-encoded with
+    the same LZW compression (the output stays a TIFF)."""
+    from ..functions.tiff import decode_tiff, encode_tiff
+
+    pix = decode_tiff(payload)
+    h, w, _ = pix.shape
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return encode_tiff(
+        np.ascontiguousarray(pix[ys][:, xs]), compression="lzw"
+    )
+
+
 def bmp_feature(payload: bytes) -> np.ndarray:
     """Real 32-dim image feature over decoded BMP pixels (same statistic
     family as ``pnm_feature``: block means, histogram, channel moments)."""
@@ -717,6 +742,7 @@ class MediaFeatureActor:
             or payload[:3] == _JPEG_SIG
             or payload[:4] == _GIF_SIG
             or payload[:2] in (b"P5", b"P6", b"BM")
+            or payload[:4] in _TIFF_SIGS
         ):
             # dispatch is on magic bytes only — an arbitrary blob starting
             # with RIFF/PNG/Y4M/JPEG/P5/P6/BM can still fail header parsing
@@ -735,6 +761,8 @@ class MediaFeatureActor:
                     return gif_feature(payload)
                 if payload[:2] == b"BM":
                     return bmp_feature(payload)
+                if payload[:4] in _TIFF_SIGS:
+                    return tiff_feature(payload)
                 return pnm_feature(payload)
             except Exception:
                 if self.fallback:
@@ -1111,6 +1139,8 @@ class MediaResizeActor:
                     return resize_gif(p, self.target_w, self.target_h)
                 if p[:2] == b"BM":
                     return resize_bmp(p, self.target_w, self.target_h)
+                if p[:4] in _TIFF_SIGS:
+                    return resize_tiff(p, self.target_w, self.target_h)
             except Exception:  # noqa: BLE001 — corrupt payloads raise
                 # anything (truncated GIF -> ValueError, bad zlib stream ->
                 # zlib.error, arithmetic JPEG -> NotImplementedError); in
