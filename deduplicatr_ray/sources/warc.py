@@ -111,7 +111,13 @@ def warc_bytes_to_pages(buf: bytes) -> pa.Table:
     non-null-text passthrough keeps them byte-identical). ``lang`` is
     ``"und"`` (no language metadata exists at the container level)."""
     if buf[:2] == b"\x1f\x8b":
-        buf = gzip.decompress(buf)  # reads ALL concatenated members
+        # GzipFile streams the concatenated members LINEARLY;
+        # gzip.decompress() re-slices the whole remaining buffer once
+        # per member, which is quadratic in member count — a real CC
+        # file has one member per record (~25k-150k), where that costs
+        # minutes per file (measured 24 s vs 0.3 s on a 25k-member
+        # fixture)
+        buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
     urls: list[str] = []
     ts: list[int] = []
     htmls: list[bytes | None] = []
@@ -146,16 +152,44 @@ def warc_bytes_to_pages(buf: bytes) -> pa.Table:
     )
 
 
-def read_warc(paths: str | list[str]):
+def read_warc(paths: str | list[str], *, task_memory: int = 512 * 2**20):
     """WARC file(s) -> PAGES-schema ``ray.data.Dataset``.
 
     ``read_binary_files`` gives one row per file; the parse is a
-    stateless flat map (one task per file — the Common Crawl
-    parallelism grain, see module docstring). Feed the result straight
-    into ``extract_stage``."""
+    stateless map with ONE TASK PER FILE — the Common Crawl parallelism
+    grain (see module docstring). Two things guarantee that grain:
+
+    * ``override_num_blocks=len(files)`` — Ray's size heuristic would
+      otherwise coalesce gz-small files into a handful of blocks and
+      serialize the parse;
+    * an explicit ``memory`` reservation on the parse task — a
+      .warc.gz inflates ~3x plus the Arrow table, so the reservation is
+      honest backpressure on a packed node, AND distinct remote args
+      keep the parse from being FUSED with a downstream
+      ``map_batches(batch_size=1024)``, which would bundle 1024 file
+      rows (at CC scale: a terabyte of payload) into one task —
+      measured 3.3x wall on a 32-file fixture before the split.
+
+    A directory is filtered to WARC-like extensions first (crawl dirs
+    carry manifests and checksum files alongside the records). Feed the
+    result straight into ``extract_stage``."""
+    import os
+
     import ray.data as rd
 
-    files = rd.read_binary_files(paths)
+    exts = (".warc", ".warc.gz", ".wet", ".wet.gz")
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.endswith(exts)
+        )
+        if not paths:
+            raise ValueError("directory contains no .warc/.wet files")
+    n_files = len(paths) if isinstance(paths, list) else None
+    files = rd.read_binary_files(
+        paths, **({"override_num_blocks": n_files} if n_files else {})
+    )
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = [
@@ -165,7 +199,11 @@ def read_warc(paths: str | list[str]):
         return pa.concat_tables(tables) if tables else warc_bytes_to_pages(b"")
 
     return files.map_batches(
-        parse, batch_format="pyarrow", zero_copy_batch=True, batch_size=1
+        parse,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        memory=task_memory,
     )
 
 
