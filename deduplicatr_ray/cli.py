@@ -66,11 +66,17 @@ def cmd_run(args: argparse.Namespace) -> int:
             import os
 
             inp = args.input
-            files = (
-                sorted(glob.glob(os.path.join(inp, "*.parquet")))
-                if os.path.isdir(inp)
-                else [inp]
-            )
+            if os.path.isdir(inp):
+                files = sorted(
+                    f
+                    for pat in (
+                        "*.parquet", "*.warc", "*.warc.gz", "*.wet",
+                        "*.wet.gz",
+                    )
+                    for f in glob.glob(os.path.join(inp, pat))
+                )
+            else:
+                files = [inp]
             res = dedup_pipeline_partitioned(
                 files,
                 cfg,

@@ -130,6 +130,7 @@ def run_partitioned(
     cfg: DedupConfig = CANONICAL,
     num_partitions: int = 8,
     metrics_fn: Callable[[Any], dict[str, Any]] | None = None,
+    reader: Callable[[list[str]], Any] | None = None,
 ):
     """Partition-level checkpointed map prefix (S5).
 
@@ -139,8 +140,15 @@ def run_partitioned(
     metrics BASELINE.json:6 requires). Already-recorded groups are skipped, so
     a killed run resumes from the last completed partition. Returns the
     unioned Dataset over all partition dirs.
+
+    ``reader`` maps a file group -> Dataset (default ``read_parquet``);
+    pass ``sources.warc.read_warc`` to checkpoint a Common-Crawl WARC
+    ingest at the same file-group granularity.
     """
     import ray.data as rd
+
+    if reader is None:
+        reader = rd.read_parquet
 
     mgr = CheckpointManager(checkpoint_dir, run_id, cfg)
     files = sorted(input_files)
@@ -156,7 +164,7 @@ def run_partitioned(
         if mgr.is_done(key):
             continue
         t0 = time.monotonic()
-        rows = _atomic_write(transform(rd.read_parquet(group)), out_dir)
+        rows = _atomic_write(transform(reader(group)), out_dir)
         wall = time.monotonic() - t0
         extra: dict[str, Any] = {}
         if metrics_fn is not None:

@@ -267,6 +267,7 @@ def dedup_pipeline_partitioned(
     run_id: str = "run0",
     num_partitions: int = 8,
     pairs_groups: int = 4,
+    reader=None,
 ) -> DedupResult:
     """Flagship with a PARTITION-LEVEL checkpointed signature prefix (S5):
     each input-file group lands in its own Parquet dir + manifest entry with
@@ -274,8 +275,16 @@ def dedup_pipeline_partitioned(
     a killed run recomputes only missing partitions. The pair stage past the
     prefix is checkpointed per band-key resume group the same way
     (``pairs_partitioned``; set ``pairs_groups=0`` for the old whole-stage
-    pair checkpoint)."""
+    pair checkpoint). ``reader`` defaults to ``read_parquet``; WARC/WET
+    inputs are auto-detected by extension and routed through
+    ``sources.warc.read_warc`` (one checkpointed partition per file
+    group — the resumable Common Crawl ingest path)."""
     from .checkpoint import run_partitioned
+
+    if reader is None and input_files and str(input_files[0]).endswith(
+        (".warc", ".warc.gz", ".wet", ".wet.gz")
+    ):
+        from ..sources.warc import read_warc as reader
 
     def sig_metrics(ds) -> dict:
         import pyarrow.compute as pc
@@ -299,6 +308,7 @@ def dedup_pipeline_partitioned(
         cfg=cfg,
         num_partitions=num_partitions,
         metrics_fn=sig_metrics,
+        reader=reader,
     )
     return cluster_from_signatures(
         sigs,

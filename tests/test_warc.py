@@ -155,3 +155,51 @@ def test_wet_conversion_records(ray_session, tmp_path):
         "mixed file",
         "unicode café",
     ]
+
+
+def test_partitioned_checkpoint_resume_over_warc_files(ray_session, tmp_path):
+    # the resumable CC-ingest path: WARC files as checkpoint partitions
+    import json
+    import os
+
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline_partitioned
+
+    text = "the quick brown fox jumps over the lazy dog " * 20
+    paths = []
+    for f in range(4):
+        recs = []
+        for i in range(12):
+            t = text if i % 2 == 0 else f"file {f} doc {i} " + ("tok " * 40)
+            recs.append(
+                {
+                    "url": f"http://f{f}d{i:02d}.example/",
+                    "html": f"<html><body>{t}</body></html>".encode(),
+                }
+            )
+        p = tmp_path / f"crawl{f}.warc.gz"
+        p.write_bytes(W.build_warc(recs))
+        paths.append(str(p))
+    ckpt = str(tmp_path / "ckpt")
+    res1 = dedup_pipeline_partitioned(
+        paths, checkpoint_dir=ckpt, run_id="w1", num_partitions=2
+    )
+    df1 = res1.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(df1) == 48
+    # the 24 exact copies across all files form one cluster
+    assert df1["cluster_size"].max() == 24
+    manifest = json.load(open(os.path.join(ckpt, "w1", "_lineage.json")))
+    sig_keys = [k for k in manifest["entries"] if k.startswith("signatures/")]
+    assert len(sig_keys) == 2  # warc file groups became checkpoint partitions
+    assert all(
+        manifest["entries"][k]["input_files"][0].endswith(".warc.gz")
+        for k in sig_keys
+    )
+    # resume: nothing recomputed, identical clusters
+    res2 = dedup_pipeline_partitioned(
+        paths, checkpoint_dir=ckpt, run_id="w1", num_partitions=2
+    )
+    manifest2 = json.load(open(os.path.join(ckpt, "w1", "_lineage.json")))
+    for k in sig_keys:
+        assert manifest["entries"][k] == manifest2["entries"][k]
+    df2 = res2.clusters.to_pandas().sort_values("url").reset_index(drop=True)
+    assert df2.equals(df1)
