@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "media_features",        # REAL multimodal decode (WAV/PNG/JPEG/GIF/y4m...)
     "media_near_dups",       # media features -> exact-cosine dup pairs
     "media_probe",           # container metadata WITHOUT decode (MP4/MP3/Ogg/WebM)
+    "warc_extract",          # Common Crawl WARC ingest -> byte-exact extract
 ]
 
 FLAGSHIP = "dedup_clusters"
