@@ -1066,3 +1066,60 @@ def build_avi(
         + b"LIST" + len(movi).to_bytes(4, "little") + movi
     )
     return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicon) directory structure
+# ---------------------------------------------------------------------------
+
+
+def probe_ico(payload: bytes) -> dict:
+    """ICO payload -> typed metadata: entry count (n_frames), the
+    largest entry's dimensions and payload kind (PNG or DIB bpp)."""
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 6:
+        raise ValueError("not an ICO payload")
+    count = int.from_bytes(payload[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(payload):
+        raise ValueError("ICO directory truncated or empty")
+    best = None  # (area, w, h, codec)
+    for i in range(count):
+        o = 6 + 16 * i
+        w = payload[o] or 256
+        h = payload[o + 1] or 256
+        size = int.from_bytes(payload[o + 8 : o + 12], "little")
+        off = int.from_bytes(payload[o + 12 : o + 16], "little")
+        if off + size > len(payload):
+            raise ValueError("ICO entry overruns payload")
+        img = payload[off : off + size]
+        if img[:8] == b"\x89PNG\r\n\x1a\n":
+            codec = "png"
+        else:
+            bpp = int.from_bytes(img[14:16], "little") if len(img) >= 16 else 0
+            codec = f"bmp{bpp}"
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, codec)
+    return {
+        "container": "ico",
+        "codec": best[3],
+        "width": best[1],
+        "height": best[2],
+        "n_frames": count,
+        "n_streams": 1,
+    }
+
+
+def build_ico(images: list[tuple[int, int, bytes]]) -> bytes:
+    """Deterministic ICO fixture from ``(width, height, image_bytes)``
+    entries (image bytes = a PNG payload or a DIB block)."""
+    count = len(images)
+    hdr = b"\x00\x00\x01\x00" + count.to_bytes(2, "little")
+    dirs = bytearray()
+    data = bytearray()
+    off = 6 + 16 * count
+    for w, h, img in images:
+        dirs += bytes([w % 256, h % 256, 0, 0])
+        dirs += (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        dirs += len(img).to_bytes(4, "little") + off.to_bytes(4, "little")
+        data += img
+        off += len(img)
+    return bytes(hdr + dirs + data)

@@ -743,6 +743,7 @@ class MediaFeatureActor:
             or payload[:4] == _GIF_SIG
             or payload[:2] in (b"P5", b"P6", b"BM")
             or payload[:4] in _TIFF_SIGS
+            or payload[:4] == b"\x00\x00\x01\x00"
         ):
             # dispatch is on magic bytes only — an arbitrary blob starting
             # with RIFF/PNG/Y4M/JPEG/P5/P6/BM can still fail header parsing
@@ -763,6 +764,8 @@ class MediaFeatureActor:
                     return bmp_feature(payload)
                 if payload[:4] in _TIFF_SIGS:
                     return tiff_feature(payload)
+                if payload[:4] == b"\x00\x00\x01\x00":
+                    return ico_feature(payload)
                 return pnm_feature(payload)
             except Exception:
                 if self.fallback:
@@ -1700,6 +1703,8 @@ def probe_media(payload: bytes) -> dict:
                 out = _probe_wav(payload)
         elif payload[:4] in (b"II*\x00", b"MM\x00*"):
             out = _ct.probe_tiff(payload)
+        elif payload[:4] == b"\x00\x00\x01\x00":
+            out = _ct.probe_ico(payload)
         elif payload[:8] == _PNG_SIG:
             out = _probe_png(payload)
         elif payload[:3] == _JPEG_SIG:
@@ -1785,8 +1790,8 @@ def gen_container_media(n: int, seed: int = 7):
     rotates MP4 video (+audio track), MP4 audio-only, MP3 with ID3v2,
     bare mono MP3, Ogg Vorbis, Ogg Opus, WebM VP9+Opus video,
     Matroska H.264 video, lossy/lossless/animated WebP, multi-page LZW
-    TIFF and AVI video — all built by the ``functions/containers.py``
-    fixture builders. These payloads are
+    TIFF, AVI video and multi-entry ICO favicons — all built by the
+    ``functions/containers.py`` fixture builders. These payloads are
     exactly the crawl formats whose CODEC decode sits behind the
     documented seam; the probe stage still extracts their full container
     metadata."""
@@ -1795,8 +1800,21 @@ def gen_container_media(n: int, seed: int = 7):
     rng = np.random.Generator(np.random.PCG64(seed))
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        v = i % 11
-        if v == 8:
+        v = i % 12
+        if v == 11:
+            pix = _gen_pixels(rng)
+            ih, iw = pix.shape[:2]
+            entry = (
+                encode_png(pix)
+                if i % 2
+                else encode_ico_dib(pix)
+            )
+            small = encode_png(pix[: ih // 2, : iw // 2])
+            p = _ct.build_ico(
+                [(iw // 2, ih // 2, small), (iw, ih, entry)]
+            )
+            kind, meta = "image", {"width": iw, "height": ih}
+        elif v == 8:
             w, h = int(rng.integers(16, 2048)), int(rng.integers(16, 2048))
             mode = i % 3  # rotate lossy / lossless / animated
             p = _ct.build_webp(
@@ -1924,3 +1942,88 @@ def gen_container_media(n: int, seed: int = 7):
             schema=MEDIA_SCHEMA,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicon) decode: the most common crawl image container — entries
+# are PNG payloads or BMP DIBs (XOR bitmap + AND mask, doubled height)
+# ---------------------------------------------------------------------------
+
+
+def _dib_to_bmp(dib: bytes) -> bytes:
+    """ICO DIB block (BITMAPINFOHEADER with doubled height, trailing
+    AND mask) -> a synthetic .bmp file the BMP decoder accepts. The AND
+    mask trails the XOR rows, so the size-bounded row read ignores it;
+    32-bpp alpha is dropped by decode_bmp like any BMP alpha."""
+    import struct
+
+    if len(dib) < 40:
+        raise NotImplementedError("ICO DIB too short")
+    hdr_size = struct.unpack_from("<I", dib, 0)[0]
+    height = struct.unpack_from("<i", dib, 8)[0]
+    bpp = struct.unpack_from("<H", dib, 14)[0]
+    ncolors = struct.unpack_from("<I", dib, 32)[0]
+    if not ncolors and bpp <= 8:
+        ncolors = 1 << bpp
+    fixed = bytearray(dib)
+    # ICO stores XOR+AND stacked: biHeight is doubled — halve it back
+    struct.pack_into("<i", fixed, 8, height // 2)
+    data_off = 14 + hdr_size + 4 * ncolors
+    return (
+        b"BM"
+        + (14 + len(dib)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+        + bytes(fixed)
+    )
+
+
+def encode_ico_dib(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> an ICO DIB block (24-bpp XOR rows + zero AND
+    mask, doubled-height header) for fixtures/tests."""
+    bmp = encode_bmp(pixels)  # file header 14 + info header 40 + rows
+    import struct
+
+    dib = bytearray(bmp[14:])
+    h, w = pixels.shape[:2]
+    struct.pack_into("<i", dib, 8, 2 * h)
+    mask_row = (w + 31) // 32 * 4
+    dib += b"\x00" * (mask_row * h)  # fully-opaque AND mask
+    return bytes(dib)
+
+
+def decode_ico(payload: bytes) -> np.ndarray:
+    """ICO bytes -> (h, w, 3) uint8 pixels of the LARGEST entry (the
+    one a dedup/feature pass wants); PNG entries decode via decode_png,
+    DIB entries via the BMP decoder. Raises ``NotImplementedError`` on
+    structural corruption (media-family contract)."""
+    if payload[:4] != b"\x00\x00\x01\x00" or len(payload) < 6:
+        raise NotImplementedError("not an ICO payload")
+    count = int.from_bytes(payload[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(payload):
+        raise NotImplementedError("ICO directory truncated or empty")
+    best = None  # (area, img_bytes)
+    for i in range(count):
+        o = 6 + 16 * i
+        w = payload[o] or 256
+        h = payload[o + 1] or 256
+        size = int.from_bytes(payload[o + 8 : o + 12], "little")
+        off = int.from_bytes(payload[o + 12 : o + 16], "little")
+        if off + size > len(payload):
+            raise NotImplementedError("ICO entry overruns payload")
+        if best is None or w * h > best[0]:
+            best = (w * h, payload[off : off + size])
+    img = best[1]
+    if img[:8] == _PNG_SIG:
+        pix = decode_png(img)
+        if pix.shape[2] == 4:
+            pix = pix[..., :3]
+        elif pix.shape[2] == 2:
+            pix = pix[..., :1]
+        return np.ascontiguousarray(pix)
+    return decode_bmp(_dib_to_bmp(img))
+
+
+def ico_feature(payload: bytes) -> np.ndarray:
+    """Real 32-dim image feature over the largest decoded ICO entry."""
+    return _pixel_feature(decode_ico(payload).astype(np.float32))

@@ -220,7 +220,7 @@ def test_media_probe_stage_end_to_end(ray_session):
     codec_rows = out[out["media_id"].str.startswith("codec://")]
     assert codec_rows["probe_ok"].all()
     assert codec_rows["container"].value_counts().to_dict() == {
-        "mp4/isom": 3,  # 12 rows over the 11-container rotation
+        "mp4/isom": 2,  # 12 rows = one pass of the 12-container rotation
         "mp3": 2,
         "ogg": 2,
         "webm": 1,
@@ -228,6 +228,7 @@ def test_media_probe_stage_end_to_end(ray_session):
         "webp": 1,
         "tiff": 1,
         "avi": 1,
+        "ico": 1,
     }
     # probed kinds carry duration for all audio containers
     audio = codec_rows[codec_rows["kind"] == "audio"]
@@ -294,3 +295,35 @@ def test_webp_tiff_avi_probes():
         ct.probe_tiff(b"II*\x00\xff\xff\xff\xff")  # IFD overrun
     with pytest.raises(ValueError):
         ct.probe_avi(b"RIFF\x08\x00\x00\x00AVI zzzz")  # no avih
+
+
+def test_ico_probe_and_decode():
+    rng = np.random.Generator(np.random.PCG64(2))
+    pix = mm._gen_pixels(rng)
+    h, w = pix.shape[:2]
+    png_small = mm.encode_png(pix[:16, :16])
+    png_full = mm.encode_png(pix)
+    dib = mm.encode_ico_dib(pix)
+    # mixed directory: probe + decode pick the LARGEST entry
+    ico = ct.build_ico([(16, 16, png_small), (w, h, png_full)])
+    d = ct.probe_ico(ico)
+    assert (d["codec"], d["width"], d["height"], d["n_frames"]) == (
+        "png", w, h, 2,
+    )
+    assert (mm.decode_ico(ico) == pix).all()
+    # DIB entry: doubled-height header + AND mask handled
+    ico2 = ct.build_ico([(w, h, dib)])
+    assert ct.probe_ico(ico2)["codec"] == "bmp24"
+    assert (mm.decode_ico(ico2) == pix).all()
+    assert np.allclose(
+        mm.ico_feature(ico2), mm._pixel_feature(pix.astype(np.float32))
+    )
+    # dispatch + actor path
+    assert mm.probe_media(ico)["container"] == "ico"
+    act = mm.MediaFeatureActor(decode="real")
+    assert np.allclose(act._feature(ico2), mm.ico_feature(ico2))
+    # corruption
+    with pytest.raises(ValueError):
+        ct.probe_ico(b"\x00\x00\x01\x00\x02\x00" + b"\x00" * 8)
+    with pytest.raises(NotImplementedError):
+        mm.decode_ico(ico[: 6 + 16 + 4])
