@@ -327,3 +327,55 @@ def test_ico_probe_and_decode():
         ct.probe_ico(b"\x00\x00\x01\x00\x02\x00" + b"\x00" * 8)
     with pytest.raises(NotImplementedError):
         mm.decode_ico(ico[: 6 + 16 + 4])
+
+
+def test_probe_media_fuzz_truncations_and_mutations():
+    """Stage contract: probe_media either returns a dict or raises
+    ValueError — NEVER a raw IndexError/struct.error/OverflowError that
+    would escape media_probe_stage's quarantine handler and kill the
+    task. Sweep every truncation prefix and seeded byte mutations of
+    one valid payload per container."""
+    rng = np.random.Generator(np.random.PCG64(17))
+    pix = mm._gen_pixels(rng)
+    h, w = pix.shape[:2]
+    from deduplicatr_ray.functions.jpeg import encode_jpeg
+    from deduplicatr_ray.functions.tiff import encode_tiff
+
+    payloads = [
+        ct.build_mp4(duration_ms=900, width=32, height=24, n_frames=9,
+                     audio_codec=b"mp4a"),
+        ct.build_mp4(duration_ms=900, width=32, height=24, n_frames=0,
+                     fragments=[3, 4]),
+        ct.build_mp3(n_frames=6, id3_payload=b"\x00" * 30),
+        ct.build_ogg(codec="vorbis", granule=44100),
+        ct.build_mkv(doctype="webm", duration_ms=700, width=64, height=48,
+                     audio_codec="A_OPUS"),
+        ct.build_webp(width=40, height=30),
+        ct.build_webp(width=40, height=30, n_frames=3),
+        ct.build_tiff(width=20, height=10, compression=5),
+        ct.build_avi(width=64, height=48, n_frames=12),
+        ct.build_ico([(w, h, mm.encode_ico_dib(pix))]),
+        mm.encode_png(pix),
+        encode_jpeg(pix),
+        mm.encode_bmp(pix),
+        mm.encode_pnm(pix),
+        mm._gen_wav(rng),
+        mm._gen_y4m(rng),
+        encode_tiff(pix, compression="packbits", big_endian=True),
+    ]
+    for p in payloads:
+        mm.probe_media(p)  # the intact payload must probe
+        step = max(1, len(p) // 97)  # ~100 truncation points each
+        for cut in range(0, len(p), step):
+            try:
+                mm.probe_media(p[:cut])
+            except ValueError:
+                pass  # the ONLY allowed failure type
+        for k in range(40):  # seeded single-byte corruptions
+            i = int(rng.integers(0, len(p)))
+            q = bytearray(p)
+            q[i] ^= int(rng.integers(1, 256))
+            try:
+                mm.probe_media(bytes(q))
+            except ValueError:
+                pass
