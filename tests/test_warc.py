@@ -203,3 +203,23 @@ def test_partitioned_checkpoint_resume_over_warc_files(ray_session, tmp_path):
         assert manifest["entries"][k] == manifest2["entries"][k]
     df2 = res2.clusters.to_pandas().sort_values("url").reset_index(drop=True)
     assert df2.equals(df1)
+
+
+def test_read_warc_on_error_skip_drops_corrupt_files(ray_session, tmp_path):
+    good = W.build_warc(
+        [{"url": "http://ok.example/", "html": b"<p>fine</p>"}]
+    )
+    (tmp_path / "good.warc.gz").write_bytes(good)
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b\x08garbage not gzip")
+    (tmp_path / "trunc.warc.gz").write_bytes(good[:-20])
+    # default: the corrupt file fails the read
+    with pytest.raises(Exception):
+        W.read_warc(str(tmp_path)).count()
+    # skip: good rows survive, corrupt files dropped
+    out = W.read_warc(str(tmp_path), on_error="skip").to_pandas()
+    assert list(out["url"]) == ["http://ok.example/"]
+
+
+def test_corrupt_gzip_surfaces_as_value_error():
+    with pytest.raises(ValueError, match="gzip"):
+        W.warc_bytes_to_pages(b"\x1f\x8b\x08\x00garbage bytes here")
