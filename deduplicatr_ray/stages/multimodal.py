@@ -126,11 +126,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
-    if comp != 0 or bpp not in (1, 4, 8, 24, 32) or w <= 0 or h == 0:
+    rle = (comp, bpp) in ((1, 8), (2, 4))
+    if (comp != 0 and not rle) or bpp not in (1, 4, 8, 24, 32) or w <= 0 or h == 0:
         raise NotImplementedError(
-            f"only uncompressed 1/4/8/24/32-bit BI_RGB BMP supported "
+            f"only uncompressed or RLE4/RLE8 BI_RGB BMP supported "
             f"(bpp={bpp}, compression={comp})"
         )
+    if rle:
+        return _decode_bmp_rle(payload, w, h, bpp, data_off, hdr_size)
     if bpp in (1, 4, 8):
         return _decode_bmp_palette(payload, w, h, bpp, data_off, hdr_size)
     bottom_up = h > 0
@@ -142,6 +145,131 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return np.ascontiguousarray(rows[..., 2::-1])  # BGR(A) -> RGB
+
+
+def _bmp_palette(payload: bytes, bpp: int, hdr_size: int) -> np.ndarray:
+    """BGRA color-table quads right after the info header -> (n, 3) RGB."""
+    import struct
+
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or (1 << bpp)
+    quads = np.frombuffer(
+        payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+    ).reshape(n_colors, 4)
+    return quads[:, 2::-1]
+
+
+def _decode_bmp_rle(
+    payload: bytes, w: int, h: int, bpp: int, data_off: int, hdr_size: int
+) -> np.ndarray:
+    """RLE8 (compression 1) / RLE4 (compression 2) BMP body -> (h, w, 3)
+    uint8 RGB: encoded runs, absolute groups (word-aligned), and the
+    0/1/2 escapes (end-of-line, end-of-bitmap, delta). Rows are in file
+    order (bottom-up unless height < 0); structural overruns raise the
+    media-family ``NotImplementedError``."""
+    bottom_up = h > 0
+    h = abs(h)
+    palette = _bmp_palette(payload, bpp, hdr_size)
+    idx = np.zeros((h, w), np.uint8)
+    i, x, y, n = data_off, 0, 0, len(payload)
+
+    def put(vals: np.ndarray) -> None:
+        nonlocal x
+        if y >= h or x + len(vals) > w:
+            raise NotImplementedError("BMP RLE run overruns row/bitmap")
+        idx[y, x : x + len(vals)] = vals
+        x += len(vals)
+
+    while True:
+        if i + 2 > n:
+            raise NotImplementedError("truncated BMP RLE stream")
+        cnt, b = payload[i], payload[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if bpp == 8:
+                put(np.full(cnt, b, np.uint8))
+            else:
+                pair = np.array([b >> 4, b & 0xF], np.uint8)
+                put(np.resize(pair, cnt))
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            break
+        elif b == 2:  # delta
+            if i + 2 > n:
+                raise NotImplementedError("truncated BMP RLE delta")
+            x += payload[i]
+            y += payload[i + 1]
+            i += 2
+        else:  # absolute group of b pixels, word-aligned
+            nbytes = b if bpp == 8 else (b + 1) // 2
+            if i + nbytes > n:
+                raise NotImplementedError("truncated BMP RLE absolute run")
+            raw = np.frombuffer(payload, np.uint8, count=nbytes, offset=i)
+            if bpp == 8:
+                put(raw)
+            else:
+                nib = np.empty(nbytes * 2, np.uint8)
+                nib[0::2] = raw >> 4
+                nib[1::2] = raw & 0xF
+                put(nib[:b])
+            i += nbytes + (nbytes & 1)  # pad to word boundary
+    if int(idx.max(initial=0)) >= len(palette):
+        raise NotImplementedError("BMP palette index out of range")
+    pix = palette[idx]
+    if bottom_up:
+        pix = pix[::-1]
+    return np.ascontiguousarray(pix)
+
+
+def encode_bmp_rle(
+    idx: np.ndarray, palette: np.ndarray, *, bpp: int = 8
+) -> bytes:
+    """(h, w) palette indices + (n, 3) RGB palette -> RLE8/RLE4 BMP
+    bytes (simple run emitter, one end-of-line per row) for
+    fixtures/tests."""
+    import struct
+
+    h, w = idx.shape
+    comp = 1 if bpp == 8 else 2
+    body = bytearray()
+    rows = idx[::-1]  # file order is bottom-up
+    for r in range(h):
+        row = rows[r]
+        x = 0
+        while x < w:
+            run = 1
+            if bpp == 8:
+                while x + run < w and run < 255 and row[x + run] == row[x]:
+                    run += 1
+                body += bytes([run, int(row[x])])
+            else:
+                a = int(row[x])
+                b = int(row[x + 1]) if x + 1 < w else a
+                while (
+                    x + run < w
+                    and run < 255
+                    and int(row[x + run]) == (a if run % 2 == 0 else b)
+                ):
+                    run += 1
+                body += bytes([run, (a << 4) | b])
+            x += run
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    n_colors = len(palette)
+    quads = np.zeros((n_colors, 4), np.uint8)
+    quads[:, :3] = palette[:, ::-1]  # RGB -> BGR
+    data_off = 14 + 40 + 4 * n_colors
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835,
+        n_colors, 0,
+    )
+    header = (
+        b"BM"
+        + (data_off + len(body)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + data_off.to_bytes(4, "little")
+    )
+    return header + info + quads.tobytes() + bytes(body)
 
 
 def _decode_bmp_palette(

@@ -1158,3 +1158,42 @@ def test_truncated_gif_routes_to_fallback_not_task_death(ray_session):
         frame_sample_stage(
             rd.from_arrow(vid_rows), decode="real", fallback=False
         ).to_pandas()
+
+
+def test_bmp_rle_decode_roundtrip_and_contract():
+    # RLE8 (compression 1) and RLE4 (compression 2) palette BMPs
+    import numpy as np
+
+    from deduplicatr_ray.stages.multimodal import (
+        MediaFeatureActor,
+        decode_bmp,
+        encode_bmp_rle,
+        probe_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(6))
+    for bpp in (8, 4):
+        ncol = 200 if bpp == 8 else 16
+        h, w = 23, 37
+        idx = (np.add.outer(np.arange(h), np.arange(w)) // 5 % ncol).astype(
+            np.uint8
+        )
+        idx[5, 10:20] = rng.integers(0, ncol, 10)
+        pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+        p = encode_bmp_rle(idx, pal, bpp=bpp)
+        assert (decode_bmp(p) == pal[idx]).all()
+        assert probe_media(p)["codec"] == f"bmp{bpp}"
+        # the actor's strict real path decodes it too
+        act = MediaFeatureActor(decode="real")
+        assert np.isfinite(act._feature(p)).all()
+    # corruption stays inside the stage contract: probe_media wraps any
+    # decoder error into ValueError; truncations never leak other types
+    p8 = encode_bmp_rle(
+        (np.arange(64).reshape(8, 8) % 10).astype(np.uint8),
+        rng.integers(0, 256, (10, 3)).astype(np.uint8),
+    )
+    for cut in range(0, len(p8), 5):
+        try:
+            probe_media(p8[:cut])
+        except ValueError:
+            pass
