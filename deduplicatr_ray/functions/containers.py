@@ -1011,33 +1011,55 @@ def build_tiff(
 
 
 def probe_avi(payload: bytes) -> dict:
-    """AVI payload -> typed metadata from the avih main header:
-    dims, total frames, duration (MicroSecPerFrame x TotalFrames),
-    stream count. Codec stream data is never read."""
+    """AVI payload -> typed metadata from the avih main header (dims,
+    total frames, duration = MicroSecPerFrame x TotalFrames, stream
+    count) plus the first video stream's codec fourcc from its strl
+    (strh handler, falling back to strf biCompression). Codec stream
+    DATA is never read."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
+    meta = None
+    codec = None
     for fourcc, s, e in _riff_chunks(payload, 12, len(payload)):
         if fourcc != b"LIST" or payload[s : s + 4] != b"hdrl":
             continue
         for f2, s2, e2 in _riff_chunks(payload, s + 4, e):
-            if f2 != b"avih" or e2 - s2 < 40:
-                continue
-            us_per_frame = int.from_bytes(payload[s2 : s2 + 4], "little")
-            total = int.from_bytes(payload[s2 + 16 : s2 + 20], "little")
-            streams = int.from_bytes(payload[s2 + 24 : s2 + 28], "little")
-            w = int.from_bytes(payload[s2 + 32 : s2 + 36], "little")
-            h = int.from_bytes(payload[s2 + 36 : s2 + 40], "little")
-            return {
-                "container": "avi",
-                "codec": None,
-                "width": w,
-                "height": h,
-                "duration_ms": int(round(us_per_frame * total / 1000.0))
-                if us_per_frame and total
-                else None,
-                "n_frames": total or None,
-                "n_streams": streams or 1,
-            }
+            if f2 == b"avih" and e2 - s2 >= 40:
+                us_per_frame = int.from_bytes(payload[s2 : s2 + 4], "little")
+                total = int.from_bytes(payload[s2 + 16 : s2 + 20], "little")
+                streams = int.from_bytes(payload[s2 + 24 : s2 + 28], "little")
+                w = int.from_bytes(payload[s2 + 32 : s2 + 36], "little")
+                h = int.from_bytes(payload[s2 + 36 : s2 + 40], "little")
+                meta = {
+                    "container": "avi",
+                    "codec": None,
+                    "width": w,
+                    "height": h,
+                    "duration_ms": int(round(us_per_frame * total / 1000.0))
+                    if us_per_frame and total
+                    else None,
+                    "n_frames": total or None,
+                    "n_streams": streams or 1,
+                }
+            elif (
+                f2 == b"LIST"
+                and payload[s2 : s2 + 4] == b"strl"
+                and codec is None
+            ):
+                for f3, s3, e3 in _riff_chunks(payload, s2 + 4, e2):
+                    if f3 == b"strh" and e3 - s3 >= 8:
+                        if payload[s3 : s3 + 4] != b"vids":
+                            break  # audio/text stream: skip this strl
+                        handler = payload[s3 + 4 : s3 + 8].strip(b"\x00 ")
+                        if handler:
+                            codec = handler.decode("latin-1").lower()
+                    elif f3 == b"strf" and codec is None and e3 - s3 >= 20:
+                        comp = payload[s3 + 16 : s3 + 20].strip(b"\x00 ")
+                        if comp:
+                            codec = comp.decode("latin-1").lower()
+        if meta is not None:
+            meta["codec"] = codec
+            return meta
     raise ValueError("AVI without hdrl/avih header")
 
 

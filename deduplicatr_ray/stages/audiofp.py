@@ -129,7 +129,7 @@ def video_fingerprint_stage(
     concurrency=(1, 4),
 ):
     """MEDIA_SCHEMA Dataset -> (vid, h, t) landmark rows for the decodable
-    video rows (YUV4MPEG2 / animated GIF). The landmark is a per-frame
+    video rows (YUV4MPEG2 / animated GIF / Motion-JPEG AVI). The landmark is a per-frame
     perceptual hash: the 16 grayscale block means of the shared pixel
     feature, range-normalized ((b - min) / (max - min): any per-frame
     gain cancels EXACTLY, and tied blocks stay tied) then quantized to 4
@@ -164,6 +164,10 @@ def video_fingerprint_stage(
                         frames = decode_y4m(p)
                     elif p[:4] == b"GIF8":
                         frames, _alpha = decode_gif(p)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        from ..functions.avi import decode_avi_frames
+
+                        frames = decode_avi_frames(p)
                     else:
                         continue
                 except Exception:

@@ -879,6 +879,8 @@ class MediaFeatureActor:
             # rows route to the stand-in instead of crashing the actor batch
             try:
                 if payload[:4] == b"RIFF":
+                    if payload[8:12] == b"AVI ":
+                        return avi_feature(payload)
                     return wav_feature(payload)
                 if payload[:8] == _PNG_SIG:
                     return png_feature(payload)
@@ -1214,6 +1216,36 @@ def y4m_frames_png(
     return [encode_png(f) for f in frames[::every_n][:max_frames]]
 
 
+def avi_feature(payload: bytes, *, max_frames: int = 8) -> np.ndarray:
+    """Real 32-dim video feature for Motion-JPEG AVI: every frame decodes
+    through the stdlib+numpy JPEG codec (``functions/avi.py``), then the
+    y4m convention — mean of the shared per-frame pixel feature over up
+    to ``max_frames`` evenly sampled frames."""
+    from ..functions.avi import decode_avi_frames
+
+    frames = decode_avi_frames(payload)
+    step = max(1, len(frames) // max_frames)
+    sampled = frames[::step][:max_frames]
+    return np.mean(
+        [_pixel_feature(f.astype(np.float32)) for f in sampled], axis=0
+    ).astype(np.float32)
+
+
+def avi_frames_png(
+    payload: bytes, *, every_n: int = 1, max_frames: int = 8
+) -> list[bytes]:
+    """REAL frame sampling for MJPEG AVI: decode every JPEG frame chunk,
+    take every ``every_n``-th up to ``max_frames``, re-encode as 8-bit
+    PNG (same downstream contract as ``y4m_frames_png``)."""
+    from ..functions.avi import decode_avi_frames
+
+    frames = decode_avi_frames(payload)
+    return [
+        encode_png(np.ascontiguousarray(f))
+        for f in frames[::every_n][:max_frames]
+    ]
+
+
 def resize_bmp(payload: bytes, tw: int, th: int) -> bytes:
     """REAL nearest-neighbor resize of an uncompressed BMP payload,
     re-encoded as 24-bit BMP."""
@@ -1389,7 +1421,9 @@ def frame_sample_stage(
 
     def _frames(payload: bytes) -> list[bytes]:
         if decode == "real" and (
-            payload[:9] == _Y4M_SIG or payload[:4] == _GIF_SIG
+            payload[:9] == _Y4M_SIG
+            or payload[:4] == _GIF_SIG
+            or (payload[:4] == b"RIFF" and payload[8:12] == b"AVI ")
         ):
             # a truncated stream can match the magic yet raise mid-decode
             # (ValueError from a short buffer, zlib.error, ...): with
@@ -1398,6 +1432,10 @@ def frame_sample_stage(
             try:
                 if payload[:9] == _Y4M_SIG:
                     return y4m_frames_png(
+                        payload, every_n=every_n, max_frames=max_frames
+                    )
+                if payload[:4] == b"RIFF":
+                    return avi_frames_png(
                         payload, every_n=every_n, max_frames=max_frames
                     )
                 from ..functions.gif import decode_gif
@@ -1414,7 +1452,8 @@ def frame_sample_stage(
         if decode == "real" and not fallback:
             raise NotImplementedError(
                 "codec-container frame sampling needs ffmpeg — the "
-                "stdlib-real multi-frame formats are YUV4MPEG2 and GIF"
+                "stdlib-real multi-frame formats are YUV4MPEG2, GIF and "
+                "Motion-JPEG AVI"
             )
         return _fake_frames(payload)
 
