@@ -1828,6 +1828,82 @@ def q_warc_extract(sf_dir: str):
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+_CHARSET_CASES = [
+    # (python codec, meta label, marker token — encodable in that codec)
+    ("shift_jis", "Shift_JIS", "日本語ページ"),
+    ("gbk", "GB2312", "简体中文页"),
+    ("euc_kr", "EUC-KR", "한국어페이지"),
+    ("big5", "Big5", "繁體中文頁"),
+    ("cp1251", "windows-1251", "русскийтекст"),
+    ("cp1252", "ISO-8859-1", "café—résumé"),
+    ("utf-16-le", None, "ユニコード頁"),  # BOM-declared, no meta
+    ("utf-8", "utf-8", "ünïcødé"),
+]
+
+
+def q_charset_census(sf_dir: str):
+    """Web charset repair end-to-end (`functions/charset.py` WHATWG sniff +
+    `stages/extract.py transcode_stage`): every document is html-escaped
+    with ASCII-only charrefs (`xmlcharrefreplace`, so html.unescape
+    restores the exact unicode), given a charset-specific non-ASCII
+    marker, and ENCODED in one of 8 real web encodings (meta-declared
+    legacy codepages, a BOM-declared UTF-16-LE, plain UTF-8). The
+    transcode stage must sniff each codec correctly and the frozen
+    extractor must then recover exactly the ws-collapsed original text +
+    marker. SQL-matched: the oracle recomputes charset and text from
+    doc_id % 8 over documents directly."""
+    import html as _h
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.extract import (
+        extract_batch,
+        extract_stage,  # noqa: F401  (sibling import kept for parity)
+        transcode_stage,
+    )
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    urls, payloads = [], []
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        codec, label, marker = _CHARSET_CASES[d % len(_CHARSET_CASES)]
+        body = (
+            _h.escape(t).encode("ascii", "xmlcharrefreplace").decode("ascii")
+        )
+        meta = f'<meta charset="{label}">' if label else ""
+        page = (
+            f"<html><head>{meta}<title></title></head>"
+            f"<body><p>{body} {marker}</p></body></html>"
+        )
+        if codec == "utf-16-le":
+            payloads.append(("﻿" + page).encode("utf-16-le"))
+        else:
+            payloads.append(page.encode(codec))
+        urls.append(f"cs://{d:08d}")
+    pages = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([0] * len(urls), pa.timestamp("us")),
+            "html": pa.array(payloads, pa.binary()),
+            "text": pa.array([None] * len(urls), pa.string()),
+            "lang": pa.array(["und"] * len(urls), pa.string()),
+        }
+    )
+
+    def extract_keep_charset(b: pa.Table) -> pa.Table:
+        out = extract_batch(b)
+        return out.append_column("charset", b["charset"])
+
+    fixed = transcode_stage(rd.from_arrow(pages), keep_charset=True)
+    out = fixed.map_batches(
+        extract_keep_charset, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["url", "charset", "text"])
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
 def q_audio_near_dups(sf_dir: str):
     """Audio near-dup detection: every WAV row is duplicated as a REAL
     decode -> half-volume re-encode, then the spectral-peak landmark
@@ -2154,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "media_probe": q_media_probe,
         "warc_extract": q_warc_extract,
+        "charset_census": q_charset_census,
     }
 
 
@@ -3155,6 +3232,29 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
                      ::BIGINT AS n_chars,
                    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+            FROM documents
+            ORDER BY url
+        """,
+        # charset_census: the fixture encodes each doc in one of 8 real web
+        # encodings keyed on doc_id % 8 and appends a charset-specific
+        # marker; the WHATWG sniff + transcode + frozen extractor must
+        # recover the ws-collapsed original + marker, so the oracle
+        # recomputes both columns from doc_id directly.
+        "charset_census": """
+            SELECT 'cs://' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CASE doc_id % 8
+                     WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'gbk'
+                     WHEN 2 THEN 'euc_kr'    WHEN 3 THEN 'big5'
+                     WHEN 4 THEN 'cp1251'    WHEN 5 THEN 'cp1252'
+                     WHEN 6 THEN 'utf-16-le' ELSE 'utf-8'
+                   END AS charset,
+                   trim(trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' ' ||
+                        CASE doc_id % 8
+                          WHEN 0 THEN '日本語ページ' WHEN 1 THEN '简体中文页'
+                          WHEN 2 THEN '한국어페이지' WHEN 3 THEN '繁體中文頁'
+                          WHEN 4 THEN 'русскийтекст' WHEN 5 THEN 'café—résumé'
+                          WHEN 6 THEN 'ユニコード頁' ELSE 'ünïcødé'
+                        END) AS text
             FROM documents
             ORDER BY url
         """,

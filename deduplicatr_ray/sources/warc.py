@@ -84,6 +84,14 @@ def iter_warc_records(buf: bytes):
 def split_http_response(body: bytes) -> tuple[int, bytes]:
     """``application/http; msgtype=response`` record body ->
     (status_code, payload bytes after the HTTP header block)."""
+    status, payload, _ct = split_http_response_full(body)
+    return status, payload
+
+
+def split_http_response_full(body: bytes) -> tuple[int, bytes, str | None]:
+    """Like :func:`split_http_response` but also returns the HTTP
+    Content-Type header value (None when absent) — the transport-level
+    charset source for ``transcode=True`` ingest."""
     sep = body.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP response without header terminator")
@@ -91,7 +99,13 @@ def split_http_response(body: bytes) -> tuple[int, bytes]:
     parts = status_line.split(b" ", 2)
     if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
         raise ValueError(f"malformed HTTP status line {status_line[:40]!r}")
-    return int(parts[1]), body[sep + 4 :]
+    ctype: str | None = None
+    for line in body[:sep].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        if k.strip().lower() == b"content-type":
+            ctype = v.strip().decode("latin-1", "replace")
+            break
+    return int(parts[1]), body[sep + 4 :], ctype
 
 
 def _warc_date_us(value: str) -> int:
@@ -100,7 +114,7 @@ def _warc_date_us(value: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
-def warc_bytes_to_pages(buf: bytes) -> pa.Table:
+def warc_bytes_to_pages(buf: bytes, *, transcode: bool = False) -> pa.Table:
     """One WARC/WET file's bytes (gzip members or plain) -> PAGES-shaped
     Arrow table.
 
@@ -131,12 +145,20 @@ def warc_bytes_to_pages(buf: bytes) -> pa.Table:
         wtype = headers.get("warc-type")
         if wtype == "response":
             ctype = headers.get("content-type", "")
+            http_ct: str | None = None
             if ctype.startswith("application/http"):
-                status, payload = split_http_response(body)
+                status, payload, http_ct = split_http_response_full(body)
                 if status != 200:
                     continue
             else:
                 payload = body  # resource-style record: body IS payload
+            if transcode:
+                # charset repair at ingest: HTTP Content-Type is only
+                # available HERE, so this is where the WHATWG sniff gets
+                # its transport hint (functions/charset.py)
+                from ..functions.charset import to_utf8
+
+                payload, _cs = to_utf8(payload, http_ct)
             htmls.append(payload)
             texts.append(None)
         elif wtype == "conversion":  # WET: body is extracted text
@@ -162,6 +184,7 @@ def read_warc(
     *,
     task_memory: int = 512 * 2**20,
     on_error: str = "raise",
+    transcode: bool = False,
 ):
     """WARC file(s) -> PAGES-schema ``ray.data.Dataset``.
 
@@ -189,6 +212,11 @@ def read_warc(
       ``map_batches(batch_size=1024)``, which would bundle 1024 file
       rows (at CC scale: a terabyte of payload) into one task —
       measured 3.3x wall on a 32-file fixture before the split.
+
+    ``transcode=True`` rewrites every response payload to clean UTF-8 at
+    parse time via the WHATWG charset sniff (``functions/charset.py``) —
+    the HTTP Content-Type transport hint only exists here, so ingest is
+    the one place the full browser sniff order can run.
 
     A directory is filtered to WARC-like extensions first (crawl dirs
     carry manifests and checksum files alongside the records). Feed the
@@ -232,7 +260,7 @@ def read_warc(
                 try:
                     with filesystem.open_input_stream(fpath) as f:
                         raw = f.readall()
-                    tables.append(warc_bytes_to_pages(raw))
+                    tables.append(warc_bytes_to_pages(raw, transcode=transcode))
                 except (ValueError, OSError):
                     continue  # corrupt/unreadable file: drop, keep going
             return (
@@ -254,7 +282,9 @@ def read_warc(
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = [
-            warc_bytes_to_pages(b.as_py() if hasattr(b, "as_py") else b)
+            warc_bytes_to_pages(
+                b.as_py() if hasattr(b, "as_py") else b, transcode=transcode
+            )
             for b in batch["bytes"]
         ]
         return pa.concat_tables(tables) if tables else warc_bytes_to_pages(b"")
@@ -333,7 +363,8 @@ def build_warc(
         http = (
             f"HTTP/1.1 {status} OK".encode()
             + _CRLF
-            + b"Content-Type: text/html"
+            + b"Content-Type: "
+            + r.get("http_content_type", "text/html").encode("latin-1")
             + _CRLF
             + f"Content-Length: {len(r['html'])}".encode()
             + _CRLF

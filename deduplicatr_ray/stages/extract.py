@@ -58,3 +58,46 @@ def extract_stage(pages, *, batch_size: int = 1024):
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def transcode_batch(batch: pa.Table, *, keep_charset: bool = False) -> pa.Table:
+    """pages batch -> pages batch with every non-null ``html`` payload
+    transcoded to clean UTF-8 (``functions/charset.py`` WHATWG sniff:
+    BOM > meta/XML prescan > UTF-8 validity > windows-1252). Clean-UTF-8
+    payloads pass through byte-identical, so the stage is idempotent and
+    a no-op on already-normalized corpora. ``keep_charset=True`` appends
+    the sniffed codec name as a ``charset`` column (census/debug)."""
+    from ..functions.charset import to_utf8
+
+    html_col = batch["html"]
+    charsets: list[str | None] = [None] * len(batch)
+    if pc.any(pc.is_valid(html_col)).as_py():
+        htmls = html_col.to_pylist()
+        out: list[bytes | None] = [None] * len(htmls)
+        for i, h in enumerate(htmls):
+            if h is not None:
+                out[i], charsets[i] = to_utf8(h)
+        html_col = pa.array(out, type=pa.binary())
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["html"] = html_col
+    if keep_charset:
+        cols["charset"] = pa.array(charsets, pa.string())
+    return pa.table(cols)
+
+
+def transcode_stage(pages, *, keep_charset: bool = False, batch_size: int = 1024):
+    """OPT-IN charset repair ahead of the frozen extractor: pages Dataset ->
+    pages Dataset with legacy-encoded HTML (Shift_JIS, GBK, EUC-KR, Big5,
+    windows-125x, UTF-16 BOM, ...) rewritten as UTF-8 bytes. Row-local,
+    stateless, zero shuffle; the frozen utf-8-first decode in
+    ``extract_text`` then never hits its latin-1 mojibake fallback. The
+    DEFAULT pipelines skip this stage — the per-url byte-identical
+    extraction invariant is against raw payloads."""
+    import functools
+
+    return pages.map_batches(
+        functools.partial(transcode_batch, keep_charset=keep_charset),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
