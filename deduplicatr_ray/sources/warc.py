@@ -91,7 +91,26 @@ def split_http_response(body: bytes) -> tuple[int, bytes]:
 def split_http_response_full(body: bytes) -> tuple[int, bytes, str | None]:
     """Like :func:`split_http_response` but also returns the HTTP
     Content-Type header value (None when absent) — the transport-level
-    charset source for ``transcode=True`` ingest."""
+    charset source for ``transcode=True`` ingest. The payload is the
+    DECODED entity body: chunked transfer framing is removed and
+    gzip/deflate Content-Encoding is decompressed (see
+    :func:`decode_http_payload`)."""
+    status, payload, headers = split_http_response_headers(body)
+    return status, payload, headers.get("content-type")
+
+
+def split_http_response_headers(
+    body: bytes,
+) -> tuple[int, bytes, dict[str, str]]:
+    """HTTP response message -> (status, decoded payload, headers dict).
+
+    Header parsing is TOLERANT (malformed lines are skipped) — crawled
+    servers emit junk header lines, and we only consume content-type /
+    transfer-encoding / content-encoding. The returned payload has
+    chunked framing removed and gzip/deflate decompressed; on framing
+    or stream corruption the raw bytes are kept (crawl posture: a
+    mis-encoded page should degrade to garbage TEXT, never kill the
+    record — same fallback shape as warcio's ChunkedDataReader)."""
     sep = body.find(_CRLF + _CRLF)
     if sep < 0:
         raise ValueError("HTTP response without header terminator")
@@ -99,13 +118,98 @@ def split_http_response_full(body: bytes) -> tuple[int, bytes, str | None]:
     parts = status_line.split(b" ", 2)
     if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
         raise ValueError(f"malformed HTTP status line {status_line[:40]!r}")
-    ctype: str | None = None
+    try:
+        status = int(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"malformed HTTP status code {parts[1][:10]!r}"
+        ) from None
+    headers: dict[str, str] = {}
     for line in body[:sep].split(_CRLF)[1:]:
-        k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
-            ctype = v.strip().decode("latin-1", "replace")
+        k, s, v = line.partition(b":")
+        if not s or not k.strip():
+            continue  # tolerate junk lines in crawled responses
+        name = k.strip().decode("latin-1").lower()
+        if name not in headers:  # first value wins (proxy-duplicated)
+            headers[name] = v.strip().decode("latin-1", "replace")
+    return status, decode_http_payload(headers, body[sep + 4 :]), headers
+
+
+def _dechunk(raw: bytes) -> bytes:
+    """Remove ``Transfer-Encoding: chunked`` framing. Raises
+    ``ValueError`` on malformed chunk headers; tolerates a TRUNCATED
+    final chunk (keeps the partial data — common in crawl captures cut
+    off mid-transfer)."""
+    out: list[bytes] = []
+    off = 0
+    n = len(raw)
+    while True:
+        eol = raw.find(_CRLF, off)
+        if eol < 0:
+            if off >= n:
+                break  # clean end without last-chunk marker: accept
+            raise ValueError("truncated chunk size line")
+        size_tok = raw[off:eol].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(f"malformed chunk size {size_tok[:16]!r}") from None
+        if size == 0:
+            break  # last-chunk; trailers (if any) are discarded
+        start = eol + 2
+        end = start + size
+        if end > n:
+            out.append(raw[start:n])  # truncated capture: keep partial
             break
-    return int(parts[1]), body[sep + 4 :], ctype
+        out.append(raw[start:end])
+        off = end + 2  # skip chunk-data CRLF
+    return b"".join(out)
+
+
+def _gunzip_tolerant(raw: bytes) -> bytes:
+    """Decompress a gzip (wbits=31) or zlib/deflate stream, keeping
+    whatever decompressed before a truncation/corruption point. Raises
+    ``ValueError`` only when NOTHING decodes."""
+    import zlib
+
+    for wbits in (31, -15, 15):  # gzip, raw deflate, zlib
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(raw)
+        except zlib.error:
+            continue
+        if out or d.eof:
+            return out + (d.flush() if d.eof else b"")
+    raise ValueError("undecodable compressed entity body")
+
+
+def decode_http_payload(headers: dict[str, str], raw: bytes) -> bytes:
+    """Entity-body decoding for crawled HTTP responses: de-chunk
+    (``Transfer-Encoding: chunked``), then decompress
+    (``Content-Encoding: gzip|x-gzip|deflate``). WARC response records
+    capture the HTTP message AS RECEIVED, so both layers appear in real
+    Common Crawl data; skipping them feeds chunk-size hex lines or gzip
+    bytes to the text extractor.
+
+    Failure posture is KEEP RAW: corrupt chunk framing or an
+    undecodable stream returns the bytes unchanged (the downstream
+    extractor treats them as opaque text), because at crawl scale a
+    mis-declared header is routine and must not abort the record. Other
+    codings (``br``, ``zstd``) have no stdlib decoder here and pass
+    through raw."""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            raw = _dechunk(raw)
+        except ValueError:
+            return raw  # warcio-style: first bad chunk header -> raw
+    ce = headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip", "deflate"):
+        try:
+            raw = _gunzip_tolerant(raw)
+        except ValueError:
+            pass  # mis-declared encoding: keep raw bytes
+    return raw
 
 
 def _warc_date_us(value: str) -> int:
@@ -360,16 +464,40 @@ def build_warc(
             )
             continue
         status = int(r.get("status", 200))
+        entity = r["html"]
+        extra = b""
+        ce = r.get("content_encoding")  # "gzip" | "deflate" | None
+        if ce == "gzip":
+            bio = io.BytesIO()
+            with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as f:
+                f.write(entity)
+            entity = bio.getvalue()
+            extra += b"Content-Encoding: gzip" + _CRLF
+        elif ce == "deflate":
+            import zlib
+
+            entity = zlib.compress(entity)
+            extra += b"Content-Encoding: deflate" + _CRLF
+        if r.get("chunked"):
+            # split into two chunks to exercise multi-chunk reassembly
+            mid = max(1, len(entity) // 2)
+            body = b""
+            for part in (entity[:mid], entity[mid:]):
+                if part:
+                    body += f"{len(part):x}".encode() + _CRLF + part + _CRLF
+            entity = body + b"0" + _CRLF + _CRLF
+            extra += b"Transfer-Encoding: chunked" + _CRLF
+        else:
+            extra += f"Content-Length: {len(entity)}".encode() + _CRLF
         http = (
             f"HTTP/1.1 {status} OK".encode()
             + _CRLF
             + b"Content-Type: "
             + r.get("http_content_type", "text/html").encode("latin-1")
             + _CRLF
-            + f"Content-Length: {len(r['html'])}".encode()
+            + extra
             + _CRLF
-            + _CRLF
-            + r["html"]
+            + entity
         )
         out.append(
             _gz(

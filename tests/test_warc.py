@@ -223,3 +223,95 @@ def test_read_warc_on_error_skip_drops_corrupt_files(ray_session, tmp_path):
 def test_corrupt_gzip_surfaces_as_value_error():
     with pytest.raises(ValueError, match="gzip"):
         W.warc_bytes_to_pages(b"\x1f\x8b\x08\x00garbage bytes here")
+
+
+# --- HTTP entity-body decoding (chunked + Content-Encoding) ---------------
+
+HTML = b"<html><body>Chunky &amp; zipped page body, long enough to split.</body></html>"
+
+
+@pytest.mark.parametrize("ce", [None, "gzip", "deflate"])
+@pytest.mark.parametrize("chunked", [True, False])
+def test_http_entity_decoding_roundtrip(ce, chunked):
+    rec = {"url": "http://e.example/enc", "html": HTML}
+    if ce:
+        rec["content_encoding"] = ce
+    if chunked:
+        rec["chunked"] = True
+    buf = W.build_warc([rec])
+    t = W.warc_bytes_to_pages(buf)
+    # whatever the wire encoding, the pages row carries the ENTITY bytes
+    assert t["html"].to_pylist() == [HTML]
+
+
+def test_dechunk_multi_chunk_and_extensions():
+    raw = b"5;ext=1\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    assert W._dechunk(raw) == b"hello world"
+    # truncated final chunk keeps the partial data (crawl capture cut off)
+    assert W._dechunk(b"a\r\nhello") == b"hello"
+
+
+def test_bad_chunk_header_falls_back_to_raw():
+    body = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"NOTHEX\r\ndata"
+    )
+    status, payload, headers = W.split_http_response_headers(body)
+    assert status == 200
+    assert payload == b"NOTHEX\r\ndata"  # warcio-style raw fallback
+
+
+def test_misdeclared_content_encoding_keeps_raw():
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n"
+        b"plain, not gzip at all"
+    )
+    _s, payload, _h = W.split_http_response_headers(body)
+    assert payload == b"plain, not gzip at all"
+
+
+def test_truncated_gzip_entity_keeps_decoded_prefix():
+    import io as _io
+
+    bio = _io.BytesIO()
+    with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as f:
+        f.write(b"x" * 10000)
+    gz = bio.getvalue()
+    body = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" + gz[:-8]
+    )
+    _s, payload, _h = W.split_http_response_headers(body)
+    assert payload.startswith(b"xxxx") and len(payload) > 0
+
+
+def test_tolerant_http_headers_skip_junk_lines():
+    body = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"this line has no colon\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Type: text/plain\r\n"  # duplicate: first wins
+        b"\r\nbody"
+    )
+    status, payload, headers = W.split_http_response_headers(body)
+    assert status == 200 and payload == b"body"
+    assert headers["content-type"] == "text/html; charset=utf-8"
+
+
+def test_chunked_gzip_end_to_end_extract(ray_session, tmp_path):
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    recs = [
+        {"url": "http://plain.example/", "html": HTML},
+        {
+            "url": "http://enc.example/",
+            "html": HTML,
+            "chunked": True,
+            "content_encoding": "gzip",
+        },
+    ]
+    (tmp_path / "f.warc.gz").write_bytes(W.build_warc(recs))
+    docs = extract_stage(W.read_warc(str(tmp_path))).to_pandas()
+    docs = docs.sort_values("url").reset_index(drop=True)
+    # identical entity bytes -> byte-identical extracted text
+    assert docs.loc[0, "text"] == docs.loc[1, "text"]
+    assert "Chunky & zipped" in docs.loc[0, "text"]
