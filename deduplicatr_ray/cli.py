@@ -97,7 +97,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             from .sources.warc import read_warc
 
             res = dedup_pipeline(
-                read_warc(args.input),
+                read_warc(args.input, on_error=args.warc_errors),
                 cfg,
                 checkpoint_dir=args.ckpt,
                 run_id=args.run_id,
@@ -468,6 +468,15 @@ def main(argv: list[str] | None = None) -> int:
         help="with --ckpt: run the signature prefix as N partition-level "
         "checkpoints (per-partition throughput + dup-rate metrics, "
         "partition-granular resume)",
+    )
+    pr.add_argument(
+        "--warc-errors",
+        default="raise",
+        choices=["raise", "skip", "salvage"],
+        help="WARC-input corruption posture: raise = fail the task "
+        "(checkpointed runs); skip = drop unparseable FILES; salvage = "
+        "keep good RECORDS inside damaged files (gzip-member + WARC/ "
+        "boundary resync — one flipped byte costs one record)",
     )
     pr.set_defaults(fn=cmd_run)
 

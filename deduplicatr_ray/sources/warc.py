@@ -48,37 +48,67 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return out
 
 
+def _next_record(buf: bytes, off: int) -> tuple[dict[str, str], bytes, int]:
+    """Parse one WARC record at ``off`` -> (headers, body, next offset).
+    Raises ``ValueError`` on framing corruption."""
+    n = len(buf)
+    # tolerate extra record separators / trailing CRLFs
+    while off < n and buf[off : off + 2] == _CRLF:
+        off += 2
+    if off >= n:
+        return {}, b"", n  # clean end-of-buffer sentinel (empty headers)
+    eol = buf.find(_CRLF, off)
+    if eol < 0:
+        raise ValueError("truncated WARC version line")
+    version = buf[off:eol]
+    if not version.startswith(b"WARC/"):
+        raise ValueError(f"not a WARC record at offset {off}: {version[:20]!r}")
+    hdr_end = buf.find(_CRLF + _CRLF, eol)
+    if hdr_end < 0:
+        raise ValueError("truncated WARC header block")
+    headers = _parse_headers(buf[eol + 2 : hdr_end])
+    try:
+        clen = int(headers["content-length"])
+    except (KeyError, ValueError):
+        raise ValueError("WARC record without valid Content-Length") from None
+    body_start = hdr_end + 4
+    body_end = body_start + clen
+    if body_end > n:
+        raise ValueError("WARC body overruns file")
+    return headers, buf[body_start:body_end], body_end
+
+
 def iter_warc_records(buf: bytes):
     """Yield (headers_dict, body_bytes) per WARC record in ``buf``
     (uncompressed). Raises ``ValueError`` on framing corruption."""
     off = 0
+    while off < len(buf):
+        headers, body, off = _next_record(buf, off)
+        if headers:
+            yield headers, body
+
+
+def iter_warc_records_tolerant(buf: bytes):
+    """Like :func:`iter_warc_records` but SALVAGES past framing
+    corruption: on a bad record it resyncs at the next ``CRLF WARC/``
+    boundary and keeps going — so one malformed record in a 1 GiB
+    Common Crawl file costs one record, not ~150k pages. Yields
+    (headers, body, ok) where a single ``ok=False`` marker precedes the
+    resync (callers count it)."""
+    off = 0
     n = len(buf)
     while off < n:
-        # tolerate extra record separators / trailing CRLFs
-        while off < n and buf[off : off + 2] == _CRLF:
-            off += 2
-        if off >= n:
-            return
-        eol = buf.find(_CRLF, off)
-        if eol < 0:
-            raise ValueError("truncated WARC version line")
-        version = buf[off:eol]
-        if not version.startswith(b"WARC/"):
-            raise ValueError(f"not a WARC record at offset {off}: {version[:20]!r}")
-        hdr_end = buf.find(_CRLF + _CRLF, eol)
-        if hdr_end < 0:
-            raise ValueError("truncated WARC header block")
-        headers = _parse_headers(buf[eol + 2 : hdr_end])
         try:
-            clen = int(headers["content-length"])
-        except (KeyError, ValueError):
-            raise ValueError("WARC record without valid Content-Length") from None
-        body_start = hdr_end + 4
-        body_end = body_start + clen
-        if body_end > n:
-            raise ValueError("WARC body overruns file")
-        yield headers, buf[body_start:body_end]
-        off = body_end
+            headers, body, off = _next_record(buf, off)
+        except ValueError:
+            yield {}, b"", False
+            nxt = buf.find(_CRLF + b"WARC/", off)
+            if nxt < 0:
+                return
+            off = nxt + 2
+            continue
+        if headers:
+            yield headers, body, True
 
 
 def split_http_response(body: bytes) -> tuple[int, bytes]:
@@ -218,7 +248,49 @@ def _warc_date_us(value: str) -> int:
     return int(dt.timestamp() * 1_000_000)
 
 
-def warc_bytes_to_pages(buf: bytes, *, transcode: bool = False) -> pa.Table:
+def _gunzip_members_tolerant(buf: bytes) -> bytes:
+    """Inflate a concatenation of gzip members, SKIPPING corrupt members
+    by resyncing at the next gzip magic. Linear: fixed-size chunks feed
+    each ``decompressobj`` (never the whole remaining tail), and resync
+    uses ``bytes.find``. Returns the concatenated good members — in the
+    Common Crawl member-per-record layout a skipped member is exactly
+    one skipped record, and the record-level parser handles any partial
+    boundary damage."""
+    import zlib
+
+    out: list[bytes] = []
+    pos = 0
+    n = len(buf)
+    CHUNK = 1 << 20
+    while pos < n:
+        if buf[pos : pos + 3] != b"\x1f\x8b\x08":
+            nxt = buf.find(b"\x1f\x8b\x08", pos + 1)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        d = zlib.decompressobj(31)
+        mpos = pos
+        member: list[bytes] = []
+        try:
+            while mpos < n and not d.eof:
+                member.append(d.decompress(buf[mpos : mpos + CHUNK]))
+                mpos += CHUNK
+            if not d.eof:
+                raise ValueError("truncated gzip member")
+            out.extend(member)
+            pos = min(mpos, n) - len(d.unused_data)
+        except (zlib.error, ValueError):
+            nxt = buf.find(b"\x1f\x8b\x08", pos + 3)
+            if nxt < 0:
+                break
+            pos = nxt
+    return b"".join(out)
+
+
+def warc_bytes_to_pages(
+    buf: bytes, *, transcode: bool = False, bad_records: str = "raise"
+) -> pa.Table:
     """One WARC/WET file's bytes (gzip members or plain) -> PAGES-shaped
     Arrow table.
 
@@ -227,7 +299,18 @@ def warc_bytes_to_pages(buf: bytes, *, transcode: bool = False) -> pa.Table:
     conversion`` records — the Common Crawl WET layout, text/plain
     bodies — become text rows directly (``html`` null; the extractor's
     non-null-text passthrough keeps them byte-identical). ``lang`` is
-    ``"und"`` (no language metadata exists at the container level)."""
+    ``"und"`` (no language metadata exists at the container level).
+
+    ``bad_records="raise"`` (default) propagates the first corruption as
+    ``ValueError`` — right when a retry/alert is wanted. ``"skip"``
+    SALVAGES: corrupt gzip members are resynced at the next member
+    magic, malformed records at the next ``WARC/`` boundary, and a
+    record whose own HTTP/date fields are broken is dropped alone — so
+    one bad record costs one record, not the ~150k pages of a 1 GiB
+    Common Crawl file."""
+    if bad_records not in ("raise", "skip"):
+        raise ValueError(f"bad_records must be raise|skip, got {bad_records!r}")
+    salvage = bad_records == "skip"
     if buf[:2] == b"\x1f\x8b":
         # GzipFile streams the concatenated members LINEARLY;
         # gzip.decompress() re-slices the whole remaining buffer once
@@ -237,41 +320,62 @@ def warc_bytes_to_pages(buf: bytes, *, transcode: bool = False) -> pa.Table:
         # fixture)
         import zlib
 
-        try:
-            buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
-        except (OSError, EOFError, zlib.error) as e:  # member corruption
-            raise ValueError(f"corrupt gzip stream: {e}") from e
+        if salvage:
+            buf = _gunzip_members_tolerant(buf)
+        else:
+            try:
+                buf = gzip.GzipFile(fileobj=io.BytesIO(buf)).read()
+            except (OSError, EOFError, zlib.error) as e:  # member corruption
+                raise ValueError(f"corrupt gzip stream: {e}") from e
     urls: list[str] = []
     ts: list[int] = []
     htmls: list[bytes | None] = []
     texts: list[str | None] = []
-    for headers, body in iter_warc_records(buf):
-        wtype = headers.get("warc-type")
-        if wtype == "response":
-            ctype = headers.get("content-type", "")
-            http_ct: str | None = None
-            if ctype.startswith("application/http"):
-                status, payload, http_ct = split_http_response_full(body)
-                if status != 200:
-                    continue
-            else:
-                payload = body  # resource-style record: body IS payload
-            if transcode:
-                # charset repair at ingest: HTTP Content-Type is only
-                # available HERE, so this is where the WHATWG sniff gets
-                # its transport hint (functions/charset.py)
-                from ..functions.charset import to_utf8
+    if salvage:
+        records = (
+            (h, b) for h, b, ok in iter_warc_records_tolerant(buf) if ok
+        )
+    else:
+        records = iter_warc_records(buf)
+    for headers, body in records:
+        try:
+            # compute EVERY row value before ANY append — a ValueError
+            # mid-record (HTTP status line, WARC-Date) must not leave
+            # the column lists desynced in salvage mode
+            wtype = headers.get("warc-type")
+            if wtype == "response":
+                ctype = headers.get("content-type", "")
+                http_ct: str | None = None
+                if ctype.startswith("application/http"):
+                    status, payload, http_ct = split_http_response_full(body)
+                    if status != 200:
+                        continue
+                else:
+                    payload = body  # resource-style record: body IS payload
+                if transcode:
+                    # charset repair at ingest: HTTP Content-Type is only
+                    # available HERE, so this is where the WHATWG sniff gets
+                    # its transport hint (functions/charset.py)
+                    from ..functions.charset import to_utf8
 
-                payload, _cs = to_utf8(payload, http_ct)
-            htmls.append(payload)
-            texts.append(None)
-        elif wtype == "conversion":  # WET: body is extracted text
-            htmls.append(None)
-            texts.append(body.decode("utf-8", errors="replace"))
-        else:
-            continue
+                    payload, _cs = to_utf8(payload, http_ct)
+                row_html, row_text = payload, None
+            elif wtype == "conversion":  # WET: body is extracted text
+                row_html = None
+                row_text = body.decode("utf-8", errors="replace")
+            else:
+                continue
+            row_ts = _warc_date_us(
+                headers.get("warc-date", "1970-01-01T00:00:00Z")
+            )
+        except ValueError:
+            if not salvage:
+                raise
+            continue  # record-local damage: drop just this record
+        htmls.append(row_html)
+        texts.append(row_text)
         urls.append(headers.get("warc-target-uri", ""))
-        ts.append(_warc_date_us(headers.get("warc-date", "1970-01-01T00:00:00Z")))
+        ts.append(row_ts)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -300,7 +404,12 @@ def read_warc(
     crawl-scale job; the file bytes are read RAW inside the
     parse task (pyarrow filesystem, no compression inference) so gzip
     corruption surfaces in OUR parse (as ``ValueError``, catchable per
-    file) instead of killing Arrow's read task.
+    file) instead of killing Arrow's read task. ``"salvage"`` goes one
+    grain finer: good records inside a damaged file are KEPT (corrupt
+    gzip members resync at the next member magic, malformed records at
+    the next ``WARC/`` boundary) — one flipped byte costs one record,
+    not a whole ~1 GiB file; only a file that yields nothing parseable
+    is dropped.
 
     ``read_binary_files`` gives one row per file; the parse is a
     stateless map with ONE TASK PER FILE — the Common Crawl parallelism
@@ -338,10 +447,10 @@ def read_warc(
         )
         if not paths:
             raise ValueError("directory contains no .warc/.wet files")
-    if on_error not in ("raise", "skip"):
+    if on_error not in ("raise", "skip", "salvage"):
         raise ValueError(f"unknown on_error mode {on_error!r}")
     n_files = len(paths) if isinstance(paths, list) else None
-    if on_error == "skip":
+    if on_error in ("skip", "salvage"):
         # read raw bytes inside the task: Arrow's extension-based gzip
         # inference cannot be turned off through read_binary_files
         # (compression=None means "detect"), and a corrupt member would
@@ -362,9 +471,23 @@ def read_warc(
                 except pa.ArrowInvalid:
                     filesystem, fpath = pafs.LocalFileSystem(), p
                 try:
-                    with filesystem.open_input_stream(fpath) as f:
+                    # compression=None: Arrow's 'detect' default would
+                    # inflate the .gz inline and a corrupt member would
+                    # raise OSError HERE, before our member-resync parse
+                    # ever sees the bytes
+                    with filesystem.open_input_stream(
+                        fpath, compression=None
+                    ) as f:
                         raw = f.readall()
-                    tables.append(warc_bytes_to_pages(raw, transcode=transcode))
+                    tables.append(
+                        warc_bytes_to_pages(
+                            raw,
+                            transcode=transcode,
+                            bad_records=(
+                                "skip" if on_error == "salvage" else "raise"
+                            ),
+                        )
+                    )
                 except (ValueError, OSError):
                     continue  # corrupt/unreadable file: drop, keep going
             return (

@@ -315,3 +315,141 @@ def test_chunked_gzip_end_to_end_extract(ray_session, tmp_path):
     # identical entity bytes -> byte-identical extracted text
     assert docs.loc[0, "text"] == docs.loc[1, "text"]
     assert "Chunky & zipped" in docs.loc[0, "text"]
+
+
+def test_warc_parse_fuzz_truncations_and_mutations():
+    """Parser contract behind on_error="skip": warc_bytes_to_pages
+    either returns a pages table or raises ValueError — NEVER a raw
+    IndexError/UnicodeError/OverflowError/KeyError that would escape
+    read_warc's per-file handler and kill the partition. Sweep
+    truncation prefixes and seeded byte mutations of a multi-record
+    file in both the gz-member and plain layouts."""
+    import numpy as np
+
+    recs = [
+        {"url": "http://a.example/1", "html": b"<p>one</p>"},
+        {
+            "url": "http://a.example/2",
+            "html": b"<p>two two</p>",
+            "chunked": True,
+            "content_encoding": "gzip",
+        },
+        {"url": "http://a.example/3", "text": "wet text body"},
+        {"url": "http://a.example/4", "html": b"<p>gone</p>", "status": 301},
+    ]
+    rng = np.random.Generator(np.random.PCG64(23))
+    for gz in (True, False):
+        buf = W.build_warc(recs, gzip_per_record=gz)
+        W.warc_bytes_to_pages(buf)  # intact file parses
+        step = max(1, len(buf) // 149)
+        for cut in range(0, len(buf), step):
+            try:
+                W.warc_bytes_to_pages(buf[:cut])
+            except ValueError:
+                pass  # the ONLY allowed failure type
+        for _ in range(200):
+            i = int(rng.integers(0, len(buf)))
+            q = bytearray(buf)
+            q[i] ^= int(rng.integers(1, 256))
+            try:
+                W.warc_bytes_to_pages(bytes(q), transcode=True)
+            except ValueError:
+                pass
+
+
+# --- record-level salvage (bad_records="skip" / on_error="salvage") -------
+
+
+def _recs(n):
+    return [
+        {"url": f"http://s.example/{i}", "html": f"<p>doc {i}</p>".encode()}
+        for i in range(n)
+    ]
+
+
+def test_salvage_gzip_member_corruption_costs_one_record():
+    recs = _recs(6)
+    buf = W.build_warc(recs, gzip_per_record=True)
+    # locate gzip member boundaries, corrupt the 3rd member's middle
+    starts = []
+    i = 0
+    while True:
+        i = buf.find(b"\x1f\x8b\x08", i)
+        if i < 0:
+            break
+        starts.append(i)
+        i += 3
+    assert len(starts) == 7  # warcinfo + 6 records
+    bad = bytearray(buf)
+    mid = (starts[3] + starts[4]) // 2
+    bad[mid] ^= 0xFF
+    bad = bytes(bad)
+    with pytest.raises(ValueError):
+        W.warc_bytes_to_pages(bad)  # default still raises
+    t = W.warc_bytes_to_pages(bad, bad_records="skip")
+    got = t["url"].to_pylist()
+    assert len(got) == 5 and "http://s.example/2" not in got
+
+
+def test_salvage_plain_framing_resyncs_at_next_record():
+    recs = _recs(5)
+    buf = W.build_warc(recs, gzip_per_record=False)
+    # corrupt record 1's Content-Length header value
+    bad = buf.replace(
+        b"WARC-Target-URI: http://s.example/1", b"WARC-Target-URX junk\xff:"
+    )
+    t = W.warc_bytes_to_pages(bad, bad_records="skip")
+    got = t["url"].to_pylist()
+    assert "http://s.example/0" in got and "http://s.example/4" in got
+    assert len(got) >= 4
+
+
+def test_salvage_record_local_damage_drops_only_that_record():
+    recs = _recs(3)
+    buf = W.build_warc(recs, gzip_per_record=False)
+    bad = buf.replace(b"HTTP/1.1 200 OK", b"GARBAGE STATUS!", 1)
+    t = W.warc_bytes_to_pages(bad, bad_records="skip")
+    assert t["url"].to_pylist() == [
+        "http://s.example/1",
+        "http://s.example/2",
+    ]
+
+
+def test_read_warc_on_error_salvage_end_to_end(ray_session, tmp_path):
+    good = W.build_warc(_recs(4))
+    starts = []
+    i = 0
+    while True:
+        i = good.find(b"\x1f\x8b\x08", i)
+        if i < 0:
+            break
+        starts.append(i)
+        i += 3
+    bad = bytearray(good)
+    bad[(starts[2] + starts[3]) // 2] ^= 0x55  # kill record 1's member
+    (tmp_path / "f.warc.gz").write_bytes(bytes(bad))
+    out = W.read_warc(str(tmp_path), on_error="salvage").to_pandas()
+    urls = sorted(out["url"])
+    assert len(urls) == 3 and "http://s.example/1" not in urls
+
+
+def test_salvage_fuzz_never_raises():
+    """With bad_records="skip" the parser must ALWAYS return a table —
+    any corruption only shrinks the row count."""
+    import numpy as np
+
+    recs = _recs(4) + [{"url": "http://s.example/w", "text": "wet row"}]
+    rng = np.random.Generator(np.random.PCG64(31))
+    for gz in (True, False):
+        buf = W.build_warc(recs, gzip_per_record=gz)
+        full = len(W.warc_bytes_to_pages(buf, bad_records="skip"))
+        assert full == 5
+        step = max(1, len(buf) // 149)
+        for cut in range(0, len(buf), step):
+            t = W.warc_bytes_to_pages(buf[:cut], bad_records="skip")
+            assert len(t) <= full
+        for _ in range(300):
+            i = int(rng.integers(0, len(buf)))
+            q = bytearray(buf)
+            q[i] ^= int(rng.integers(1, 256))
+            W.warc_bytes_to_pages(bytes(q), bad_records="skip")
