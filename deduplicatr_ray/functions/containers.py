@@ -1,6 +1,6 @@
 """Media container probing: typed metadata from opaque binary payloads
-WITHOUT codec decode — ISO-BMFF/MP4, MPEG audio (MP3) incl. ID3v2, and
-Ogg (Vorbis/Opus).
+WITHOUT codec decode — ISO-BMFF/MP4, MPEG audio (MP3) incl. ID3v2, Ogg
+(Vorbis/Opus), Matroska/WebM, WebP, TIFF, AVI, ICO, FLAC and ADTS AAC.
 
 A 100 TB crawl's most common media containers carry codecs no
 stdlib-only sandbox can decode (H.264, AAC, MP3 bitstreams, Vorbis),
@@ -1145,3 +1145,189 @@ def build_ico(images: list[tuple[int, int, bytes]]) -> bytes:
         data += img
         off += len(img)
     return bytes(hdr + dirs + data)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (free lossless audio codec container — metadata block chain)
+# ---------------------------------------------------------------------------
+
+def probe_flac(payload: bytes) -> dict:
+    """FLAC payload -> typed metadata from the STREAMINFO block (the
+    mandatory first metadata block): sample rate, channels, bit depth,
+    exact duration from the 36-bit total-samples field. Walks the
+    metadata block chain only — never the coded frames."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    off = 4
+    streaminfo = None
+    n_blocks = 0
+    while True:
+        if off + 4 > len(payload):
+            raise ValueError("truncated FLAC metadata block header")
+        hdr = payload[off]
+        btype = hdr & 0x7F
+        blen = int.from_bytes(payload[off + 1 : off + 4], "big")
+        if btype == 127:
+            raise ValueError("invalid FLAC metadata block type 127")
+        body_start = off + 4
+        if body_start + blen > len(payload):
+            raise ValueError("FLAC metadata block overruns payload")
+        if n_blocks == 0 and btype != 0:
+            raise ValueError("first FLAC metadata block is not STREAMINFO")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError(f"STREAMINFO length {blen} != 34")
+            streaminfo = payload[body_start : body_start + 34]
+        n_blocks += 1
+        off = body_start + blen
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    # STREAMINFO bit layout after the four 16/16/24/24-bit size fields
+    # (10 bytes): 20 bits rate | 3 bits channels-1 | 5 bits bps-1 |
+    # 36 bits total samples
+    b = streaminfo
+    rate = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+    channels = ((b[12] >> 1) & 0x07) + 1
+    bps = (((b[12] & 0x01) << 4) | (b[13] >> 4)) + 1
+    total = ((b[13] & 0x0F) << 32) | int.from_bytes(b[14:18], "big")
+    if rate == 0:
+        raise ValueError("FLAC STREAMINFO sample rate 0")
+    return {
+        "container": "flac",
+        "codec": f"flac{bps}",
+        "width": None,
+        "height": None,
+        "duration_ms": int(round(total * 1000.0 / rate)),
+        "n_frames": total,  # total samples (frame count isn't in headers)
+        "sample_rate": rate,
+        "channels": channels,
+        "n_streams": 1,
+    }
+
+
+def build_flac(
+    *,
+    rate: int = 44100,
+    channels: int = 2,
+    bps: int = 16,
+    total_samples: int = 88200,
+    n_padding_blocks: int = 1,
+) -> bytes:
+    """Deterministic FLAC fixture: STREAMINFO + optional padding blocks
+    + a fake coded-frame region (opaque to the probe)."""
+    si = bytearray()
+    si += (4096).to_bytes(2, "big") * 2  # min/max blocksize
+    si += (1024).to_bytes(3, "big") * 2  # min/max framesize
+    si.append((rate >> 12) & 0xFF)
+    si.append((rate >> 4) & 0xFF)
+    si.append(((rate & 0x0F) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+    si.append((((bps - 1) & 0x0F) << 4) | ((total_samples >> 32) & 0x0F))
+    si += (total_samples & 0xFFFFFFFF).to_bytes(4, "big")
+    si += bytes(16)  # MD5 of unencoded audio: zeros (unset)
+    assert len(si) == 34
+    blocks = []
+    for i in range(n_padding_blocks):
+        blocks.append((1, bytes(8)))  # PADDING
+    out = bytearray(b"fLaC")
+    out.append(0x00 if blocks else 0x80)  # STREAMINFO header
+    out += (34).to_bytes(3, "big")
+    out += si
+    for j, (btype, body) in enumerate(blocks):
+        last = 0x80 if j == len(blocks) - 1 else 0x00
+        out.append(last | btype)
+        out += len(body).to_bytes(3, "big")
+        out += body
+    out += b"\xff\xf8" + bytes(40)  # fake frame region
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ADTS AAC (ISO/IEC 14496-3 audio data transport stream framing)
+# ---------------------------------------------------------------------------
+
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _adts_frame(buf: bytes, off: int) -> tuple[int, int, int, int, int]:
+    """Parse one ADTS header at ``off`` -> (frame_len, samples, rate,
+    channels, profile). Raises ``ValueError`` on a bad header."""
+    if off + 7 > len(buf):
+        raise ValueError("truncated ADTS header")
+    if buf[off] != 0xFF or (buf[off + 1] & 0xF6) != 0xF0:
+        raise ValueError("bad ADTS sync/layer")
+    profile = (buf[off + 2] >> 6) + 1  # 1=Main 2=LC 3=SSR 4=LTP
+    rate_idx = (buf[off + 2] >> 2) & 0x0F
+    if rate_idx >= len(_ADTS_RATES):
+        raise ValueError(f"reserved ADTS sampling index {rate_idx}")
+    channels = ((buf[off + 2] & 0x01) << 2) | (buf[off + 3] >> 6)
+    flen = ((buf[off + 3] & 0x03) << 11) | (buf[off + 4] << 3) | (
+        buf[off + 5] >> 5
+    )
+    hdr_len = 7 if (buf[off + 1] & 0x01) else 9  # CRC adds 2 bytes
+    if flen < hdr_len:
+        raise ValueError("ADTS frame length smaller than header")
+    blocks = (buf[off + 6] & 0x03) + 1
+    return flen, blocks * 1024, _ADTS_RATES[rate_idx], channels, profile
+
+
+def probe_adts(payload: bytes) -> dict:
+    """ADTS AAC payload -> typed metadata: frame-walk (7-9 header bytes
+    per frame, never the coded payload) for an exact duration, like the
+    MP3 probe. 1024 samples per raw data block."""
+    try:
+        flen, _, rate, channels, profile = _adts_frame(payload, 0)
+    except ValueError:
+        raise ValueError("not an ADTS AAC payload") from None
+    n_frames, samples, pos = 0, 0, 0
+    while pos + 7 <= len(payload):
+        try:
+            flen, spf, rate2, _, _ = _adts_frame(payload, pos)
+        except ValueError:
+            break  # trailing junk or truncated final frame
+        if pos + flen > len(payload):
+            break
+        n_frames += 1
+        samples += spf
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("no complete ADTS frame")
+    return {
+        "container": "adts",
+        "codec": f"aac-{('main','lc','ssr','ltp')[profile-1]}",
+        "width": None,
+        "height": None,
+        "duration_ms": int(round(samples * 1000.0 / rate)),
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_streams": 1,
+    }
+
+
+def build_adts(
+    *,
+    n_frames: int = 43,
+    rate: int = 44100,
+    channels: int = 2,
+    profile: int = 2,
+    payload_bytes: int = 64,
+) -> bytes:
+    """Deterministic ADTS AAC fixture: ``n_frames`` headers with opaque
+    coded payloads."""
+    rate_idx = _ADTS_RATES.index(rate)
+    out = bytearray()
+    flen = 7 + payload_bytes
+    for i in range(n_frames):
+        h = bytearray(7)
+        h[0] = 0xFF
+        h[1] = 0xF1  # MPEG-4, layer 00, no CRC
+        h[2] = ((profile - 1) << 6) | (rate_idx << 2) | ((channels >> 2) & 1)
+        h[3] = ((channels & 0x03) << 6) | ((flen >> 11) & 0x03)
+        h[4] = (flen >> 3) & 0xFF
+        h[5] = ((flen & 0x07) << 5) | 0x1F
+        h[6] = 0xFC  # buffer fullness low bits + 1 raw data block
+        out += h + bytes((i + j) % 251 for j in range(payload_bytes))
+    return bytes(out)

@@ -1854,6 +1854,16 @@ def probe_media(payload: bytes) -> dict:
             out = _ct.probe_mkv(payload)
         elif payload[:4] == b"OggS":
             out = _ct.probe_ogg(payload)
+        elif payload[:4] == b"fLaC":
+            out = _ct.probe_flac(payload)
+        elif (
+            len(payload) >= 4
+            and payload[0] == 0xFF
+            and (payload[1] & 0xF6) == 0xF0
+        ):
+            # 0xFFF sync with layer bits 00 = ADTS AAC; MPEG audio
+            # (probe_mp3) always has nonzero layer bits
+            out = _ct.probe_adts(payload)
         elif payload[:3] == b"ID3" or (
             len(payload) >= 4
             and payload[0] == 0xFF
@@ -1957,8 +1967,8 @@ def gen_container_media(n: int, seed: int = 7):
     rotates MP4 video (+audio track), MP4 audio-only, MP3 with ID3v2,
     bare mono MP3, Ogg Vorbis, Ogg Opus, WebM VP9+Opus video,
     Matroska H.264 video, lossy/lossless/animated WebP, multi-page LZW
-    TIFF, AVI video and multi-entry ICO favicons — all built by the
-    ``functions/containers.py`` fixture builders. These payloads are
+    TIFF, AVI video, multi-entry ICO favicons, FLAC and ADTS AAC — all
+    built by the ``functions/containers.py`` fixture builders. These payloads are
     exactly the crawl formats whose CODEC decode sits behind the
     documented seam; the probe stage still extracts their full container
     metadata."""
@@ -1967,8 +1977,28 @@ def gen_container_media(n: int, seed: int = 7):
     rng = np.random.Generator(np.random.PCG64(seed))
     ids, kinds, payloads, metas = [], [], [], []
     for i in range(n):
-        v = i % 12
-        if v == 11:
+        v = i % 14
+        if v == 12:
+            rate = [22050, 44100, 48000][i % 3]
+            total = int(rng.integers(rate, 30 * rate))
+            p = _ct.build_flac(
+                rate=rate,
+                channels=1 + i % 2,
+                bps=[16, 24][i % 2],
+                total_samples=total,
+                n_padding_blocks=i % 3,
+            )
+            kind, meta = "audio", {"rate": rate, "channels": 1 + i % 2}
+        elif v == 13:
+            rate = [22050, 44100, 48000][i % 3]
+            p = _ct.build_adts(
+                n_frames=int(rng.integers(10, 200)),
+                rate=rate,
+                channels=1 + i % 2,
+                profile=1 + i % 4,
+            )
+            kind, meta = "audio", {"rate": rate, "channels": 1 + i % 2}
+        elif v == 11:
             pix = _gen_pixels(rng)
             ih, iw = pix.shape[:2]
             entry = (

@@ -362,6 +362,8 @@ def test_probe_media_fuzz_truncations_and_mutations():
         mm._gen_wav(rng),
         mm._gen_y4m(rng),
         encode_tiff(pix, compression="packbits", big_endian=True),
+        ct.build_flac(total_samples=44100, n_padding_blocks=2),
+        ct.build_adts(n_frames=9),
     ]
     for p in payloads:
         mm.probe_media(p)  # the intact payload must probe
@@ -379,3 +381,50 @@ def test_probe_media_fuzz_truncations_and_mutations():
                 mm.probe_media(bytes(q))
             except ValueError:
                 pass
+
+
+def test_probe_flac():
+    f = ct.build_flac(
+        rate=48000, channels=1, bps=24, total_samples=96000
+    )
+    out = ct.probe_flac(f)
+    assert out["container"] == "flac" and out["codec"] == "flac24"
+    assert out["duration_ms"] == 2000 and out["sample_rate"] == 48000
+    assert out["channels"] == 1 and out["n_frames"] == 96000
+    # dispatcher routes on the fLaC magic
+    assert mm.probe_media(f)["container"] == "flac"
+    # no padding blocks: STREAMINFO carries the last-block flag
+    solo = ct.build_flac(n_padding_blocks=0)
+    assert ct.probe_flac(solo)["duration_ms"] == 2000
+    # corruption
+    with pytest.raises(ValueError):
+        ct.probe_flac(b"fLaC" + b"\x00\x00\x00")  # truncated block header
+    with pytest.raises(ValueError):
+        ct.probe_flac(f[:20])  # STREAMINFO overruns
+    bad = bytearray(f)
+    bad[4] = 0x01  # first block not STREAMINFO
+    with pytest.raises(ValueError):
+        ct.probe_flac(bytes(bad))
+
+
+def test_probe_adts_aac():
+    a = ct.build_adts(n_frames=43, rate=22050, channels=2, profile=2)
+    out = ct.probe_adts(a)
+    assert out["container"] == "adts" and out["codec"] == "aac-lc"
+    assert out["n_frames"] == 43 and out["sample_rate"] == 22050
+    assert out["duration_ms"] == round(43 * 1024 * 1000 / 22050)
+    # dispatcher: 0xFFF sync + layer 00 routes to ADTS, not MP3...
+    assert mm.probe_media(a)["container"] == "adts"
+    # ...while real MPEG audio (nonzero layer bits) still routes to MP3
+    m = ct.build_mp3(n_frames=6)
+    assert mm.probe_media(m)["container"] == "mp3"
+    # truncated final frame is dropped from the walk
+    out2 = ct.probe_adts(a[:-30])
+    assert out2["n_frames"] == 42
+    with pytest.raises(ValueError):
+        ct.probe_adts(b"\xff\xf1\x00")  # truncated header
+    with pytest.raises(ValueError):
+        # reserved sampling index
+        bad = bytearray(ct.build_adts(n_frames=2))
+        bad[2] = (bad[2] & 0xC3) | (0x0F << 2)
+        ct.probe_adts(bytes(bad))
