@@ -1776,23 +1776,19 @@ def q_media_probe(sf_dir: str):
     )
 
 
-def q_warc_extract(sf_dir: str):
-    """WARC ingest end-to-end (S-family source; `sources/warc.py`):
-    every document is html-escaped, wrapped in tags, and framed as a
-    WARC/1.0 response record in a deterministic Common-Crawl-layout
-    .warc.gz (one gzip member per record, plus a warcinfo record and a
-    404 that ingest must skip); read_warc (one parse task per file) ->
-    extract_stage must then recover exactly the whitespace-collapsed
-    original text per url. SQL-matched: the oracle applies the same
-    collapse to documents.text directly."""
+def _warc_fixture(sf_dir: str) -> str:
+    """Deterministic Common-Crawl-layout .warc.gz over documents
+    (shared by q_warc_extract / q_warc_cdx): every document
+    html-escaped and wrapped in tags as a response record (one gzip
+    member each), plus a warcinfo record and a 404. Cached under /tmp
+    keyed on the sf dir."""
     import hashlib
     import html as _h
     import os
 
     import pyarrow.parquet as pq
 
-    from deduplicatr_ray.sources.warc import build_warc, read_warc
-    from deduplicatr_ray.stages.extract import extract_stage
+    from deduplicatr_ray.sources.warc import build_warc
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
@@ -1810,7 +1806,7 @@ def q_warc_extract(sf_dir: str):
             docs["doc_id"].to_pylist(), docs["text"].to_pylist()
         )
     ]
-    recs.append(  # a 404 response: ingest must skip it
+    recs.append(  # a 404 response: page ingest must skip it
         {"url": "warc://gone", "html": b"<p>nope</p>", "status": 404}
     )
     tag = hashlib.md5(
@@ -1822,10 +1818,48 @@ def q_warc_extract(sf_dir: str):
         with open(tmp, "wb") as f:
             f.write(build_warc(recs))
         os.replace(tmp, path)
-    out = extract_stage(read_warc(path)).select_columns(
+    return path
+
+
+def q_warc_extract(sf_dir: str):
+    """WARC ingest end-to-end (S-family source; `sources/warc.py`):
+    every document is html-escaped, wrapped in tags, and framed as a
+    WARC/1.0 response record in a deterministic Common-Crawl-layout
+    .warc.gz (one gzip member per record, plus a warcinfo record and a
+    404 that ingest must skip); read_warc (one parse task per file) ->
+    extract_stage must then recover exactly the whitespace-collapsed
+    original text per url. SQL-matched: the oracle applies the same
+    collapse to documents.text directly."""
+    from deduplicatr_ray.sources.warc import read_warc
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    out = extract_stage(read_warc(_warc_fixture(sf_dir))).select_columns(
         ["url", "n_chars", "text"]
     )
     return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def q_warc_cdx(sf_dir: str):
+    """CDX indexing (`sources/warc.py warc_cdx_index`): the
+    random-access sidecar a 100 TB crawl needs — per record (non-200s
+    included, like real CDX), the gzip-member byte span a range request
+    fetches plus the sha256 of the DECODED entity payload, the
+    dedup-across-crawls key. One header-walk task per file; offsets are
+    pytest-verified by re-fetching each span standalone
+    (`fetch_warc_record`). SQL-matched on (url, record_type, status,
+    mime, digest): the oracle recomputes each digest with DuckDB's
+    sha256 over the same html-escape wrapper applied to
+    documents.text."""
+    from deduplicatr_ray.sources.warc import warc_cdx_index
+
+    df = (
+        warc_cdx_index(_warc_fixture(sf_dir))
+        .select_columns(
+            ["url", "record_type", "status", "mime", "digest_sha256"]
+        )
+        .to_pandas()
+    )
+    return df.sort_values("url").reset_index(drop=True)
 
 
 _CHARSET_CASES = [
@@ -2230,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_region_shuffle": q_orders_by_region_shuffle,
         "media_probe": q_media_probe,
         "warc_extract": q_warc_extract,
+        "warc_cdx": q_warc_cdx,
         "charset_census": q_charset_census,
     }
 
@@ -3234,6 +3269,28 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
             FROM documents
             ORDER BY url
+        """,
+        # warc_cdx: the CDX sidecar rows over the same WARC fixture; the
+        # oracle recomputes each record's sha256 digest by applying the
+        # identical html-escape wrapper (html.escape quote=True chain:
+        # & < > " ') to documents.text, plus the constant 404 row.
+        "warc_cdx": """
+            SELECT * FROM (
+              SELECT 'warc://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       AS url,
+                     'response' AS record_type,
+                     200 AS status,
+                     'text/html' AS mime,
+                     sha256('<html><head><title></title></head><body><p>'
+                       || replace(replace(replace(replace(replace(text,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                            '"', '&quot;'), chr(39), '&#x27;')
+                       || '</p></body></html>') AS digest_sha256
+              FROM documents
+              UNION ALL
+              SELECT 'warc://gone', 'response', 404, 'text/html',
+                     sha256('<p>nope</p>')
+            ) ORDER BY url
         """,
         # charset_census: the fixture encodes each doc in one of 8 real web
         # encodings keyed on doc_id % 8 and appends a charset-specific

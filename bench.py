@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "media_near_dups",       # media features -> exact-cosine dup pairs
     "media_probe",           # container metadata WITHOUT decode (MP4/MP3/Ogg/WebM)
     "warc_extract",          # Common Crawl WARC ingest -> byte-exact extract
+    "warc_cdx",              # CDX sidecar: offsets + entity digests per record
 ]
 
 FLAGSHIP = "dedup_clusters"

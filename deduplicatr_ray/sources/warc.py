@@ -256,17 +256,30 @@ def _gunzip_members_tolerant(buf: bytes) -> bytes:
     Common Crawl member-per-record layout a skipped member is exactly
     one skipped record, and the record-level parser handles any partial
     boundary damage."""
+    return b"".join(
+        data for data, _off, _len in _iter_gzip_members(buf, salvage=True)
+    )
+
+
+def _iter_gzip_members(buf: bytes, *, salvage: bool = False):
+    """Yield ``(inflated_bytes, offset, compressed_length)`` per gzip
+    member — the byte spans a CDX index records and a range request
+    fetches. Linear: fixed-size chunks feed each ``decompressobj``
+    (never the whole remaining tail). ``salvage=True`` resyncs at the
+    next gzip magic past a corrupt member; ``False`` raises
+    ``ValueError`` on the first one."""
     import zlib
 
-    out: list[bytes] = []
     pos = 0
     n = len(buf)
     CHUNK = 1 << 20
     while pos < n:
         if buf[pos : pos + 3] != b"\x1f\x8b\x08":
+            if not salvage:
+                raise ValueError(f"not a gzip member at offset {pos}")
             nxt = buf.find(b"\x1f\x8b\x08", pos + 1)
             if nxt < 0:
-                break
+                return
             pos = nxt
             continue
         d = zlib.decompressobj(31)
@@ -278,14 +291,17 @@ def _gunzip_members_tolerant(buf: bytes) -> bytes:
                 mpos += CHUNK
             if not d.eof:
                 raise ValueError("truncated gzip member")
-            out.extend(member)
-            pos = min(mpos, n) - len(d.unused_data)
-        except (zlib.error, ValueError):
+        except (zlib.error, ValueError) as e:
+            if not salvage:
+                raise ValueError(f"corrupt gzip member: {e}") from None
             nxt = buf.find(b"\x1f\x8b\x08", pos + 3)
             if nxt < 0:
-                break
+                return
             pos = nxt
-    return b"".join(out)
+            continue
+        end = min(mpos, n) - len(d.unused_data)
+        yield b"".join(member), pos, end - pos
+        pos = end
 
 
 def warc_bytes_to_pages(
@@ -647,3 +663,211 @@ def utc_iso(ts_us: int) -> str:
         datetime.fromtimestamp(ts_us / 1_000_000, tz=timezone.utc)
         .strftime("%Y-%m-%dT%H:%M:%SZ")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDX indexing (Common Crawl's random-access sidecar) + record fetch
+# ---------------------------------------------------------------------------
+
+_CDX_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("record_type", pa.string()),
+        ("status", pa.int32()),
+        ("mime", pa.string()),
+        ("digest_sha256", pa.string()),
+        ("offset", pa.int64()),
+        ("length", pa.int64()),
+    ]
+)
+
+
+def warc_cdx_records(buf: bytes, *, bad_records: str = "raise") -> pa.Table:
+    """One WARC file's bytes -> CDX-style index rows: per response /
+    conversion record (CDX keeps non-200s — redirects and 404s are
+    queryable history), the byte span a range request fetches plus a
+    content digest.
+
+    * ``offset``/``length`` address the RECORD's gzip member in the
+      member-per-record Common Crawl layout (exactly what
+      ``fetch_warc_record`` re-reads), or the record's own byte span in
+      a plain .warc.
+    * ``digest_sha256`` hashes the DECODED entity payload (after
+      chunked/Content-Encoding removal) — the dedup-across-crawls key:
+      two captures of identical content collide here without any text
+      extraction.
+    * ``mime`` is the HTTP Content-Type up to its parameters; for
+      conversion (WET) records the WARC-level Content-Type.
+
+    ``bad_records="skip"`` applies the same salvage posture as
+    :func:`warc_bytes_to_pages`."""
+    import hashlib
+
+    if bad_records not in ("raise", "skip"):
+        raise ValueError(f"bad_records must be raise|skip, got {bad_records!r}")
+    salvage = bad_records == "skip"
+    spans: list[tuple[bytes, int, int]]
+    if buf[:2] == b"\x1f\x8b":
+        spans = list(_iter_gzip_members(buf, salvage=salvage))
+    else:
+        spans = [(buf, 0, len(buf))]
+    cols: dict[str, list] = {k.name: [] for k in _CDX_SCHEMA}
+    for data, base_off, base_len in spans:
+        gz = base_len != len(buf) or buf[:2] == b"\x1f\x8b"
+        off = 0
+        n = len(data)
+        while off < n:
+            start = off
+            while start < n and data[start : start + 2] == _CRLF:
+                start += 2
+            try:
+                headers, body, off = _next_record(data, start)
+            except ValueError:
+                if not salvage:
+                    raise
+                nxt = data.find(_CRLF + b"WARC/", start)
+                if nxt < 0:
+                    break
+                off = nxt + 2
+                continue
+            if not headers:
+                break
+            try:
+                wtype = headers.get("warc-type")
+                if wtype == "response":
+                    ctype = headers.get("content-type", "")
+                    status: int | None = None
+                    mime: str | None = None
+                    if ctype.startswith("application/http"):
+                        status, payload, http_headers = (
+                            split_http_response_headers(body)
+                        )
+                        ct = http_headers.get("content-type")
+                        if ct:
+                            mime = ct.split(";")[0].strip().lower()
+                    else:
+                        payload = body
+                        mime = ctype.split(";")[0].strip().lower() or None
+                elif wtype == "conversion":
+                    status, payload = None, body
+                    mime = (
+                        headers.get("content-type", "")
+                        .split(";")[0]
+                        .strip()
+                        .lower()
+                        or None
+                    )
+                else:
+                    continue  # warcinfo/request/metadata: not indexed
+                row_ts = _warc_date_us(
+                    headers.get("warc-date", "1970-01-01T00:00:00Z")
+                )
+            except ValueError:
+                if not salvage:
+                    raise
+                continue
+            cols["url"].append(headers.get("warc-target-uri", ""))
+            cols["warc_ts"].append(row_ts)
+            cols["record_type"].append(wtype)
+            cols["status"].append(status)
+            cols["mime"].append(mime)
+            cols["digest_sha256"].append(hashlib.sha256(payload).hexdigest())
+            # gz: the member span (what a range request must fetch to
+            # inflate); plain: the record's own span
+            cols["offset"].append(base_off if gz else base_off + start)
+            cols["length"].append(base_len if gz else off - start)
+    return pa.table(cols, schema=_CDX_SCHEMA)
+
+
+def warc_cdx_index(
+    paths: str | list[str],
+    *,
+    task_memory: int = 512 * 2**20,
+    on_error: str = "raise",
+):
+    """WARC file(s) -> CDX index ``Dataset`` (``_CDX_SCHEMA`` +
+    ``filename``): the sidecar that makes a 100 TB crawl randomly
+    accessible — dedup-by-digest across crawls, url lookups, and
+    single-record fetches (``fetch_warc_record``) without re-parsing
+    whole files. One task per file, raw-byte reads (same grain and
+    fusion-blocking ``memory`` reservation as :func:`read_warc`);
+    ``on_error``: raise | skip (drop corrupt files) | salvage (keep
+    good records)."""
+    import os
+
+    import ray.data as rd
+
+    exts = (".warc", ".warc.gz", ".wet", ".wet.gz")
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.endswith(exts)
+        )
+        if not paths:
+            raise ValueError("directory contains no .warc/.wet files")
+    if on_error not in ("raise", "skip", "salvage"):
+        raise ValueError(f"unknown on_error mode {on_error!r}")
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    items = rd.from_items(path_list, override_num_blocks=len(path_list))
+
+    def index_paths(batch: pa.Table) -> pa.Table:
+        from pyarrow import fs as pafs
+
+        tables = []
+        for p in batch["item"].to_pylist():
+            try:
+                filesystem, fpath = pafs.FileSystem.from_uri(p)
+            except pa.ArrowInvalid:
+                filesystem, fpath = pafs.LocalFileSystem(), p
+            try:
+                with filesystem.open_input_stream(
+                    fpath, compression=None
+                ) as f:
+                    raw = f.readall()
+                t = warc_cdx_records(
+                    raw,
+                    bad_records="skip" if on_error == "salvage" else "raise",
+                )
+            except (ValueError, OSError):
+                if on_error == "raise":
+                    raise
+                continue
+            tables.append(
+                t.append_column(
+                    "filename",
+                    pa.array([os.path.basename(p)] * len(t), pa.string()),
+                )
+            )
+        if tables:
+            return pa.concat_tables(tables)
+        empty = warc_cdx_records(b"")
+        return empty.append_column(
+            "filename", pa.array([], pa.string())
+        )
+
+    return items.map_batches(
+        index_paths,
+        batch_format="pyarrow",
+        batch_size=None,
+        memory=task_memory,
+    )
+
+
+def fetch_warc_record(
+    path: str, offset: int, length: int, *, transcode: bool = False
+) -> pa.Table:
+    """Random access: read ONE record's byte span (a CDX row's
+    ``offset``/``length``) and parse just that — the consumer side of
+    ``warc_cdx_index``, reading ``length`` bytes instead of the ~1 GiB
+    file. Returns a PAGES-shaped table (usually one row)."""
+    from pyarrow import fs as pafs
+
+    try:
+        filesystem, fpath = pafs.FileSystem.from_uri(path)
+    except pa.ArrowInvalid:
+        filesystem, fpath = pafs.LocalFileSystem(), path
+    with filesystem.open_input_file(fpath) as f:
+        raw = f.read_at(length, offset)
+    return warc_bytes_to_pages(raw, transcode=transcode)

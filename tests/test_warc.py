@@ -453,3 +453,76 @@ def test_salvage_fuzz_never_raises():
             q = bytearray(buf)
             q[i] ^= int(rng.integers(1, 256))
             W.warc_bytes_to_pages(bytes(q), bad_records="skip")
+
+
+# --- CDX indexing + record fetch -------------------------------------------
+
+
+def test_cdx_records_and_range_fetch_roundtrip(tmp_path):
+    import hashlib
+
+    recs = [
+        {"url": "http://c.example/1", "html": b"<p>one</p>"},
+        {"url": "http://c.example/2", "html": b"<p>gone</p>", "status": 404},
+        {"url": "http://c.example/3", "text": "wet text body"},
+        {
+            "url": "http://c.example/4",
+            "html": b"<p>four</p>",
+            "chunked": True,
+            "content_encoding": "gzip",
+        },
+    ]
+    for gz in (True, False):
+        buf = W.build_warc(recs, gzip_per_record=gz)
+        name = "f.warc.gz" if gz else "f.warc"
+        (tmp_path / name).write_bytes(buf)
+        t = W.warc_cdx_records(buf)
+        assert t["url"].to_pylist() == [r["url"] for r in recs]
+        assert t["status"].to_pylist() == [200, 404, None, 200]
+        assert t["record_type"].to_pylist() == [
+            "response", "response", "conversion", "response",
+        ]
+        assert t["mime"].to_pylist() == [
+            "text/html", "text/html", "text/plain", "text/html",
+        ]
+        # digest is over the DECODED entity (chunked+gzip removed)
+        assert (
+            t["digest_sha256"][3].as_py()
+            == hashlib.sha256(b"<p>four</p>").hexdigest()
+        )
+        # the indexed byte span fetches + parses standalone; the 404 and
+        # the WET row parse to their own shapes
+        row1 = t.to_pylist()[0]
+        sub = W.fetch_warc_record(
+            str(tmp_path / name), row1["offset"], row1["length"]
+        )
+        assert sub["url"].to_pylist() == ["http://c.example/1"]
+        assert sub["html"][0].as_py() == b"<p>one</p>"
+
+
+def test_cdx_index_dataset_and_salvage(ray_session, tmp_path):
+    recs = _recs(6)
+    good = W.build_warc(recs)
+    (tmp_path / "a.warc.gz").write_bytes(good)
+    starts = []
+    i = 0
+    while True:
+        i = good.find(b"\x1f\x8b\x08", i)
+        if i < 0:
+            break
+        starts.append(i)
+        i += 3
+    bad = bytearray(good)
+    bad[(starts[2] + starts[3]) // 2] ^= 0x7F  # kill record 1's member
+    (tmp_path / "b.warc.gz").write_bytes(bytes(bad))
+    with pytest.raises(Exception):
+        W.warc_cdx_index(str(tmp_path), on_error="raise").count()
+    df = W.warc_cdx_index(str(tmp_path), on_error="salvage").to_pandas()
+    assert sorted(df["filename"].unique()) == ["a.warc.gz", "b.warc.gz"]
+    a = df[df["filename"] == "a.warc.gz"]
+    b = df[df["filename"] == "b.warc.gz"]
+    assert len(a) == 6 and len(b) == 5
+    assert "http://s.example/1" not in set(b["url"])
+    # digests of surviving records are identical across the two files
+    merged = a.merge(b, on="url", suffixes=("_a", "_b"))
+    assert (merged["digest_sha256_a"] == merged["digest_sha256_b"]).all()
