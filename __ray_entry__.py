@@ -1839,6 +1839,82 @@ def q_warc_extract(sf_dir: str):
     return out.to_pandas().sort_values("url").reset_index(drop=True)
 
 
+def _warc_fixture_new(sf_dir: str) -> str:
+    """The 'next crawl' over the same documents: even doc_ids unchanged
+    (cross-crawl exact dups by digest), odd doc_ids with a ' v2' content
+    edit (new content), plus one crawler-side revisit record naming the
+    first document's digest. Deterministic + /tmp-cached like
+    :func:`_warc_fixture`."""
+    import hashlib
+    import html as _h
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deduplicatr_ray.sources.warc import build_warc
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def page(t: str) -> bytes:
+        return (
+            "<html><head><title></title></head><body>"
+            f"<p>{_h.escape(t)}</p></body></html>"
+        ).encode()
+
+    ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    recs = [
+        {
+            "url": f"warc2://{d:08d}",
+            "date": "2022-05-01T12:00:00Z",
+            "html": page(t) if d % 2 == 0 else page(t + " v2"),
+        }
+        for d, t in zip(ids, texts)
+    ]
+    first = min(range(len(ids)), key=lambda i: ids[i])
+    recs.append(
+        {
+            "url": "warc2://revisit0",
+            "date": "2022-05-01T12:00:00Z",
+            "revisit_of": f"warc://{ids[first]:08d}",
+            "digest": hashlib.sha256(page(texts[first])).hexdigest(),
+        }
+    )
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|v2|{len(recs)}".encode()
+    ).hexdigest()[:10]
+    path = f"/tmp/graft_warc2_{tag}.warc.gz"
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs))
+        os.replace(tmp, path)
+    return path
+
+
+def q_cdx_dedup_against(sf_dir: str):
+    """Cross-crawl dedup on CDX digests alone (`sources/warc.py
+    cdx_dedup_against` over `stages/relational.py mark_membership`): a
+    new crawl's index is marked against the prior crawl's index without
+    either crawl's page CONTENT entering any exchange — even-doc_id
+    pages are byte-identical re-captures (dup), odd ones carry a
+    content edit (new), and a crawler-side revisit record counts as dup
+    through its named digest. SQL-matched: the oracle recomputes both
+    crawls' digest sets with DuckDB sha256 and an IN membership."""
+    from deduplicatr_ray.sources.warc import cdx_dedup_against, warc_cdx_index
+
+    old_idx = warc_cdx_index(_warc_fixture(sf_dir))
+    new_idx = warc_cdx_index(_warc_fixture_new(sf_dir))
+    df = (
+        cdx_dedup_against(new_idx, old_idx)
+        .select_columns(["url", "record_type", "dup_of_prior"])
+        .to_pandas()
+    )
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_warc_cdx(sf_dir: str):
     """CDX indexing (`sources/warc.py warc_cdx_index`): the
     random-access sidecar a 100 TB crawl needs — per record (non-200s
@@ -2265,6 +2341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": q_media_probe,
         "warc_extract": q_warc_extract,
         "warc_cdx": q_warc_cdx,
+        "cdx_dedup_against": q_cdx_dedup_against,
         "charset_census": q_charset_census,
     }
 
@@ -3291,6 +3368,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'warc://gone', 'response', 404, 'text/html',
                      sha256('<p>nope</p>')
             ) ORDER BY url
+        """,
+        # cdx_dedup_against: the next-crawl fixture re-captures even
+        # doc_ids byte-identically, edits odd ones (' v2'), and adds one
+        # revisit record naming the first doc's digest; the oracle
+        # recomputes both digest sets and the IN membership.
+        "cdx_dedup_against": """
+            WITH pages AS (
+              SELECT doc_id,
+                     '<html><head><title></title></head><body><p>'
+                       || replace(replace(replace(replace(replace(text,
+                            '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                            '"', '&quot;'), chr(39), '&#x27;')
+                       AS esc
+              FROM documents
+            ),
+            old_d AS (
+              SELECT sha256(esc || '</p></body></html>') AS d FROM pages
+              UNION ALL SELECT sha256('<p>nope</p>')
+            ),
+            new_rows AS (
+              SELECT 'warc2://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                       AS url,
+                     'response' AS record_type,
+                     CASE WHEN doc_id % 2 = 0
+                          THEN sha256(esc || '</p></body></html>')
+                          ELSE sha256(esc || ' v2</p></body></html>')
+                     END AS d
+              FROM pages
+              UNION ALL
+              SELECT 'warc2://revisit0', 'revisit',
+                     (SELECT sha256(esc || '</p></body></html>')
+                      FROM pages
+                      WHERE doc_id = (SELECT min(doc_id) FROM documents))
+            )
+            SELECT url, record_type,
+                   d IN (SELECT d FROM old_d) AS dup_of_prior
+            FROM new_rows ORDER BY url
         """,
         # charset_census: the fixture encodes each doc in one of 8 real web
         # encodings keyed on doc_id % 8 and appends a charset-specific

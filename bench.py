@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "media_probe",           # container metadata WITHOUT decode (MP4/MP3/Ogg/WebM)
     "warc_extract",          # Common Crawl WARC ingest -> byte-exact extract
     "warc_cdx",              # CDX sidecar: offsets + entity digests per record
+    "cdx_dedup_against",     # cross-crawl digest dedup, content never shuffled
 ]
 
 FLAGSHIP = "dedup_clusters"

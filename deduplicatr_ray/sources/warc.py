@@ -541,6 +541,24 @@ def read_warc(
     )
 
 
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (mtime pinned to 0)."""
+    bio = io.BytesIO()
+    with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as f:
+        f.write(raw)
+    return bio.getvalue()
+
+
+def warc_record_bytes(
+    headers: list[tuple[str, str]], body: bytes
+) -> bytes:
+    """Serialize one WARC/1.0 record (Content-Length appended)."""
+    head = b"WARC/1.0" + _CRLF
+    for k, v in headers + [("Content-Length", str(len(body)))]:
+        head += f"{k}: {v}".encode() + _CRLF
+    return head + _CRLF + body + _CRLF + _CRLF
+
+
 def build_warc(
     records: list[dict],
     *,
@@ -555,18 +573,9 @@ def build_warc(
     layout (mtime pinned to 0 so output is byte-deterministic)."""
 
     def _gz(raw: bytes) -> bytes:
-        if not gzip_per_record:
-            return raw
-        bio = io.BytesIO()
-        with gzip.GzipFile(fileobj=bio, mode="wb", mtime=0) as f:
-            f.write(raw)
-        return bio.getvalue()
+        return _gzip_member(raw) if gzip_per_record else raw
 
-    def _record(headers: list[tuple[str, str]], body: bytes) -> bytes:
-        head = b"WARC/1.0" + _CRLF
-        for k, v in headers + [("Content-Length", str(len(body)))]:
-            head += f"{k}: {v}".encode() + _CRLF
-        return head + _CRLF + body + _CRLF + _CRLF
+    _record = warc_record_bytes
 
     out = []
     if warcinfo:
@@ -584,6 +593,37 @@ def build_warc(
             )
         )
     for r in records:
+        if "revisit_of" in r:  # crawler-side dedup record (WARC 1.1)
+            import hashlib as _hl
+
+            digest = r.get(
+                "digest", _hl.sha256(r.get("payload", b"")).hexdigest()
+            )
+            http = (
+                b"HTTP/1.1 304 Not Modified" + _CRLF + _CRLF
+            )
+            out.append(
+                _gz(
+                    _record(
+                        [
+                            ("WARC-Type", "revisit"),
+                            ("WARC-Target-URI", r["url"]),
+                            (
+                                "WARC-Date",
+                                r.get("date", "2020-01-01T00:00:00Z"),
+                            ),
+                            ("WARC-Refers-To-Target-URI", r["revisit_of"]),
+                            ("WARC-Payload-Digest", f"sha256:{digest}"),
+                            (
+                                "Content-Type",
+                                "application/http; msgtype=response",
+                            ),
+                        ],
+                        http,
+                    )
+                )
+            )
+            continue
         if "text" in r:  # WET-style conversion record
             out.append(
                 _gz(
@@ -758,8 +798,29 @@ def warc_cdx_records(buf: bytes, *, bad_records: str = "raise") -> pa.Table:
                         .lower()
                         or None
                     )
+                elif wtype == "revisit":
+                    # a crawler's own dedup record: no payload stored,
+                    # the digest names the earlier capture (WARC 1.1
+                    # §6.7.2) — indexed so digest joins see EVERY
+                    # capture of the content, stored or not
+                    _algo, _, hexd = headers.get(
+                        "warc-payload-digest", ""
+                    ).rpartition(":")
+                    if not hexd:
+                        raise ValueError("revisit record without digest")
+                    digest_hex = hexd.lower()
+                    status, mime = None, None
+                    if body[:5] == b"HTTP/":
+                        try:
+                            status, _p, _h = split_http_response_headers(
+                                body
+                            )
+                        except ValueError:
+                            pass
                 else:
                     continue  # warcinfo/request/metadata: not indexed
+                if wtype != "revisit":
+                    digest_hex = hashlib.sha256(payload).hexdigest()
                 row_ts = _warc_date_us(
                     headers.get("warc-date", "1970-01-01T00:00:00Z")
                 )
@@ -772,7 +833,7 @@ def warc_cdx_records(buf: bytes, *, bad_records: str = "raise") -> pa.Table:
             cols["record_type"].append(wtype)
             cols["status"].append(status)
             cols["mime"].append(mime)
-            cols["digest_sha256"].append(hashlib.sha256(payload).hexdigest())
+            cols["digest_sha256"].append(digest_hex)
             # gz: the member span (what a range request must fetch to
             # inflate); plain: the record's own span
             cols["offset"].append(base_off if gz else base_off + start)
@@ -871,3 +932,33 @@ def fetch_warc_record(
     with filesystem.open_input_file(fpath) as f:
         raw = f.read_at(length, offset)
     return warc_bytes_to_pages(raw, transcode=transcode)
+
+
+def cdx_dedup_against(new_index, old_index, **kwargs):
+    """Cross-crawl dedup WITHOUT touching page content: mark each row of
+    a new crawl's CDX index whose entity digest already appears in a
+    prior crawl's index (``dup_of_prior`` bool — the verdict column is
+    the deliverable: dup rows become revisit records / skip-fetch lists,
+    new rows get stored). Digests cover revisit records too, so a
+    capture deduped BY THE CRAWLER still counts as prior content.
+
+    Exchange shape = ``stages.relational.mark_membership``: the old
+    side reduces to distinct digests (at CC scale ~64 GB per billion
+    distinct pages — broadcast below the key budget, hash left-outer
+    join past it); the new index streams row-local either way."""
+    from ..stages.relational import mark_membership
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"digest_prior": b["digest_sha256"]})
+
+    old = old_index.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mark_membership(
+        new_index,
+        old,
+        on="digest_sha256",
+        right_on="digest_prior",
+        flag="dup_of_prior",
+        **kwargs,
+    )

@@ -791,3 +791,91 @@ def rollup_counts(
             )
         )
     return out
+
+
+def mark_membership(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    flag: str = "in_right",
+    num_partitions: int | None = None,
+    broadcast_budget: int | None = None,
+):
+    """ADD a boolean ``flag`` column to ``left``: does this row's key
+    appear in ``right``? The verdict-keeping sibling of
+    :func:`semi_join_auto` (same budgeted exchange crossover, same SQL
+    NULL-never-matches rule) for pipelines that must report BOTH
+    populations — e.g. cross-crawl digest dedup, where dropped rows are
+    the deliverable, not just the survivors.
+
+    Below the broadcast budget: one ``ray.put`` of the right side's
+    distinct keys + a row-local searchsorted per batch (no exchange of
+    the left side). Past it: distinct-reduce the right, ``left_outer``
+    hash join, flag = match validity."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray
+
+    from .lsh import default_num_partitions
+
+    rkey = right_on or on
+    if rkey == on:
+        raise ValueError(
+            "left and right key columns must be named differently "
+            f"(both {on!r}); rename one side first"
+        )
+    if flag in left.columns():
+        raise ValueError(f"flag column {flag!r} already exists on left")
+    right = right.map_batches(
+        lambda b: b.select([rkey]).group_by(rkey).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    budget = (
+        broadcast_budget
+        if broadcast_budget is not None
+        else int(os.environ.get("GRAFT_JOIN_BCAST_MAX", 5_000_000))
+    )
+    if right.count() <= budget:
+        (raw,) = pull_columns(right, [rkey], drop_null=True)
+        keys = np.unique(raw)
+        ref = ray.put(keys)
+
+        def add_flag(b: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            hit = np.zeros(len(b), bool)
+            if len(b) and len(ks):
+                col = b[on]
+                valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+                ids = pc.drop_null(col).to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+                hit[valid] = ks[pos] == ids
+            return b.append_column(flag, pa.array(hit))
+
+        return left.map_batches(
+            add_flag, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    from ray.data.aggregate import Count
+
+    P = num_partitions or default_num_partitions()
+    out_cols = left.columns()
+    keys_ds = right.groupby(rkey).aggregate(Count(alias_name="__c"))
+
+    def to_flag(b: pa.Table) -> pa.Table:
+        hit = pc.is_valid(b["__c"])
+        return b.select(out_cols).append_column(flag, hit)
+
+    joined = left.join(
+        keys_ds.select_columns([rkey, "__c"]),
+        "left_outer",
+        P,
+        on=(on,),
+        right_on=(rkey,),
+    )
+    return joined.map_batches(
+        to_flag, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -526,3 +526,86 @@ def test_cdx_index_dataset_and_salvage(ray_session, tmp_path):
     # digests of surviving records are identical across the two files
     merged = a.merge(b, on="url", suffixes=("_a", "_b"))
     assert (merged["digest_sha256_a"] == merged["digest_sha256_b"]).all()
+
+
+def test_revisit_records_indexed_with_named_digest():
+    import hashlib
+
+    body = b"<p>original</p>"
+    d = hashlib.sha256(body).hexdigest()
+    recs = [
+        {"url": "http://r.example/orig", "html": body},
+        {
+            "url": "http://r.example/again",
+            "revisit_of": "http://r.example/orig",
+            "digest": d,
+        },
+    ]
+    buf = W.build_warc(recs)
+    # pages ingest skips revisit records (no payload stored)
+    assert W.warc_bytes_to_pages(buf)["url"].to_pylist() == [
+        "http://r.example/orig"
+    ]
+    # CDX indexes them with the referenced digest
+    t = W.warc_cdx_records(buf)
+    assert t["record_type"].to_pylist() == ["response", "revisit"]
+    assert t["digest_sha256"].to_pylist() == [d, d]
+    assert t["status"].to_pylist() == [200, 304]
+    # corrupt: a revisit without a digest header (plain layout so the
+    # header string is mutable in the raw bytes)
+    plain = W.build_warc(recs, gzip_per_record=False)
+    bad = plain.replace(b"WARC-Payload-Digest", b"X-Payload-Digest00")
+    with pytest.raises(ValueError):
+        W.warc_cdx_records(bad)
+    assert W.warc_cdx_records(bad, bad_records="skip")[
+        "record_type"
+    ].to_pylist() == ["response"]
+
+
+@pytest.mark.parametrize("budget", [None, 0])
+def test_cdx_dedup_against_cross_crawl(ray_session, tmp_path, budget):
+    """Digest-only cross-crawl dedup; budget=0 forces the hash
+    left-outer branch of mark_membership, None the broadcast branch —
+    verdicts must be identical."""
+    old_recs = [
+        {"url": f"http://old.example/{i}", "html": f"<p>page {i}</p>".encode()}
+        for i in range(8)
+    ]
+    new_recs = [
+        # 0-3: same content at new urls -> dup_of_prior
+        {"url": f"http://new.example/{i}", "html": f"<p>page {i}</p>".encode()}
+        for i in range(4)
+    ] + [
+        # 4-7: changed content -> new
+        {"url": f"http://new.example/{i}", "html": f"<p>page {i} v2</p>".encode()}
+        for i in range(4, 8)
+    ] + [
+        # a crawler-side revisit of old content: digest says dup
+        {
+            "url": "http://new.example/re",
+            "revisit_of": "http://old.example/0",
+            "payload": b"<p>page 0</p>",
+        }
+    ]
+    (tmp_path / "old").mkdir()
+    (tmp_path / "new").mkdir()
+    (tmp_path / "old" / "a.warc.gz").write_bytes(W.build_warc(old_recs))
+    (tmp_path / "new" / "b.warc.gz").write_bytes(W.build_warc(new_recs))
+    old_idx = W.warc_cdx_index(str(tmp_path / "old"))
+    new_idx = W.warc_cdx_index(str(tmp_path / "new"))
+    kw = {} if budget is None else {"broadcast_budget": budget}
+    df = (
+        W.cdx_dedup_against(new_idx, old_idx, **kw)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(df) == 9
+    verdicts = dict(zip(df["url"], df["dup_of_prior"]))
+    for i in range(4):
+        assert verdicts[f"http://new.example/{i}"] == True  # noqa: E712
+    for i in range(4, 8):
+        assert verdicts[f"http://new.example/{i}"] == False  # noqa: E712
+    assert verdicts["http://new.example/re"] == True  # noqa: E712
+    # columns preserved + the one flag added
+    assert "digest_sha256" in df.columns and "offset" in df.columns
