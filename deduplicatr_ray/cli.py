@@ -418,6 +418,41 @@ def cmd_against(args: argparse.Namespace) -> int:
         ray.shutdown()
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Storage-level crawl dedup: rewrite --input WARC files under
+    --output, replacing responses whose content --against already
+    stores with WARC 1.1 revisit stubs (CDX over the output keeps every
+    capture's true digest). Prints the per-file manifest totals."""
+    import ray
+
+    from .sources.warc import compact_warc, warc_cdx_index
+
+    _init_ray(args.num_cpus, args.address)
+    try:
+        t0 = time.monotonic()
+        old_idx = warc_cdx_index(args.against, on_error=args.warc_errors)
+        man = compact_warc(
+            args.input,
+            old_idx,
+            args.output,
+            bad_records="skip" if args.warc_errors == "salvage" else "raise",
+        ).to_pandas()
+        out = {
+            c: int(man[c].sum())
+            for c in ["n_records", "n_stored", "n_revisit", "bytes_in", "bytes_out"]
+        }
+        out["files"] = len(man)
+        out["saved_pct"] = round(
+            100.0 * (1 - out["bytes_out"] / max(1, out["bytes_in"])), 2
+        )
+        out["wall_sec"] = round(time.monotonic() - t0, 3)
+        out["out_dir"] = args.output
+        print(json.dumps(out))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="deduplicatr_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -580,6 +615,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     pa_.add_argument("--output", required=True, help="verdicts parquet out dir")
     pa_.set_defaults(fn=cmd_against)
+
+    pc = sub.add_parser(
+        "compact",
+        help="storage-level crawl dedup: rewrite --input WARCs with "
+        "revisit stubs for content --against already stores",
+    )
+    pc.add_argument("--input", required=True, help="new-crawl WARC file/dir")
+    pc.add_argument(
+        "--against", required=True, help="prior-crawl WARC file/dir (indexed)"
+    )
+    pc.add_argument("--output", required=True, help="compacted WARC out dir")
+    pc.add_argument(
+        "--warc-errors",
+        default="raise",
+        choices=["raise", "skip", "salvage"],
+        help="corruption posture for BOTH the index pass and the rewrite",
+    )
+    pc.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

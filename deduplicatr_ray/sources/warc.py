@@ -962,3 +962,228 @@ def cdx_dedup_against(new_index, old_index, **kwargs):
         flag="dup_of_prior",
         **kwargs,
     )
+
+
+def compact_warc(
+    paths: str | list[str],
+    old_index,
+    out_dir: str,
+    *,
+    task_memory: int = 512 * 2**20,
+    bad_records: str = "raise",
+    broadcast_budget: int | None = None,
+):
+    """Storage-level crawl dedup (the Heritrix revisit pattern): rewrite
+    each WARC file under ``out_dir``, KEEPING records whose entity
+    digest is new and REPLACING responses whose content a prior crawl
+    already stores with a WARC 1.1 revisit record (same url/date, the
+    digest named in ``WARC-Payload-Digest``) — a ~200-byte stub instead
+    of the page. CDX over the compacted file still lists every capture
+    with its true digest, so lookups and cross-crawl joins are
+    unaffected; only the bytes are gone.
+
+    Kept records are copied BYTE-VERBATIM (the original gzip member in
+    the member-per-record layout), so compaction never re-encodes
+    stored content. Already-revisit/warcinfo/other records pass through
+    verbatim too.
+
+    The prior-crawl digest set is broadcast once via ``ray.put`` —
+    compaction is a per-record membership probe, so it requires the
+    distinct-digest set under the broadcast budget (env
+    ``GRAFT_JOIN_BCAST_MAX``, default 5M ≈ one 40 MB string array per
+    64-hex digests... measured ~450 MB at 5M python-free numpy
+    unicode). Past that, shard the OLD INDEX by digest prefix and run
+    one compact_warc per shard — the verdict is per-record independent,
+    so sharding is exact. Raises ``ValueError`` when over budget.
+
+    Output: one ``<name>`` file per input under ``out_dir`` (same
+    basename; written atomically via rename so a re-run skips finished
+    files — resume at the file grain) plus a manifest ``Dataset`` row
+    per file: (filename, n_records, n_stored, n_revisit, bytes_in,
+    bytes_out)."""
+    import os
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    exts = (".warc", ".warc.gz", ".wet", ".wet.gz")
+    if isinstance(paths, str) and os.path.isdir(paths):
+        paths = sorted(
+            os.path.join(paths, f)
+            for f in os.listdir(paths)
+            if f.endswith(exts)
+        )
+        if not paths:
+            raise ValueError("directory contains no .warc/.wet files")
+    if bad_records not in ("raise", "skip"):
+        raise ValueError(f"bad_records must be raise|skip, got {bad_records!r}")
+    budget = broadcast_budget
+    if budget is None:
+        budget = int(os.environ.get("GRAFT_JOIN_BCAST_MAX", 5_000_000))
+    from ..stages.relational import pull_columns
+
+    digests_ds = old_index.map_batches(
+        lambda b: b.select(["digest_sha256"])
+        .group_by("digest_sha256")
+        .aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_digests = digests_ds.count()
+    if n_digests > budget:
+        raise ValueError(
+            f"prior-crawl digest set ({n_digests}) exceeds the broadcast "
+            f"budget ({budget}); shard the old index by digest prefix and "
+            "compact per shard"
+        )
+    (raw_keys,) = pull_columns(digests_ds, ["digest_sha256"], drop_null=True)
+    ref = ray.put(np.unique(raw_keys))
+    os.makedirs(out_dir, exist_ok=True)
+    path_list = [paths] if isinstance(paths, str) else list(paths)
+    items = rd.from_items(path_list, override_num_blocks=len(path_list))
+    salvage = bad_records == "skip"
+
+    def compact_one(p: str, keys: np.ndarray) -> dict:
+        from pyarrow import fs as pafs
+
+        try:
+            filesystem, fpath = pafs.FileSystem.from_uri(p)
+        except pa.ArrowInvalid:
+            filesystem, fpath = pafs.LocalFileSystem(), p
+        with filesystem.open_input_stream(fpath, compression=None) as f:
+            buf = f.readall()
+        out_path = os.path.join(out_dir, os.path.basename(p))
+        gz = buf[:2] == b"\x1f\x8b"
+        if gz:
+            spans = list(_iter_gzip_members(buf, salvage=salvage))
+        else:
+            spans = [(buf, 0, len(buf))]
+        out = bytearray()
+        n_records = n_stored = n_revisit = 0
+        for data, base_off, base_len in spans:
+            # collect the member's records first: a kept SINGLE-record
+            # member is copied byte-verbatim (the CC layout), while a
+            # multi-record member re-emits each record from its exact
+            # uncompressed byte slice (one new member per record)
+            recs: list[tuple[bytes, dict[str, str], bytes]] = []
+            off = 0
+            n = len(data)
+            while off < n:
+                start = off
+                while start < n and data[start : start + 2] == _CRLF:
+                    start += 2
+                if start >= n:
+                    break
+                try:
+                    headers, body, off = _next_record(data, start)
+                except ValueError:
+                    if not salvage:
+                        raise
+                    nxt = data.find(_CRLF + b"WARC/", start)
+                    if nxt < 0:
+                        break
+                    off = nxt + 2
+                    continue
+                if not headers:
+                    break
+                recs.append((data[start:off], headers, body))
+            for slice_bytes, headers, body in recs:
+                n_records += 1
+                dup = False
+                if headers.get("warc-type") == "response":
+                    try:
+                        ctype = headers.get("content-type", "")
+                        if ctype.startswith("application/http"):
+                            _s, payload, _h = split_http_response_headers(
+                                body
+                            )
+                        else:
+                            payload = body
+                        import hashlib
+
+                        d = hashlib.sha256(payload).hexdigest()
+                        i = int(np.searchsorted(keys, d))
+                        dup = i < len(keys) and keys[i] == d
+                    except ValueError:
+                        if not salvage:
+                            raise
+                        dup = False  # unparseable response: keep bytes
+                if dup:
+                    stub = warc_record_bytes(
+                        [
+                            ("WARC-Type", "revisit"),
+                            (
+                                "WARC-Target-URI",
+                                headers.get("warc-target-uri", ""),
+                            ),
+                            (
+                                "WARC-Date",
+                                headers.get(
+                                    "warc-date", "1970-01-01T00:00:00Z"
+                                ),
+                            ),
+                            ("WARC-Payload-Digest", f"sha256:{d}"),
+                            (
+                                "Content-Type",
+                                "application/http; msgtype=response",
+                            ),
+                        ],
+                        b"HTTP/1.1 304 Not Modified" + _CRLF + _CRLF,
+                    )
+                    out += _gzip_member(stub) if gz else stub
+                    n_revisit += 1
+                else:
+                    if gz and len(recs) == 1:
+                        out += buf[base_off : base_off + base_len]
+                    elif gz:
+                        out += _gzip_member(slice_bytes + _CRLF + _CRLF)
+                    else:
+                        # the slice ends at body_end; restore the spec's
+                        # record separator
+                        out += slice_bytes + _CRLF + _CRLF
+                    n_stored += 1
+        tmp = f"{out_path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(bytes(out))
+        os.replace(tmp, out_path)
+        return {
+            "filename": os.path.basename(p),
+            "n_records": n_records,
+            "n_stored": n_stored,
+            "n_revisit": n_revisit,
+            "bytes_in": len(buf),
+            "bytes_out": len(out),
+        }
+
+    def compact_paths(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        rows = []
+        for p in batch["item"].to_pylist():
+            out_path = os.path.join(out_dir, os.path.basename(p))
+            if os.path.exists(out_path):
+                continue  # resume: finished file, skip
+            rows.append(compact_one(p, keys))
+        cols = [
+            "filename", "n_records", "n_stored", "n_revisit",
+            "bytes_in", "bytes_out",
+        ]
+        if not rows:
+            return pa.table(
+                {
+                    "filename": pa.array([], pa.string()),
+                    **{
+                        c: pa.array([], pa.int64())
+                        for c in cols
+                        if c != "filename"
+                    },
+                }
+            )
+        return pa.table({c: [r[c] for r in rows] for c in cols})
+
+    return items.map_batches(
+        compact_paths,
+        batch_format="pyarrow",
+        batch_size=None,
+        memory=task_memory,
+    )

@@ -609,3 +609,100 @@ def test_cdx_dedup_against_cross_crawl(ray_session, tmp_path, budget):
     assert verdicts["http://new.example/re"] == True  # noqa: E712
     # columns preserved + the one flag added
     assert "digest_sha256" in df.columns and "offset" in df.columns
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_compact_warc_storage_dedup(ray_session, tmp_path, gz):
+    import hashlib
+
+    def page(i):  # incompressible + big: a revisit stub is a real saving
+        import hashlib as _hl
+
+        filler = "".join(
+            _hl.sha256(f"{i}:{j}".encode()).hexdigest() for j in range(20)
+        )
+        return f"<p>page {i} {filler}</p>".encode()
+
+    old_recs = [
+        {"url": f"http://o.example/{i}", "html": page(i)} for i in range(6)
+    ]
+    new_recs = (
+        [
+            {
+                "url": f"http://n.example/{i}",
+                "html": page(i),  # re-captures: dup
+            }
+            for i in range(3)
+        ]
+        + [
+            {
+                "url": f"http://n.example/{i}",
+                "html": (b"<p>fresh " + b"x" * 400 + b"</p>"),  # new
+            }
+            for i in range(3, 6)
+        ]
+        + [{"url": "http://n.example/wet", "text": "wet stays verbatim"}]
+    )
+    (tmp_path / "old").mkdir()
+    (tmp_path / "new").mkdir()
+    (tmp_path / "out").mkdir()
+    ext = "warc.gz" if gz else "warc"
+    (tmp_path / "old" / f"a.{ext}").write_bytes(
+        W.build_warc(old_recs, gzip_per_record=gz)
+    )
+    new_buf = W.build_warc(new_recs, gzip_per_record=gz)
+    (tmp_path / "new" / f"b.{ext}").write_bytes(new_buf)
+    old_idx = W.warc_cdx_index(str(tmp_path / "old"))
+    man = W.compact_warc(
+        str(tmp_path / "new"), old_idx, str(tmp_path / "out")
+    ).to_pandas()
+    assert len(man) == 1
+    row = man.iloc[0]
+    # warcinfo + 7 records; 3 responses deduped to revisit stubs
+    assert row["n_records"] == 8
+    assert row["n_revisit"] == 3 and row["n_stored"] == 5
+    out_buf = (tmp_path / "out" / f"b.{ext}").read_bytes()
+    assert row["bytes_out"] == len(out_buf) < row["bytes_in"] == len(new_buf)
+    # pages from the compacted crawl: only novel content stored
+    pages = W.warc_bytes_to_pages(out_buf)
+    stored_urls = sorted(pages["url"].to_pylist())
+    assert stored_urls == [
+        "http://n.example/3", "http://n.example/4", "http://n.example/5",
+        "http://n.example/wet",
+    ]
+    # CDX of the compacted file still lists EVERY capture with its true
+    # digest (revisit stubs carry the original payload digest)
+    cdx_new = W.warc_cdx_records(new_buf).to_pandas()
+    cdx_out = W.warc_cdx_records(out_buf).to_pandas()
+    a = cdx_new.sort_values("url")[["url", "digest_sha256"]]
+    b = cdx_out.sort_values("url")[["url", "digest_sha256"]]
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert (
+        cdx_out.sort_values("url")["record_type"].tolist()
+        == ["revisit"] * 3 + ["response"] * 3 + ["conversion"]
+    )
+    # stored members are byte-verbatim: the fresh page's exact html
+    # survives
+    assert hashlib.sha256(b"<p>fresh " + b"x" * 400 + b"</p>").hexdigest() in set(
+        cdx_out["digest_sha256"]
+    )
+    # resume: re-running skips the finished file (manifest empty)
+    man2 = W.compact_warc(
+        str(tmp_path / "new"), old_idx, str(tmp_path / "out")
+    ).to_pandas()
+    assert len(man2) == 0
+
+
+def test_compact_warc_over_budget_raises(ray_session, tmp_path):
+    (tmp_path / "new").mkdir()
+    (tmp_path / "new" / "b.warc.gz").write_bytes(
+        W.build_warc([{"url": "http://x/", "html": b"<p>x</p>"}])
+    )
+    old_idx = W.warc_cdx_index(str(tmp_path / "new"))
+    with pytest.raises(Exception, match="broadcast budget"):
+        W.compact_warc(
+            str(tmp_path / "new"),
+            old_idx,
+            str(tmp_path / "out"),
+            broadcast_budget=0,
+        ).to_pandas()
