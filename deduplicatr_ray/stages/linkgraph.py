@@ -1,0 +1,271 @@
+"""Web link graph: href extraction -> host-level edges -> PageRank.
+
+The third leg of crawl processing after content dedup and indexing: the
+hyperlink structure. Common Crawl publishes exactly this pipeline's
+output as its host-level web graph releases; here it is Ray-Data-native:
+
+* ``extract_links_stage`` — pages -> (src, href) rows. One compiled
+  regex ``findall`` per document (the C-speed scan is the vectorized
+  option available for multi-match extraction; no per-CHARACTER python
+  work happens), resolution of absolute/root-relative hrefs, non-web
+  schemes (mailto/javascript/fragments) dropped.
+* ``host_graph`` — edges aggregated to (src_host, dst_host, n_links)
+  with a per-batch Arrow pre-aggregation ahead of the groupby, so the
+  all-to-all carries one row per distinct host pair per block, never one
+  per link.
+* ``host_pagerank`` — damped power iteration. Scale shape: EDGES stay
+  distributed and are re-walked each iteration with the current rank
+  vector broadcast via ``ray.put`` (hosts are ~10^8 at full-web scale =
+  a few GB of driver/broadcast state — the documented assumption, same
+  class as the flagship's components driver budget); each iteration is
+  one pre-aggregated ``groupby(dst).sum`` whose output is one row per
+  HOST, not per edge. Dangling mass is redistributed uniformly, so ranks
+  sum to 1 every iteration.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+# href attribute in an anchor-ish tag; crawled html is junk, so accept
+# single/double/no quotes and any tag the attribute appears in
+_HREF_RE = re.compile(
+    rb"""href\s*=\s*(?:"([^"<>]*)"|'([^'<>]*)'|([^\s"'<>]+))""",
+    re.IGNORECASE,
+)
+_SCHEME_RE = re.compile(rb"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _host_and_root(url: str) -> tuple[str, str]:
+    """url -> (host lowercased, scheme://host) — '' when unparseable."""
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", url)
+    if not m:
+        return "", ""
+    host = m.group(1).lower()
+    if "@" in host:  # strip userinfo
+        host = host.rpartition("@")[2]
+    if host.endswith("]"):  # [ipv6]
+        pass
+    elif ":" in host:  # strip port
+        host = host.rpartition(":")[0]
+    scheme = url[: url.index(":")].lower()
+    return host, f"{scheme}://{host}"
+
+
+def links_from_html(src_url: str, html: bytes) -> list[str]:
+    """One document's resolved outlinks (absolute urls). Root-relative
+    hrefs resolve against the source's scheme+host; path-relative,
+    fragment-only and non-web schemes are dropped (the HOST graph is the
+    target — path-relative links are same-host by construction and only
+    ever add self-loops)."""
+    _src_host, root = _host_and_root(src_url)
+    out: list[str] = []
+    for m in _HREF_RE.finditer(html or b""):
+        href = next(g for g in m.groups() if g is not None).strip()
+        if not href or href.startswith((b"#", b"?")):
+            continue
+        if href.startswith(b"//"):  # protocol-relative
+            scheme = root.partition(":")[0] or "http"
+            href = scheme.encode() + b":" + href
+        if _SCHEME_RE.match(href):
+            if not href.startswith((b"http://", b"https://")):
+                continue  # mailto:, javascript:, data:, ...
+            out.append(href.decode("utf-8", "replace"))
+        elif href.startswith(b"/") and root:
+            out.append(root + href.decode("utf-8", "replace"))
+    return out
+
+
+def extract_links_stage(pages, *, batch_size: int = 256):
+    """PAGES Dataset -> (src, dst) link rows (absolute urls), flat-map
+    shaped: zero rows for pages without outlinks, many for hubs. Plain
+    task ``map_batches`` — the regex is module-level-compiled once per
+    process, no actor state needed."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        for u, h in zip(urls, htmls):
+            if h is None:
+                continue
+            for link in links_from_html(u or "", h):
+                srcs.append(u or "")
+                dsts.append(link)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+            }
+        )
+
+    return pages.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+
+
+def host_graph(links, *, drop_self: bool = True):
+    """(src, dst) url rows -> (src_host, dst_host, n_links) edges.
+    Per-batch Arrow group_by pre-aggregates before the shuffle, so the
+    exchange carries distinct host pairs per block, not raw links."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import host_of
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                "src_host": host_of(b["src"]),
+                "dst_host": host_of(b["dst"]),
+            }
+        )
+        if drop_self:
+            t = t.filter(
+                pc.invert(pc.equal(t["src_host"], t["dst_host"]))
+            )
+        t = t.filter(
+            pc.and_(
+                pc.not_equal(t["src_host"], ""),
+                pc.not_equal(t["dst_host"], ""),
+            )
+        )
+        return (
+            t.group_by(["src_host", "dst_host"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["src_host", "dst_host", "n_links"])
+        )
+
+    return (
+        links.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+
+
+def host_pagerank(
+    edges,
+    *,
+    damping: float = 0.85,
+    n_iter: int = 20,
+    weighted: bool = True,
+):
+    """(src_host, dst_host[, n_links]) edges -> (host, rank) pandas
+    frame, ranks summing to 1. Damped power iteration with uniform
+    dangling-mass redistribution — the textbook formulation, chosen so a
+    numpy reference on the same edge list is bit-comparable in tests.
+
+    Scale shape: the EDGE set stays a distributed Dataset (materialized
+    once with int host ids attached); each iteration broadcasts the
+    rank vector (``ray.put``, ~8 bytes/host) and runs one map_batches
+    whose per-batch output is pre-summed per dst id, then a
+    ``groupby(dst).sum`` with one output row per host. The driver only
+    ever holds host-sized arrays (the documented budget: hosts ≪ pages
+    — ~10^8 hosts for a 10^12-page crawl), never edge-sized ones."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .relational import pull_columns
+
+    # host id table (driver-held, host-sized)
+    src_h, dst_h = pull_columns(edges, ["src_host", "dst_host"])
+    hosts = np.unique(np.concatenate([src_h, dst_h]))
+    n = len(hosts)
+    if n == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"host": [], "rank": []})
+    hosts_ref = ray.put(hosts)
+    has_w = "n_links" in edges.columns() and weighted
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        s = np.searchsorted(hs, np.asarray(b["src_host"]))
+        d = np.searchsorted(hs, np.asarray(b["dst_host"]))
+        w = (
+            np.asarray(b["n_links"], np.float64)
+            if has_w
+            else np.ones(len(b), np.float64)
+        )
+        return pa.table({"s": s.astype(np.int64), "d": d.astype(np.int64), "w": w})
+
+    ids = edges.map_batches(
+        to_ids, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # out-weight per source (one shuffle, host-sized result)
+    outw = np.zeros(n, np.float64)
+    ow = ids.groupby("s").aggregate(Sum("w", alias_name="ow")).to_pandas()
+    outw[ow["s"].to_numpy()] = ow["ow"].to_numpy()
+
+    rank = np.full(n, 1.0 / n)
+    outw_ref = ray.put(outw)
+    for _ in range(n_iter):
+        rank_ref = ray.put(rank)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            r = ray.get(rank_ref)
+            o = ray.get(outw_ref)
+            s = np.asarray(b["s"])
+            d = np.asarray(b["d"])
+            w = np.asarray(b["w"])
+            c = r[s] * w / o[s]  # o[s] > 0 by construction (s has edges)
+            # pre-sum per dst inside the batch: the exchange carries
+            # distinct dst ids per block, not edges
+            uniq, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(len(uniq), np.float64)
+            np.add.at(sums, inv, c)
+            return pa.table({"d": uniq, "c": sums})
+
+        agg = (
+            ids.map_batches(
+                contrib, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("d")
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        new = np.zeros(n, np.float64)
+        new[agg["d"].to_numpy()] = agg["c"].to_numpy()
+        dangling = rank[outw == 0].sum()
+        rank = (1 - damping) / n + damping * (new + dangling / n)
+    import pandas as pd
+
+    return pd.DataFrame({"host": hosts, "rank": rank})
+
+
+def pagerank_reference(
+    edges_df, *, damping: float = 0.85, n_iter: int = 20
+) -> dict[str, float]:
+    """Driver-side numpy reference for tests: identical formulation
+    (uniform dangling redistribution), dense vectors."""
+    hosts = np.unique(
+        np.concatenate([edges_df["src_host"], edges_df["dst_host"]])
+    )
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    s = np.array([idx[h] for h in edges_df["src_host"]])
+    d = np.array([idx[h] for h in edges_df["dst_host"]])
+    w = np.asarray(
+        edges_df["n_links"] if "n_links" in edges_df else np.ones(len(s)),
+        np.float64,
+    )
+    outw = np.zeros(n)
+    np.add.at(outw, s, w)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        new = np.zeros(n)
+        np.add.at(new, d, rank[s] * w / outw[s])
+        dangling = rank[outw == 0].sum()
+        rank = (1 - damping) / n + damping * (new + dangling / n)
+    return dict(zip(hosts, rank))
