@@ -1915,6 +1915,93 @@ def q_cdx_dedup_against(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _link_pages(sf_dir: str):
+    """Deterministic link fixture over documents: doc i lives on host
+    h{i%20} and links to hosts h{(i*7+j)%50} for j in range(i%4+1) —
+    reproducible in SQL with a lateral range unnest."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    urls, htmls = [], []
+    for d in ids:
+        urls.append(f"http://h{d % 20}.example/d{d}")
+        links = "".join(
+            f'<a href="http://h{(d * 7 + j) % 50}.example/p{j}">l</a>'
+            for j in range(d % 4 + 1)
+        )
+        htmls.append(f"<html><body>{links}</body></html>".encode())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+    )
+
+
+def q_link_graph(sf_dir: str):
+    """Web link graph (`stages/linkgraph.py`): href extraction
+    (compiled-regex scan per page, resolution, non-web schemes dropped)
+    -> host-level edges with per-batch Arrow pre-aggregation ahead of
+    the groupby (the exchange carries distinct host pairs per block,
+    never raw links). SQL-matched: the oracle regenerates the
+    deterministic link fixture with a lateral range unnest and
+    re-aggregates."""
+    from deduplicatr_ray.stages.linkgraph import (
+        extract_links_stage,
+        host_graph,
+    )
+
+    df = host_graph(extract_links_stage(_link_pages(sf_dir))).to_pandas()
+    return df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def q_host_rank(sf_dir: str):
+    """Host-level PageRank (`stages/linkgraph.py host_pagerank`): damped
+    power iteration where the EDGES stay distributed (re-walked per
+    iteration with the rank vector broadcast via ray.put, per-batch
+    pre-summed contributions, one groupby row per HOST) and the driver
+    only holds host-sized arrays. Rows-only (iterative — no SQL
+    equivalent); pytest pins it to a dense numpy reference at rel 1e-9,
+    and ranks sum to 1 by construction. Rounded to 12 decimals so the
+    golden hash is immune to float summation order."""
+    from deduplicatr_ray.stages.linkgraph import (
+        extract_links_stage,
+        host_graph,
+        host_pagerank,
+    )
+
+    edges = host_graph(extract_links_stage(_link_pages(sf_dir)))
+    df = host_pagerank(edges, n_iter=20)
+    df["rank"] = df["rank"].round(12)
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def q_warc_compact(sf_dir: str):
+    """Storage-level crawl dedup (`sources/warc.py compact_warc`): the
+    next-crawl fixture is rewritten with every previously-stored page
+    replaced by a ~200-byte WARC 1.1 revisit stub (byte-verbatim copy
+    for kept members, digest-true CDX over the output — pytest covers
+    both). SQL-matched on the manifest counts: even doc_ids were
+    re-captures (revisit), odd ones new content (stored), plus the
+    warcinfo and the fixture's own revisit record passing through."""
+    import tempfile
+
+    from deduplicatr_ray.sources.warc import compact_warc, warc_cdx_index
+
+    old_idx = warc_cdx_index(_warc_fixture(sf_dir))
+    out_dir = tempfile.mkdtemp(prefix="graft_compact_")
+    man = compact_warc(
+        _warc_fixture_new(sf_dir), old_idx, out_dir
+    ).to_pandas()
+    return man[["n_records", "n_stored", "n_revisit"]].reset_index(drop=True)
+
+
 def q_warc_cdx(sf_dir: str):
     """CDX indexing (`sources/warc.py warc_cdx_index`): the
     random-access sidecar a 100 TB crawl needs — per record (non-200s
@@ -2342,6 +2429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract": q_warc_extract,
         "warc_cdx": q_warc_cdx,
         "cdx_dedup_against": q_cdx_dedup_against,
+        "warc_compact": q_warc_compact,
+        "link_graph": q_link_graph,
+        "host_rank": q_host_rank,
         "charset_census": q_charset_census,
     }
 
@@ -3405,6 +3495,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, record_type,
                    d IN (SELECT d FROM old_d) AS dup_of_prior
             FROM new_rows ORDER BY url
+        """,
+        # warc_compact: manifest counts of the storage-dedup rewrite —
+        # even doc_ids were re-captured content (-> revisit stubs), odd
+        # ones new; warcinfo + the fixture's revisit record pass through
+        # as stored records.
+        "warc_compact": """
+            SELECT (count(*) + 2)::BIGINT AS n_records,
+                   (count(*) FILTER (doc_id % 2 = 1) + 2)::BIGINT
+                     AS n_stored,
+                   (count(*) FILTER (doc_id % 2 = 0))::BIGINT AS n_revisit
+            FROM documents
+        """,
+        # link_graph: the deterministic link fixture (doc i on host
+        # h{i%20} links to h{(i*7+j)%50} for j < i%4+1) regenerated with
+        # a lateral range unnest; self-loop hosts dropped like the stage.
+        "link_graph": """
+            WITH links AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                       AS src_host,
+                     'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR)
+                       || '.example' AS dst_host
+              FROM documents, UNNEST(range(doc_id % 4 + 1)) AS t(j)
+            )
+            SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+            FROM links WHERE src_host <> dst_host
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # charset_census: the fixture encodes each doc in one of 8 real web
         # encodings keyed on doc_id % 8 and appends a charset-specific

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "warc_extract",          # Common Crawl WARC ingest -> byte-exact extract
     "warc_cdx",              # CDX sidecar: offsets + entity digests per record
     "cdx_dedup_against",     # cross-crawl digest dedup, content never shuffled
+    "warc_compact",          # storage-level rewrite: revisit stubs for dups
+    "link_graph",            # href extraction -> host edges (pre-aggregated)
+    "host_rank",             # PageRank power iteration, edges distributed
 ]
 
 FLAGSHIP = "dedup_clusters"
