@@ -1187,3 +1187,80 @@ def compact_warc(
         batch_size=None,
         memory=task_memory,
     )
+
+
+def write_wet(
+    pages,
+    out_dir: str,
+    *,
+    software: str = "deduplicatr-ray",
+    gzip_per_record: bool = True,
+):
+    """PAGES/docs Dataset (rows with ``url``, ``text``; extracted) ->
+    Common Crawl WET layout under ``out_dir``: one ``part-NNNNN.wet.gz``
+    per input block, each a warcinfo record + one ``conversion``
+    (text/plain) record per row. The write side of the WET support in
+    :func:`warc_bytes_to_pages` — a text release another CC consumer
+    (or this engine) can re-ingest byte-identically.
+
+    Shape: one file per block via ``map_batches(batch_size=None)`` with
+    a monotonically assigned part index — no driver materialization,
+    files appear as blocks finish; atomic rename per file so re-runs
+    never expose partial output. ``warc_ts`` (when present) becomes each
+    record's WARC-Date. Returns a manifest Dataset (filename, n_records,
+    n_bytes)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "wet.gz" if gzip_per_record else "wet"
+
+    class _Writer:
+        def __init__(self):
+            self._ctr = 0
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import uuid
+
+            recs = []
+            has_ts = "warc_ts" in batch.column_names
+            ts = batch["warc_ts"].to_pylist() if has_ts else None
+            for i, (u, t) in enumerate(
+                zip(batch["url"].to_pylist(), batch["text"].to_pylist())
+            ):
+                if t is None:
+                    continue
+                r = {"url": u or "", "text": t}
+                if ts is not None and ts[i] is not None:
+                    r["date"] = utc_iso(
+                        int(ts[i].timestamp() * 1_000_000)
+                        if hasattr(ts[i], "timestamp")
+                        else int(ts[i])
+                    )
+                recs.append(r)
+            buf = build_warc(
+                recs, gzip_per_record=gzip_per_record, warcinfo=True
+            )
+            # block-unique name: writer actors are fused per-task, so a
+            # uuid component keeps parallel tasks collision-free while
+            # the counter keeps one writer's output ordered
+            name = f"part-{uuid.uuid4().hex[:12]}-{self._ctr:05d}.{ext}"
+            self._ctr += 1
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(buf)
+            os.replace(tmp, os.path.join(out_dir, name))
+            return pa.table(
+                {
+                    "filename": pa.array([name], pa.string()),
+                    "n_records": pa.array([len(recs)], pa.int64()),
+                    "n_bytes": pa.array([len(buf)], pa.int64()),
+                }
+            )
+
+    return pages.map_batches(
+        _Writer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+        concurrency=(1, 8),
+    )

@@ -706,3 +706,32 @@ def test_compact_warc_over_budget_raises(ray_session, tmp_path):
             str(tmp_path / "out"),
             broadcast_budget=0,
         ).to_pandas()
+
+
+def test_write_wet_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+    import pyarrow as pa
+
+    rows = {
+        "url": [f"http://w.example/{i}" for i in range(40)],
+        "text": [f"doc {i} text  with \n runs kept" for i in range(40)],
+        "warc_ts": pa.array([1_600_000_000_000_000 + i for i in range(40)],
+                            pa.timestamp("us")),
+    }
+    pages = rd.from_arrow(pa.table(rows)).repartition(3)
+    out = str(tmp_path / "wet")
+    man = W.write_wet(pages, out).to_pandas()
+    assert man["n_records"].sum() == 40 and len(man) >= 1
+    # re-ingest: WET conversion records come back byte-identical
+    back = (
+        W.read_warc(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 40
+    want = dict(zip(rows["url"], rows["text"]))
+    assert {u: t for u, t in zip(back["url"], back["text"])} == want
+    assert back["html"].isna().all()
+    # WARC-Date survives the roundtrip
+    assert back.loc[0, "warc_ts"].year == 2020
