@@ -1867,7 +1867,7 @@ def _warc_fixture_new(sf_dir: str) -> str:
     texts = docs["text"].to_pylist()
     recs = [
         {
-            "url": f"warc2://{d:08d}",
+            "url": f"http://site{d % 23}.example/d{d:08d}",
             "date": "2022-05-01T12:00:00Z",
             "html": page(t) if d % 2 == 0 else page(t + " v2"),
         }
@@ -1876,7 +1876,7 @@ def _warc_fixture_new(sf_dir: str) -> str:
     first = min(range(len(ids)), key=lambda i: ids[i])
     recs.append(
         {
-            "url": "warc2://revisit0",
+            "url": "http://site0.example/revisit",
             "date": "2022-05-01T12:00:00Z",
             "revisit_of": f"warc://{ids[first]:08d}",
             "digest": hashlib.sha256(page(texts[first])).hexdigest(),
@@ -1979,6 +1979,44 @@ def q_host_rank(sf_dir: str):
     edges = host_graph(extract_links_stage(_link_pages(sf_dir)))
     df = host_pagerank(edges, n_iter=20)
     df["rank"] = df["rank"].round(12)
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def q_host_dup_rate(sf_dir: str):
+    """Crawl-ops view of cross-crawl dedup: per-HOST capture counts and
+    dup rates from the CDX verdicts (`cdx_dedup_against` output +
+    `functions/urls.host_of`) — the table a crawl operator reads to
+    decide which hosts to re-crawl less often. SQL-matched: the oracle
+    regenerates hosts and verdicts from doc_id arithmetic."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.functions.urls import host_of
+    from deduplicatr_ray.sources.warc import cdx_dedup_against, warc_cdx_index
+    from ray.data.aggregate import Count, Sum
+
+    old_idx = warc_cdx_index(_warc_fixture(sf_dir))
+    new_idx = warc_cdx_index(_warc_fixture_new(sf_dir))
+    marked = cdx_dedup_against(new_idx, old_idx)
+
+    def hostify(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "host": host_of(b["url"]),
+                "dup": pc.cast(b["dup_of_prior"], pa.int64()),
+            }
+        )
+
+    df = (
+        marked.map_batches(hostify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(
+            Count(alias_name="n_captures"), Sum("dup", alias_name="n_dup")
+        )
+        .to_pandas()
+    )
+    df["dup_rate"] = (df["n_dup"] / df["n_captures"]).round(6)
     return df.sort_values("host").reset_index(drop=True)
 
 
@@ -2430,6 +2468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_cdx": q_warc_cdx,
         "cdx_dedup_against": q_cdx_dedup_against,
         "warc_compact": q_warc_compact,
+        "host_dup_rate": q_host_dup_rate,
         "link_graph": q_link_graph,
         "host_rank": q_host_rank,
         "charset_census": q_charset_census,
@@ -3478,8 +3517,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT sha256('<p>nope</p>')
             ),
             new_rows AS (
-              SELECT 'warc2://' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
-                       AS url,
+              SELECT 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                       || '.example/d'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
                      'response' AS record_type,
                      CASE WHEN doc_id % 2 = 0
                           THEN sha256(esc || '</p></body></html>')
@@ -3487,7 +3527,7 @@ def oracle_sql() -> dict[str, str]:
                      END AS d
               FROM pages
               UNION ALL
-              SELECT 'warc2://revisit0', 'revisit',
+              SELECT 'http://site0.example/revisit', 'revisit',
                      (SELECT sha256(esc || '</p></body></html>')
                       FROM pages
                       WHERE doc_id = (SELECT min(doc_id) FROM documents))
@@ -3506,6 +3546,25 @@ def oracle_sql() -> dict[str, str]:
                      AS n_stored,
                    (count(*) FILTER (doc_id % 2 = 0))::BIGINT AS n_revisit
             FROM documents
+        """,
+        # host_dup_rate: per-host rollup of the cdx_dedup_against
+        # verdicts; hosts and dup flags regenerate from doc_id
+        # arithmetic (site = doc_id % 23; even = re-capture), plus the
+        # revisit row on site0 (always a dup).
+        "host_dup_rate": """
+            WITH caps AS (
+              SELECT 'site' || CAST(doc_id % 23 AS VARCHAR) || '.example'
+                       AS host,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS dup
+              FROM documents
+              UNION ALL
+              SELECT 'site0.example', 1
+            )
+            SELECT host,
+                   count(*)::BIGINT AS n_captures,
+                   sum(dup)::BIGINT AS n_dup,
+                   round(sum(dup) * 1.0 / count(*), 6) AS dup_rate
+            FROM caps GROUP BY host ORDER BY host
         """,
         # link_graph: the deterministic link fixture (doc i on host
         # h{i%20} links to h{(i*7+j)%50} for j < i%4+1) regenerated with

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "warc_cdx",              # CDX sidecar: offsets + entity digests per record
     "cdx_dedup_against",     # cross-crawl digest dedup, content never shuffled
     "warc_compact",          # storage-level rewrite: revisit stubs for dups
+    "host_dup_rate",         # per-host cross-crawl dup rates from CDX verdicts
     "link_graph",            # href extraction -> host edges (pre-aggregated)
     "host_rank",             # PageRank power iteration, edges distributed
 ]
