@@ -52,7 +52,13 @@ def main() -> int:
         from deduplicatr_ray.sources.warc import build_warc
 
         def page(i: int, edited: bool) -> bytes:
-            filler = hashlib.sha256(f"{i}".encode()).hexdigest() * 6
+            # incompressible filler (distinct digests) so per-record gz
+            # sizes resemble real page entropy, not a 6:1-collapsing
+            # repeat — saved_pct would otherwise be meaningless
+            filler = "".join(
+                hashlib.sha256(f"{i}:{k}".encode()).hexdigest()
+                for k in range(6)
+            )
             tail = " EDITED-IN-RECRAWL" if edited else ""
             return f"<html><body><p>page {i} {filler}{tail}</p></body></html>".encode()
 
