@@ -141,3 +141,43 @@ def host_sql(expr: str) -> str:
         f"THEN regexp_extract({folded}, '{host}', 1) ELSE NULL END, "
         f"'^www\\.', '', 'g')"
     )
+
+
+def surt_of(arr: "pa.ChunkedArray | pa.Array"):
+    """Urls -> SURT keys (Sort-friendly URI Reordering Transform — the
+    key real CDX files sort by, grouping a domain's subdomains
+    contiguously): reversed host labels joined with commas, then
+    ``)/path`` lowercased, query dropped. ``com,example,www)/dir/page``.
+    Unparseable urls -> ''. Pure string work per url (metadata-sized
+    stage — runs on index rows, never page payloads)."""
+    import re as _re
+
+    out = []
+    for u in arr.to_pylist():
+        m = _re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)([^?#]*)", u or "")
+        if not m:
+            out.append("")
+            continue
+        host = m.group(1).lower()
+        if "@" in host:
+            host = host.rpartition("@")[2]
+        if not host.endswith("]") and ":" in host:
+            host = host.rpartition(":")[0]
+        path = (m.group(2) or "/").lower() or "/"
+        out.append(",".join(reversed(host.split("."))) + ")" + path)
+    return pa.array(out, pa.string())
+
+
+def surt_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`surt_of` over ``expr`` (no
+    userinfo/port handling — fixture urls carry neither)."""
+    host = (
+        f"regexp_replace(lower(regexp_extract({expr}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)), ':[0-9]+$', '')"
+    )
+    path = f"lower(coalesce(nullif(regexp_extract({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/'))"
+    return (
+        f"CASE WHEN regexp_matches({expr}, '^[a-zA-Z][a-zA-Z0-9+.-]*://') "
+        f"THEN array_to_string(list_reverse(string_split({host}, '.')), ',') "
+        f"|| ')' || {path} ELSE '' END"
+    )

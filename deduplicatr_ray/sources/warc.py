@@ -1264,3 +1264,90 @@ def write_wet(
         batch_size=None,
         concurrency=(1, 8),
     )
+
+
+def write_cdxj(index, out_dir: str, *, gzip_shards: bool = True):
+    """CDX index Dataset -> SURT-sorted CDXJ shards under ``out_dir``
+    (the publishable form of the sidecar: ``<surt> <14-digit ts>
+    {json}`` lines, gzipped) plus a ``cluster.idx``-style manifest
+    Dataset (filename, n_records, first_key, last_key).
+
+    Shape: one distributed ``sort("surt")`` (Ray's range partitioning
+    makes blocks DISJOINT key ranges), then one file per block with the
+    block's key range recorded in the manifest — global order lives in
+    the manifest like Common Crawl's cluster.idx, so shard filenames
+    never need a global counter and no driver materialization
+    happens."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = "cdxj.gz" if gzip_shards else "cdxj"
+
+    from ..functions.urls import surt_of
+
+    def add_surt(b: pa.Table) -> pa.Table:
+        return b.append_column("surt", surt_of(b["url"]))
+
+    keyed = index.map_batches(
+        add_surt, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("surt")
+
+    def write_shard(b: pa.Table) -> pa.Table:
+        import uuid
+
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "filename": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "first_key": pa.array([], pa.string()),
+                    "last_key": pa.array([], pa.string()),
+                }
+            )
+        lines = []
+        cols = b.to_pydict()
+        for i in range(len(b)):
+            ts_us = cols["warc_ts"][i]
+            ts14 = (
+                ts_us.strftime("%Y%m%d%H%M%S")
+                if hasattr(ts_us, "strftime")
+                else "19700101000000"
+            )
+            rec = {
+                "url": cols["url"][i],
+                "digest": cols["digest_sha256"][i],
+                "mime": cols["mime"][i],
+                "status": cols["status"][i],
+                "offset": cols["offset"][i],
+                "length": cols["length"][i],
+            }
+            if "filename" in cols:
+                rec["filename"] = cols["filename"][i]
+            lines.append(
+                f"{cols['surt'][i]} {ts14} "
+                + _json.dumps(rec, sort_keys=True)
+            )
+        payload = ("\n".join(lines) + "\n").encode()
+        if gzip_shards:
+            payload = _gzip_member(payload)
+        name = f"cdx-{uuid.uuid4().hex[:12]}.{ext}"
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table(
+            {
+                "filename": pa.array([name], pa.string()),
+                "n_records": pa.array([len(b)], pa.int64()),
+                "first_key": pa.array([cols["surt"][0]], pa.string()),
+                "last_key": pa.array([cols["surt"][-1]], pa.string()),
+            }
+        )
+
+    return keyed.map_batches(
+        write_shard,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    )
