@@ -2020,6 +2020,76 @@ def q_host_dup_rate(sf_dir: str):
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_robots_compliance(sf_dir: str):
+    """Retroactive robots.txt compliance (`stages/robots.py` over
+    `functions/robots.py` RFC 9309 semantics): per-site robots captures
+    (site%4==0 fully disallowed; %4==1 has an agent-specific group
+    disallowing /d except the /d0000019 prefix, behind a permissive *
+    group the agent must NOT pick; %4==2 an empty Disallow; %4==3 no
+    robots at all) are broadcast and every url is flagged for agent
+    'graftbot/1.0'. SQL-matched: the oracle replays the rule outcomes
+    from doc_id arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.robots import robots_filter_stage
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    urls = [f"http://site{d % 23}.example/d{d:08d}" for d in ids]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    hosts, bots = [], []
+    for k in range(23):
+        if k % 4 == 3:
+            continue  # no robots captured for these sites
+        hosts.append(f"site{k}.example")
+        if k % 4 == 0:
+            bots.append(b"User-agent: *\nDisallow: /")
+        elif k % 4 == 1:
+            bots.append(
+                b"User-agent: *\nAllow: /\n\n"
+                b"User-agent: graftbot\n"
+                b"Disallow: /d\nAllow: /d0000019"
+            )
+        else:
+            bots.append(b"User-agent: *\nDisallow:")
+    robots = rd.from_arrow(
+        pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "robots": pa.array(bots, pa.binary()),
+            }
+        )
+    )
+    df = robots_filter_stage(ds, robots, agent="graftbot/1.0").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_surt_keys(sf_dir: str):
+    """SURT keys (`functions/urls.surt_of`): the sort key real CDX
+    files publish under (reversed host labels group a domain's
+    subdomains contiguously) — `write_cdxj` sorts its shards by this
+    (pytest covers the sorted-shard writer). SQL-matched via the
+    equivalent DuckDB expression (`surt_sql`) over the same index
+    urls."""
+    import pyarrow as pa
+
+    from deduplicatr_ray.functions.urls import surt_of
+    from deduplicatr_ray.sources.warc import warc_cdx_index
+
+    idx = warc_cdx_index(_warc_fixture_new(sf_dir))
+
+    def add(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "surt": surt_of(b["url"])})
+
+    df = idx.map_batches(
+        add, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_warc_compact(sf_dir: str):
     """Storage-level crawl dedup (`sources/warc.py compact_warc`): the
     next-crawl fixture is rewritten with every previously-stored page
@@ -2469,6 +2539,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_dedup_against": q_cdx_dedup_against,
         "warc_compact": q_warc_compact,
         "host_dup_rate": q_host_dup_rate,
+        "robots_compliance": q_robots_compliance,
+        "surt_keys": q_surt_keys,
         "link_graph": q_link_graph,
         "host_rank": q_host_rank,
         "charset_census": q_charset_census,
@@ -2476,6 +2548,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from deduplicatr_ray.functions.urls import surt_sql as _surt_sql
+
     k = _SAMPLED_K
     from deduplicatr_ray.functions.textstats import STOPWORDS
 
@@ -3546,6 +3620,36 @@ def oracle_sql() -> dict[str, str]:
                      AS n_stored,
                    (count(*) FILTER (doc_id % 2 = 0))::BIGINT AS n_revisit
             FROM documents
+        """,
+        # robots_compliance: rule outcomes replayed from doc_id
+        # arithmetic — site%4==0 blocked, %4==1 blocked unless the path
+        # starts /d0000019 (the agent-specific group's longest match),
+        # %4 in (2,3) allowed.
+        "robots_compliance": """
+            SELECT 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example/d'
+                     || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CASE (doc_id % 23) % 4
+                     WHEN 0 THEN FALSE
+                     WHEN 1 THEN lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                                   LIKE '0000019%'
+                     ELSE TRUE
+                   END AS robots_allowed
+            FROM documents ORDER BY url
+        """,
+        # surt_keys: the oracle applies the equivalent DuckDB SURT
+        # expression (functions/urls.surt_sql) to the regenerated
+        # fixture urls.
+        "surt_keys": f"""
+            WITH urls AS (
+              SELECT 'http://site' || CAST(doc_id % 23 AS VARCHAR)
+                     || '.example/d'
+                     || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url
+              FROM documents
+              UNION ALL SELECT 'http://site0.example/revisit'
+            )
+            SELECT url, {_surt_sql('url')} AS surt
+            FROM urls ORDER BY url
         """,
         # host_dup_rate: per-host rollup of the cdx_dedup_against
         # verdicts; hosts and dup flags regenerate from doc_id

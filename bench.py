@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "cdx_dedup_against",     # cross-crawl digest dedup, content never shuffled
     "warc_compact",          # storage-level rewrite: revisit stubs for dups
     "host_dup_rate",         # per-host cross-crawl dup rates from CDX verdicts
+    "surt_keys",             # SURT sort keys (the CDXJ shard order)
+    "robots_compliance",     # RFC 9309 retroactive crawl-consent flags
     "link_graph",            # href extraction -> host edges (pre-aggregated)
     "host_rank",             # PageRank power iteration, edges distributed
 ]

@@ -735,3 +735,142 @@ def test_write_wet_roundtrip(ray_session, tmp_path):
     assert back["html"].isna().all()
     # WARC-Date survives the roundtrip
     assert back.loc[0, "warc_ts"].year == 2020
+
+
+def test_write_cdxj_sorted_shards(ray_session, tmp_path):
+    import gzip as _gz
+    import json
+
+    recs = [
+        {
+            "url": f"http://{h}.example/p{i}",
+            "html": f"<p>page {h} {i}</p>".encode(),
+        }
+        for i, h in enumerate(
+            ["zeta", "alpha", "mid", "beta", "omega", "kappa"] * 4
+        )
+    ]
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "a.warc.gz").write_bytes(W.build_warc(recs))
+    idx = W.warc_cdx_index(str(tmp_path / "w")).repartition(4)
+    man = (
+        W.write_cdxj(idx, str(tmp_path / "cdx"))
+        .to_pandas()
+        .sort_values("first_key")
+        .reset_index(drop=True)
+    )
+    assert man["n_records"].sum() == 24
+    # shards are disjoint, manifest-ordered key ranges (cluster.idx
+    # semantics: global order lives in the manifest)
+    for i in range(len(man)):
+        assert man.loc[i, "first_key"] <= man.loc[i, "last_key"]
+        if i:
+            assert man.loc[i - 1, "last_key"] <= man.loc[i, "first_key"]
+    # lines inside each shard are sorted; json fields parse and match
+    all_keys = []
+    seen_urls = set()
+    for _, row in man.iterrows():
+        raw = (tmp_path / "cdx" / row["filename"]).read_bytes()
+        text = _gz.decompress(raw).decode()
+        keys = []
+        for line in text.strip().splitlines():
+            surt, ts14, js = line.split(" ", 2)
+            rec = json.loads(js)
+            assert ts14.isdigit() and len(ts14) == 14
+            assert len(rec["digest"]) == 64 and rec["status"] == 200
+            keys.append(surt)
+            seen_urls.add(rec["url"])
+        assert keys == sorted(keys)
+        all_keys.extend(keys)
+    assert all_keys == sorted(all_keys)  # global order via manifest
+    assert seen_urls == {r["url"] for r in recs}
+
+
+def test_crawl_refresh_composition_end_to_end(ray_session, tmp_path):
+    """The round-5 family composed as one job: a prior crawl + a new
+    crawl (wire-encoded bodies, one corrupt member) -> salvage ingest,
+    CDX indexes, cross-crawl verdicts, storage compaction -> the
+    compacted crawl still extracts exactly the novel pages, and the
+    flagship dedup over old+new extracted text finds the re-captured
+    pages as exact dup clusters."""
+    import hashlib
+
+    from deduplicatr_ray.config import CANONICAL
+    from deduplicatr_ray.pipelines.flagship import dedup_pipeline
+    from deduplicatr_ray.stages.extract import extract_stage
+
+    def page(i):
+        filler = " ".join(
+            hashlib.sha256(f"{i}:{j}".encode()).hexdigest() for j in range(8)
+        )
+        return f"<html><body><p>doc {i} {filler}</p></body></html>".encode()
+
+    old_recs = [
+        {"url": f"http://old.example/{i}", "html": page(i)} for i in range(20)
+    ]
+    new_recs = [
+        {
+            "url": f"http://new.example/{i}",
+            "html": page(i) if i < 10 else page(100 + i),
+            **({"chunked": True, "content_encoding": "gzip"} if i % 2 else {}),
+        }
+        for i in range(20)
+    ]
+    (tmp_path / "old").mkdir()
+    (tmp_path / "new").mkdir()
+    (tmp_path / "old" / "a.warc.gz").write_bytes(W.build_warc(old_recs))
+    new_buf = bytearray(W.build_warc(new_recs))
+    # corrupt one member mid-crawl: salvage must keep the rest
+    starts = []
+    i = 0
+    while True:
+        i = bytes(new_buf).find(b"\x1f\x8b\x08", i)
+        if i < 0:
+            break
+        starts.append(i)
+        i += 3
+    new_buf[(starts[3] + starts[4]) // 2] ^= 0x5A  # record index 2 dies
+    (tmp_path / "new" / "b.warc.gz").write_bytes(bytes(new_buf))
+
+    old_idx = W.warc_cdx_index(str(tmp_path / "old")).materialize()
+    new_idx = W.warc_cdx_index(str(tmp_path / "new"), on_error="salvage")
+    verdicts = (
+        W.cdx_dedup_against(new_idx, old_idx)
+        .to_pandas()
+        .set_index("url")["dup_of_prior"]
+    )
+    assert len(verdicts) == 19  # one record lost to the corrupt member
+    assert "http://new.example/2" not in verdicts.index
+    dups = {u for u, d in verdicts.items() if d}
+    assert dups == {f"http://new.example/{i}" for i in range(10) if i != 2}
+
+    man = W.compact_warc(
+        str(tmp_path / "new"),
+        old_idx,
+        str(tmp_path / "out"),
+        bad_records="skip",
+    ).to_pandas()
+    assert int(man["n_revisit"].sum()) == 9
+    # the compacted crawl extracts exactly the novel pages
+    novel = (
+        extract_stage(W.read_warc(str(tmp_path / "out")))
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert list(novel["url"]) == [
+        f"http://new.example/{i}" for i in range(10, 20)
+    ]
+    # flagship dedup over both crawls' extracted text: the 9 surviving
+    # re-captures pair with their originals as 2-doc exact clusters
+    union = W.read_warc(str(tmp_path / "old")).union(
+        W.read_warc(str(tmp_path / "new"), on_error="salvage")
+    )
+    res = dedup_pipeline(union, CANONICAL)
+    df = res.clusters.to_pandas()
+    assert len(df) == 39
+    two = df[df["cluster_size"] == 2]
+    assert len(two) == 18  # 9 dup pairs x 2 members
+    paired_new = {
+        u for u in two["url"] if u.startswith("http://new.example/")
+    }
+    assert paired_new == dups
