@@ -1930,7 +1930,8 @@ def _link_pages(sf_dir: str):
     for d in ids:
         urls.append(f"http://h{d % 20}.example/d{d}")
         links = "".join(
-            f'<a href="http://h{(d * 7 + j) % 50}.example/p{j}">l</a>'
+            f'<a href="http://h{(d * 7 + j) % 50}.example/p{j}">'
+            f"anchor {d}-{j} text</a>"
             for j in range(d % 4 + 1)
         )
         htmls.append(f"<html><body>{links}</body></html>".encode())
@@ -1942,6 +1943,130 @@ def _link_pages(sf_dir: str):
             }
         )
     )
+
+
+def _link_warc(sf_dir: str) -> str:
+    """The `_link_pages` fixture framed as a WARC file (cached) — input
+    for the WAT sidecar queries."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from deduplicatr_ray.sources.warc import build_warc
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    recs = []
+    for d in ids:
+        links = "".join(
+            f'<a href="http://h{(d * 7 + j) % 50}.example/p{j}">l</a>'
+            for j in range(d % 4 + 1)
+        )
+        recs.append(
+            {
+                "url": f"http://h{d % 20}.example/d{d}",
+                "html": f"<html><body>{links}</body></html>".encode(),
+            }
+        )
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|links|{len(recs)}".encode()
+    ).hexdigest()[:10]
+    d = f"/tmp/graft_linkwarc_{tag}"
+    path = os.path.join(d, "seg.warc.gz")
+    if not os.path.exists(path):
+        os.makedirs(d, exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(build_warc(recs))
+        os.replace(tmp, path)
+    return d
+
+
+def q_wat_link_graph(sf_dir: str):
+    """WAT sidecar end-to-end (`sources/warc.py write_wat`/`read_wat`):
+    the link fixture framed as WARC -> WAT metadata records (outlinks +
+    digest + title per response, payload left behind) -> link rows read
+    back from the ~20x-smaller sidecar -> the SAME host-edge aggregate
+    as `link_graph`. SQL-matched against the identical oracle — proving
+    the WAT path loses no links."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from deduplicatr_ray.sources.warc import read_wat, write_wat
+    from deduplicatr_ray.stages.linkgraph import host_graph
+
+    wat_dir = tempfile.mkdtemp(prefix="graft_wat_")
+    write_wat(_link_warc(sf_dir), wat_dir).materialize()
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for u, ls in zip(b["url"].to_pylist(), b["links"].to_pylist()):
+            for l in ls or []:
+                srcs.append(u)
+                dsts.append(l)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+            }
+        )
+
+    links = read_wat(wat_dir).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = host_graph(links).to_pandas()
+    return df.sort_values(["src_host", "dst_host"]).reset_index(drop=True)
+
+
+def q_host_degrees(sf_dir: str):
+    """Host degree statistics over the link-fixture edge list: out/in
+    degree (distinct neighbor hosts) and out/in link volume per host —
+    the web-graph summary table CC publishes alongside its host graph.
+    SQL-matched via the same lateral-unnest regeneration."""
+    from deduplicatr_ray.stages.linkgraph import (
+        extract_links_stage,
+        host_graph,
+    )
+    from ray.data.aggregate import Count, Sum
+
+    edges = host_graph(extract_links_stage(_link_pages(sf_dir)))
+    out_side = (
+        edges.groupby("src_host")
+        .aggregate(
+            Count(alias_name="out_degree"),
+            Sum("n_links", alias_name="out_links"),
+        )
+        .to_pandas()
+        .rename(columns={"src_host": "host"})
+    )
+    in_side = (
+        edges.groupby("dst_host")
+        .aggregate(
+            Count(alias_name="in_degree"),
+            Sum("n_links", alias_name="in_links"),
+        )
+        .to_pandas()
+        .rename(columns={"dst_host": "host"})
+    )
+    df = out_side.merge(in_side, on="host", how="outer")
+    for c in ("out_degree", "out_links", "in_degree", "in_links"):
+        df[c] = df[c].fillna(0).astype("int64")
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text corpus (`stages/linkgraph.py anchor_text_stage`):
+    (src, dst, anchor) rows — inner markup stripped, entities
+    unescaped, whitespace collapsed; dst-side aggregation describes
+    pages by how the web refers to them. SQL-matched: the oracle
+    regenerates url and anchor strings from doc_id arithmetic."""
+    from deduplicatr_ray.stages.linkgraph import anchor_text_stage
+
+    df = anchor_text_stage(_link_pages(sf_dir)).to_pandas()
+    return df.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
 def q_link_graph(sf_dir: str):
@@ -2542,6 +2667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_compliance": q_robots_compliance,
         "surt_keys": q_surt_keys,
         "link_graph": q_link_graph,
+        "wat_link_graph": q_wat_link_graph,
+        "anchor_texts": q_anchor_texts,
+        "host_degrees": q_host_degrees,
         "host_rank": q_host_rank,
         "charset_census": q_charset_census,
     }
@@ -3684,6 +3812,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, count(*)::BIGINT AS n_links
             FROM links WHERE src_host <> dst_host
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # anchor_texts: urls and anchor strings regenerate from doc_id
+        # arithmetic via the same lateral range unnest.
+        "anchor_texts": """
+            SELECT 'http://h' || CAST(doc_id % 20 AS VARCHAR)
+                     || '.example/d' || CAST(doc_id AS VARCHAR) AS src,
+                   'http://h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR)
+                     || '.example/p' || CAST(j AS VARCHAR) AS dst,
+                   'anchor ' || CAST(doc_id AS VARCHAR) || '-'
+                     || CAST(j AS VARCHAR) || ' text' AS anchor
+            FROM documents, UNNEST(range(doc_id % 4 + 1)) AS t(j)
+            ORDER BY src, dst
+        """,
+        # wat_link_graph: identical oracle body to link_graph — the WAT
+        # sidecar path must reproduce the direct-extraction edges.
+        "wat_link_graph": """
+            WITH links AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                       AS src_host,
+                     'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR)
+                       || '.example' AS dst_host
+              FROM documents, UNNEST(range(doc_id % 4 + 1)) AS t(j)
+            )
+            SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+            FROM links WHERE src_host <> dst_host
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # host_degrees: out/in degree + link volume per host over the
+        # same regenerated edges (FULL OUTER across the two sides).
+        "host_degrees": """
+            WITH links AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example'
+                       AS src_host,
+                     'h' || CAST((doc_id * 7 + j) % 50 AS VARCHAR)
+                       || '.example' AS dst_host
+              FROM documents, UNNEST(range(doc_id % 4 + 1)) AS t(j)
+            ),
+            edges AS (
+              SELECT src_host, dst_host, count(*) AS n_links
+              FROM links WHERE src_host <> dst_host GROUP BY 1, 2
+            ),
+            outs AS (
+              SELECT src_host AS host, count(*)::BIGINT AS out_degree,
+                     sum(n_links)::BIGINT AS out_links
+              FROM edges GROUP BY 1
+            ),
+            ins AS (
+              SELECT dst_host AS host, count(*)::BIGINT AS in_degree,
+                     sum(n_links)::BIGINT AS in_links
+              FROM edges GROUP BY 1
+            )
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(out_links, 0) AS out_links,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(in_links, 0) AS in_links
+            FROM outs o FULL OUTER JOIN ins i ON o.host = i.host
+            ORDER BY host
         """,
         # charset_census: the fixture encodes each doc in one of 8 real web
         # encodings keyed on doc_id % 8 and appends a charset-specific

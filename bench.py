@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "robots_compliance",     # RFC 9309 retroactive crawl-consent flags
     "link_graph",            # href extraction -> host edges (pre-aggregated)
     "host_rank",             # PageRank power iteration, edges distributed
+    "wat_link_graph",        # WAT sidecar write+read -> identical edges
+    "host_degrees",          # web-graph degree/volume summary per host
+    "anchor_texts",          # anchor-text corpus extraction
 ]
 
 FLAGSHIP = "dedup_clusters"

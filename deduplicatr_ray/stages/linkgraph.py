@@ -269,3 +269,80 @@ def pagerank_reference(
         dangling = rank[outw == 0].sum()
         rank = (1 - damping) / n + damping * (new + dangling / n)
     return dict(zip(hosts, rank))
+
+
+_ANCHOR_RE = re.compile(
+    rb"<a\b[^>]*?href\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s\"'<>]+))"
+    rb"[^>]*>(.*?)</a\s*>",
+    re.IGNORECASE | re.DOTALL,
+)
+_TAG_RE = re.compile(rb"<[^>]*>")
+
+
+def anchors_from_html(
+    src_url: str, html: bytes
+) -> list[tuple[str, str]]:
+    """(resolved dst url, anchor text) pairs from one document — the
+    classic web-corpus signal (anchor text describes the TARGET page).
+    Inner markup is stripped, entities unescaped, whitespace collapsed;
+    empty anchors (image links) are dropped. Resolution rules match
+    :func:`links_from_html`."""
+    import html as _h
+
+    _src_host, root = _host_and_root(src_url)
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(html or b""):
+        href = next(g for g in m.groups()[:3] if g is not None).strip()
+        inner = m.group(4)
+        if not href or href.startswith((b"#", b"?")):
+            continue
+        if href.startswith(b"//"):
+            scheme = root.partition(":")[0] or "http"
+            href = scheme.encode() + b":" + href
+        if _SCHEME_RE.match(href):
+            if not href.startswith((b"http://", b"https://")):
+                continue
+            dst = href.decode("utf-8", "replace")
+        elif href.startswith(b"/") and root:
+            dst = root + href.decode("utf-8", "replace")
+        else:
+            continue
+        text = _h.unescape(
+            _TAG_RE.sub(b" ", inner).decode("utf-8", "replace")
+        )
+        text = " ".join(text.split())
+        if text:
+            out.append((dst, text))
+    return out
+
+
+def anchor_text_stage(pages, *, batch_size: int = 256):
+    """PAGES Dataset -> (src, dst, anchor) rows. Same task-map shape as
+    ``extract_links_stage``; feeds anchor-text corpora (dst-side
+    aggregation describes pages by how the web refers to them)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        srcs, dsts, anchors = [], [], []
+        for u, h in zip(
+            batch["url"].to_pylist(), batch["html"].to_pylist()
+        ):
+            if h is None:
+                continue
+            for dst, text in anchors_from_html(u or "", h):
+                srcs.append(u or "")
+                dsts.append(dst)
+                anchors.append(text)
+        return pa.table(
+            {
+                "src": pa.array(srcs, pa.string()),
+                "dst": pa.array(dsts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    return pages.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

@@ -129,3 +129,45 @@ def test_host_pagerank_empty(ray_session):
         pd.DataFrame({"src_host": [], "dst_host": [], "n_links": []})
     )
     assert len(lg.host_pagerank(empty)) == 0
+
+
+def test_anchors_from_html():
+    html = b"""<body>
+    <a href="https://t.example/a" class=x>First  link</a>
+    <a href='/rel'><b>Bold</b> &amp; nested <img src=i></a>
+    <a href="https://t.example/img"><img src="only.png"></a>
+    <a href="mailto:x@y">mail text</a>
+    </body>"""
+    out = lg.anchors_from_html("https://s.example/page", html)
+    assert out == [
+        ("https://t.example/a", "First link"),
+        ("https://s.example/rel", "Bold & nested"),
+    ]  # image-only and non-web anchors dropped
+
+
+def test_anchor_text_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["http://a.example/1", "http://a.example/2"],
+                "html": pa.array(
+                    [
+                        b'<a href="http://b.example/">to b</a>',
+                        b'<a href="http://c.example/">to c</a>'
+                        b'<a href="http://b.example/">b again</a>',
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    df = lg.anchor_text_stage(pages).to_pandas()
+    assert len(df) == 3
+    assert set(zip(df["dst"], df["anchor"])) == {
+        ("http://b.example/", "to b"),
+        ("http://c.example/", "to c"),
+        ("http://b.example/", "b again"),
+    }

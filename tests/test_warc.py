@@ -874,3 +874,43 @@ def test_crawl_refresh_composition_end_to_end(ray_session, tmp_path):
         u for u in two["url"] if u.startswith("http://new.example/")
     }
     assert paired_new == dups
+
+
+def test_wat_sidecar_roundtrip(ray_session, tmp_path):
+    import hashlib
+
+    recs = [
+        {
+            "url": f"http://s{i % 3}.example/p{i}",
+            "html": (
+                f"<html><head><title> Page  {i} </title></head><body>"
+                f'<a href="http://t{i % 4}.example/x">l</a>'
+                f'<a href="/rel{i}">r</a></body></html>'
+            ).encode(),
+            **({"chunked": True, "content_encoding": "gzip"} if i % 2 else {}),
+        }
+        for i in range(9)
+    ] + [{"url": "http://s0.example/gone", "html": b"<p>x</p>", "status": 404}]
+    (tmp_path / "w").mkdir()
+    (tmp_path / "w" / "seg.warc.gz").write_bytes(W.build_warc(recs))
+    man = W.write_wat(str(tmp_path / "w"), str(tmp_path / "wat")).to_pandas()
+    assert list(man["filename"]) == ["seg.wat.gz"]
+    assert man["n_records"].sum() == 10  # WAT keeps non-200s too
+    assert man["n_links"].sum() == 18  # 9 pages x 2; the 404 has none
+    wat = W.read_wat(str(tmp_path / "wat")).to_pandas()
+    assert len(wat) == 10
+    row = wat.set_index("url").loc["http://s1.example/p1"]
+    # digest covers the DECODED entity (chunked+gzip removed)
+    assert row["digest_sha256"] == hashlib.sha256(recs[1]["html"]).hexdigest()
+    assert row["title"] == "Page 1"
+    assert sorted(row["links"]) == [
+        "http://s1.example/rel1",
+        "http://t1.example/x",
+    ]
+    assert int(wat.set_index("url").loc["http://s0.example/gone", "status"]) == 404
+    # resume: second run skips the finished sidecar
+    assert len(W.write_wat(str(tmp_path / "w"), str(tmp_path / "wat")).to_pandas()) == 0
+    # the sidecar is a valid WARC: pages ingest sees 0 rows (metadata
+    # records carry no payload), CDX indexes nothing
+    t = W.warc_bytes_to_pages((tmp_path / "wat" / "seg.wat.gz").read_bytes())
+    assert len(t) == 0

@@ -123,6 +123,14 @@ def main() -> int:
     compact_wall = time.monotonic() - t0
     assert int(man["n_revisit"].sum()) == n_pages // 2
 
+    from deduplicatr_ray.sources.warc import write_wat
+
+    wat_dir = os.path.join(root, "wat")
+    t0 = time.monotonic()
+    wat_man = write_wat(old_dir, wat_dir).to_pandas()
+    wat_wall = time.monotonic() - t0
+    assert int(wat_man["n_records"].sum()) == n_pages
+
     out = {
         "n_files": n_files,
         "n_pages": n_pages,
@@ -142,6 +150,9 @@ def main() -> int:
             * (1 - int(man["bytes_out"].sum()) / int(man["bytes_in"].sum())),
             1,
         ),
+        "wat_wall_s": round(wat_wall, 2),
+        "wat_pages_per_s": round(n_pages / wat_wall),
+        "wat_mb_out": round(int(wat_man["bytes_out"].sum()) / 2**20, 1),
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", 32)),
     }
     print(json.dumps(out))
