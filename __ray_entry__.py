@@ -2057,6 +2057,101 @@ def q_host_degrees(sf_dir: str):
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_declared_canonical_dups(sf_dir: str):
+    """Declared-canonical dedup (`stages/linkgraph.py
+    declared_canonical_stage` + `relational.keyed_min_assign`): pages
+    carrying `<link rel=canonical>` cluster by the url the WEB declares
+    authoritative (pages without a declaration stand alone) — the
+    metadata companion to content dedup. Fixture: doc d declares
+    canonical c{d % 97} unless d % 3 == 2. SQL-matched:
+    `min(url) over (partition by canonical)` replayed from doc_id
+    arithmetic."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    import pyarrow as pa
+
+    from deduplicatr_ray.stages.linkgraph import declared_canonical_stage
+    from deduplicatr_ray.stages.relational import keyed_min_assign
+
+    ids = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    urls, htmls = [], []
+    for d in ids:
+        urls.append(f"http://m{d % 7}.example/p{d:08d}")
+        if d % 3 == 2:
+            htmls.append(b"<p>no declaration here</p>")
+        else:
+            htmls.append(
+                f'<link rel="canonical" '
+                f'href="http://canon.example/c{d % 97}"><p>body</p>'.encode()
+            )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+    )
+    assigned = keyed_min_assign(
+        declared_canonical_stage(pages),
+        key="canonical",
+        id_col="url",
+        out_col="canonical_url",
+        size_col="group_size",
+    )
+    df = assigned.to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_main_content(sf_dir: str):
+    """Boilerplate removal (`functions/boilerplate.py` +
+    `stages/extract.py main_content_stage`): every document's text is
+    embedded as the article of a templated page (nav links, link-list
+    sidebar, link-dense footer); block-level link-density scoring must
+    recover exactly the ws-collapsed article and drop all chrome.
+    SQL-matched: the oracle collapses documents.text directly, with the
+    stage's own >=40-char gate replayed (shorter articles have no good
+    block and extract to '')."""
+    import html as _h
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from deduplicatr_ray.stages.extract import main_content_stage
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    urls, htmls = [], []
+    for d, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        urls.append(f"http://bp{d % 11}.example/a{d:08d}")
+        htmls.append(
+            (
+                "<html><head><title>Site</title></head><body>"
+                '<nav><a href="/">Home</a> <a href="/ab">About</a> '
+                '<a href="/c">Contact</a></nav>'
+                '<div><ul><li><a href="/r1">Related article one</a></li>'
+                '<li><a href="/r2">Related article two</a></li></ul></div>'
+                f"<article><p>{_h.escape(t)}</p></article>"
+                '<footer>Copyright <a href="/t">Terms</a> '
+                '<a href="/p">Privacy</a></footer></body></html>'
+            ).encode()
+        )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(htmls, pa.binary()),
+            }
+        )
+    )
+    df = main_content_stage(pages).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_anchor_texts(sf_dir: str):
     """Anchor-text corpus (`stages/linkgraph.py anchor_text_stage`):
     (src, dst, anchor) rows — inner markup stripped, entities
@@ -2669,6 +2764,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": q_link_graph,
         "wat_link_graph": q_wat_link_graph,
         "anchor_texts": q_anchor_texts,
+        "main_content": q_main_content,
+        "declared_canonical_dups": q_declared_canonical_dups,
         "host_degrees": q_host_degrees,
         "host_rank": q_host_rank,
         "charset_census": q_charset_census,
@@ -3812,6 +3909,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT src_host, dst_host, count(*)::BIGINT AS n_links
             FROM links WHERE src_host <> dst_host
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # declared_canonical_dups: min(url)/count(*) over the declared
+        # canonical group, urls and declarations replayed from doc_id.
+        "declared_canonical_dups": """
+            WITH pages AS (
+              SELECT 'http://m' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p'
+                       || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                     CASE WHEN doc_id % 3 = 2
+                          THEN 'http://m' || CAST(doc_id % 7 AS VARCHAR)
+                               || '.example/p'
+                               || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+                          ELSE 'http://canon.example/c'
+                               || CAST(doc_id % 97 AS VARCHAR)
+                     END AS canonical
+              FROM documents
+            )
+            SELECT url,
+                   min(url) OVER (PARTITION BY canonical)
+                     AS canonical_url,
+                   count(*) OVER (PARTITION BY canonical)::BIGINT
+                     AS group_size
+            FROM pages ORDER BY url
+        """,
+        # main_content: the ws-collapsed article text, with the stage's
+        # 40-char good-block gate replayed; chrome never appears.
+        "main_content": """
+            WITH c AS (
+              SELECT doc_id,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            )
+            SELECT 'http://bp' || CAST(doc_id % 11 AS VARCHAR)
+                     || '.example/a'
+                     || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+                   CASE WHEN length(t) >= 40 THEN t ELSE '' END
+                     AS main_text,
+                   CASE WHEN length(t) >= 40 THEN length(t) ELSE 0 END
+                     ::BIGINT AS n_chars
+            FROM c ORDER BY url
         """,
         # anchor_texts: urls and anchor strings regenerate from doc_id
         # arithmetic via the same lateral range unnest.

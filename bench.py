@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "wat_link_graph",        # WAT sidecar write+read -> identical edges
     "host_degrees",          # web-graph degree/volume summary per host
     "anchor_texts",          # anchor-text corpus extraction
+    "main_content",          # boilerplate removal (block link-density scoring)
+    "declared_canonical_dups",  # <link rel=canonical> dedup clusters
 ]
 
 FLAGSHIP = "dedup_clusters"

@@ -101,3 +101,54 @@ def transcode_stage(pages, *, keep_charset: bool = False, batch_size: int = 1024
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def main_content_stage(
+    pages,
+    *,
+    min_len: int = 40,
+    max_link_density: float = 0.33,
+    batch_size: int = 512,
+):
+    """Boilerplate removal (`functions/boilerplate.py`): per page the
+    ARTICLE text with nav/footer/sidebar chrome dropped — the
+    RefinedWeb-class extraction stage, opt-in beside the frozen
+    byte-identical `extract_stage`. Rows with no html (WET text rows)
+    pass their text through unchanged. Output: (url, main_text,
+    n_chars)."""
+    from ..functions.boilerplate import main_content
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        texts = (
+            batch["text"].to_pylist()
+            if "text" in batch.column_names
+            else [None] * len(urls)
+        )
+        out = []
+        for h, t in zip(htmls, texts):
+            if h is None:
+                out.append(t or "")
+            else:
+                out.append(
+                    main_content(
+                        h,
+                        min_len=min_len,
+                        max_link_density=max_link_density,
+                    )
+                )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "main_text": pa.array(out, pa.string()),
+                "n_chars": pa.array([len(t) for t in out], pa.int64()),
+            }
+        )
+
+    return pages.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

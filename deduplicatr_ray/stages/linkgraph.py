@@ -346,3 +346,70 @@ def anchor_text_stage(pages, *, batch_size: int = 256):
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+_CANONICAL_RE = re.compile(
+    rb"<link\b[^>]*>",
+    re.IGNORECASE,
+)
+_REL_CANON_RE = re.compile(
+    rb"""rel\s*=\s*(?:"\s*canonical\s*"|'\s*canonical\s*'|canonical\b)""",
+    re.IGNORECASE,
+)
+
+
+def canonical_of(src_url: str, html: bytes) -> str | None:
+    """The page-DECLARED canonical url (``<link rel=canonical>``) —
+    the web's own duplicate statement, resolved like
+    :func:`links_from_html`; None when absent/unresolvable. First
+    declaration wins (browser behavior)."""
+    for m in _CANONICAL_RE.finditer(html or b""):
+        tag = m.group(0)
+        if not _REL_CANON_RE.search(tag):
+            continue
+        hm = _HREF_RE.search(tag)
+        if not hm:
+            continue
+        href = next(g for g in hm.groups() if g is not None).strip()
+        if not href:
+            continue
+        _h, root = _host_and_root(src_url)
+        if href.startswith(b"//"):
+            scheme = root.partition(":")[0] or "http"
+            href = scheme.encode() + b":" + href
+        if _SCHEME_RE.match(href):
+            if href.startswith((b"http://", b"https://")):
+                return href.decode("utf-8", "replace")
+            return None
+        if href.startswith(b"/") and root:
+            return root + href.decode("utf-8", "replace")
+        return None
+    return None
+
+
+def declared_canonical_stage(pages, *, batch_size: int = 512):
+    """PAGES -> (url, canonical) rows; canonical falls back to the
+    page's own url when nothing is declared, so a downstream
+    groupby(canonical) clusters exactly the pages the WEB declares
+    equivalent — the declared-duplicate companion to content dedup."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        out = []
+        for u, h in zip(urls, htmls):
+            c = canonical_of(u or "", h) if h is not None else None
+            out.append(c or u or "")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "canonical": pa.array(out, pa.string()),
+            }
+        )
+
+    return pages.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )

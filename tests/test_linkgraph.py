@@ -171,3 +171,60 @@ def test_anchor_text_stage(ray_session):
         ("http://c.example/", "to c"),
         ("http://b.example/", "b again"),
     }
+
+
+def test_canonical_of():
+    assert (
+        lg.canonical_of(
+            "http://m.site.example/p?u=1",
+            b'<link rel="canonical" href="https://site.example/p">',
+        )
+        == "https://site.example/p"
+    )
+    # attribute order reversed, unquoted, root-relative
+    assert (
+        lg.canonical_of(
+            "https://site.example/amp/x",
+            b"<link href=/x rel=canonical>",
+        )
+        == "https://site.example/x"
+    )
+    # first declaration wins; non-canonical links ignored
+    html = (
+        b'<link rel="stylesheet" href="/css">'
+        b'<link rel="canonical" href="http://a.example/1">'
+        b'<link rel="canonical" href="http://a.example/2">'
+    )
+    assert lg.canonical_of("http://x.example/", html) == "http://a.example/1"
+    assert lg.canonical_of("http://x.example/", b"<p>none</p>") is None
+    assert lg.canonical_of("http://x.example/", b'<link rel=canonical href="mailto:x">') is None
+
+
+def test_declared_canonical_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": [
+                    "http://m.example/a",
+                    "http://www.example/a",
+                    "http://plain.example/b",
+                ],
+                "html": pa.array(
+                    [
+                        b'<link rel="canonical" href="http://example/a">',
+                        b'<link rel="canonical" href="http://example/a">',
+                        b"<p>no declaration</p>",
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    df = lg.declared_canonical_stage(pages).to_pandas()
+    got = dict(zip(df["url"], df["canonical"]))
+    assert got["http://m.example/a"] == "http://example/a"
+    assert got["http://www.example/a"] == "http://example/a"
+    assert got["http://plain.example/b"] == "http://plain.example/b"
