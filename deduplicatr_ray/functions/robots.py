@@ -122,3 +122,24 @@ def robots_allowed_compiled(
         if rx.match(path):
             return allow
     return True
+
+
+def robots_sitemaps(text: bytes | str) -> list[str]:
+    """The ``Sitemap:`` directives of a robots.txt (absolute urls,
+    cross-host allowed per the sitemaps protocol; duplicates dropped,
+    order kept) — the crawl-frontier seed list stored alongside the
+    access rules."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8", "replace")
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, rest = line.partition(":")
+        if not sep or key.strip().lower() != "sitemap":
+            continue
+        val = rest.strip()  # the url itself contains ':' — keep rest whole
+        if val.lower().startswith(("http://", "https://")) and val not in seen:
+            seen.add(val)
+            out.append(val)
+    return out

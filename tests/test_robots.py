@@ -130,3 +130,19 @@ def test_robots_filter_stage_end_to_end(ray_session):
     )
     assert out2["http://partial.example/d/x"] == True  # noqa: E712
     assert out2["http://closed.example/a"] == False  # noqa: E712
+
+
+def test_robots_sitemaps():
+    txt = b"""User-agent: *
+Disallow: /x
+Sitemap: https://a.example/sitemap.xml
+sitemap: http://b.example/s2.xml  # trailing comment
+Sitemap: https://a.example/sitemap.xml
+Sitemap: ftp://no.example/x
+Sitemap:
+"""
+    assert R.robots_sitemaps(txt) == [
+        "https://a.example/sitemap.xml",
+        "http://b.example/s2.xml",
+    ]
+    assert R.robots_sitemaps(b"") == []
