@@ -210,33 +210,67 @@ def host_pagerank(
 
     rank = np.full(n, 1.0 / n)
     outw_ref = ray.put(outw)
+    # Per-iteration exchange, budgeted crossover (same pattern as
+    # semi_join_auto / media_near_dups): below GRAFT_PR_DENSE_MAX hosts
+    # each task emits ONE dense (n,) float partial (np.bincount over the
+    # block's edges) and the driver folds them — the DSIR partial shape;
+    # a dense partial is 8n bytes/task, so at 4M hosts that is 32 MB —
+    # and it removes the per-iteration sort-shuffle entirely (measured
+    # end-to-end 522 s -> 94 s for 10 iterations at 1M hosts / 20M
+    # edges, BASELINE.md).
+    # Past the budget the groupby exchange keeps partials edge-bounded.
+    import os as _os
+
+    dense = n <= int(_os.environ.get("GRAFT_PR_DENSE_MAX", 4_000_000))
     for _ in range(n_iter):
         rank_ref = ray.put(rank)
 
-        def contrib(b: pa.Table) -> pa.Table:
-            r = ray.get(rank_ref)
-            o = ray.get(outw_ref)
-            s = np.asarray(b["s"])
-            d = np.asarray(b["d"])
-            w = np.asarray(b["w"])
-            c = r[s] * w / o[s]  # o[s] > 0 by construction (s has edges)
-            # pre-sum per dst inside the batch: the exchange carries
-            # distinct dst ids per block, not edges
-            uniq, inv = np.unique(d, return_inverse=True)
-            sums = np.zeros(len(uniq), np.float64)
-            np.add.at(sums, inv, c)
-            return pa.table({"d": uniq, "c": sums})
+        if dense:
 
-        agg = (
-            ids.map_batches(
-                contrib, batch_format="pyarrow", zero_copy_batch=True
+            def contrib_dense(b: pa.Table) -> pa.Table:
+                r = ray.get(rank_ref)
+                o = ray.get(outw_ref)
+                s = np.asarray(b["s"])
+                c = np.asarray(b["w"]) * r[s] / o[s]
+                part = np.bincount(
+                    np.asarray(b["d"]), weights=c, minlength=n
+                )
+                return pa.table({"part": pa.array([part.tobytes()])})
+
+            new = np.zeros(n, np.float64)
+            for b in ids.map_batches(
+                contrib_dense,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).iter_batches(batch_format="pyarrow", batch_size=4):
+                for buf in b["part"].to_pylist():
+                    new += np.frombuffer(buf, np.float64, count=n)
+        else:
+
+            def contrib(b: pa.Table) -> pa.Table:
+                r = ray.get(rank_ref)
+                o = ray.get(outw_ref)
+                s = np.asarray(b["s"])
+                d = np.asarray(b["d"])
+                w = np.asarray(b["w"])
+                c = r[s] * w / o[s]  # o[s] > 0 (s has edges)
+                # pre-sum per dst inside the batch: the exchange
+                # carries distinct dst ids per block, not edges
+                uniq, inv = np.unique(d, return_inverse=True)
+                sums = np.zeros(len(uniq), np.float64)
+                np.add.at(sums, inv, c)
+                return pa.table({"d": uniq, "c": sums})
+
+            agg = (
+                ids.map_batches(
+                    contrib, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("d")
+                .aggregate(Sum("c", alias_name="c"))
+                .to_pandas()
             )
-            .groupby("d")
-            .aggregate(Sum("c", alias_name="c"))
-            .to_pandas()
-        )
-        new = np.zeros(n, np.float64)
-        new[agg["d"].to_numpy()] = agg["c"].to_numpy()
+            new = np.zeros(n, np.float64)
+            new[agg["d"].to_numpy()] = agg["c"].to_numpy()
         dangling = rank[outw == 0].sum()
         rank = (1 - damping) / n + damping * (new + dangling / n)
     import pandas as pd

@@ -84,10 +84,16 @@ def test_extract_links_and_host_graph(ray_session):
     assert ((edges2["src_host"] == edges2["dst_host"]).sum()) == 2
 
 
-def test_host_pagerank_matches_dense_reference(ray_session):
+@pytest.mark.parametrize("dense_max", ["4000000", "0"])
+def test_host_pagerank_matches_dense_reference(
+    ray_session, monkeypatch, dense_max
+):
+    """dense_max="0" forces the groupby-exchange branch, the default the
+    dense-partial branch — both must match the numpy reference."""
     import pandas as pd
     import ray.data as rd
 
+    monkeypatch.setenv("GRAFT_PR_DENSE_MAX", dense_max)
     rng = np.random.Generator(np.random.PCG64(11))
     n_hosts = 40
     rows = []
