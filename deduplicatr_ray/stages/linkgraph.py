@@ -18,9 +18,11 @@ output as its host-level web graph releases; here it is Ray-Data-native:
   vector broadcast via ``ray.put`` (hosts are ~10^8 at full-web scale =
   a few GB of driver/broadcast state — the documented assumption, same
   class as the flagship's components driver budget); each iteration is
-  one pre-aggregated ``groupby(dst).sum`` whose output is one row per
-  HOST, not per edge. Dangling mass is redistributed uniformly, so ranks
-  sum to 1 every iteration.
+  either a driver-folded dense ``bincount`` partial per task (below the
+  ``GRAFT_PR_DENSE_MAX`` host budget — no shuffle at all) or a
+  pre-aggregated ``groupby(dst).sum`` whose output is one row per HOST,
+  not per edge. Dangling mass is redistributed uniformly, so ranks sum
+  to 1 every iteration.
 """
 
 from __future__ import annotations
@@ -168,8 +170,9 @@ def host_pagerank(
     Scale shape: the EDGE set stays a distributed Dataset (materialized
     once with int host ids attached); each iteration broadcasts the
     rank vector (``ray.put``, ~8 bytes/host) and runs one map_batches
-    whose per-batch output is pre-summed per dst id, then a
-    ``groupby(dst).sum`` with one output row per host. The driver only
+    that either emits one dense bincount partial per task (below the
+    host budget) or pre-sums per dst id into a ``groupby(dst).sum``
+    with one output row per host. The driver only
     ever holds host-sized arrays (the documented budget: hosts ≪ pages
     — ~10^8 hosts for a 10^12-page crawl), never edge-sized ones."""
     import ray
